@@ -1,0 +1,119 @@
+"""Parsers — the regex/grok layer (SURVEY.md §2.2, P1-P8).
+
+Every parser is a columnar expression (JVM-side, whole-stage codegen);
+the flagship erda-info grok also ships an Arrow-vectorized pandas-UDF
+variant (``erda_info_pandas``) for parity with the north-star's
+"vectorized pandas/Arrow UDFs, zero per-row Python" requirement — both
+produce identical results (tested), the built-in is the default because
+it stays inside codegen.
+
+Reference regexes: conf/ds/parsers.conf (cited per function). Fluent-bit
+uses Onig/Ruby regex; translated here to Java (Spark) and Python (pandas)
+flavors with identical match semantics on the tested corpus.
+
+Absence semantics: fluent-bit's parser filter emits NO key when a group
+doesn't match (Reserve_Data True keeps the rest of the record,
+conf/ds/fluent-bit.conf:27-28). Spark's regexp_extract returns '' on
+no-match; downstream (reshape.build_tags) treats '' as absent so no
+empty tags are emitted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from logpipe.schema import MAX_CONTENT_CHARS
+
+# P1 erda-info (conf/ds/parsers.conf:1-4). Group 1 = __tags_level,
+# group 4 = __tags_request_id. The reference char classes keep a literal
+# '|' ([\w|\-|\_]) — preserved verbatim for parity.
+ERDA_LEVEL_ALTS = (
+    "[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|DEBU|[Ii]nfo|INFO"
+    "|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)"
+)
+ERDA_INFO_RE = (
+    f"({ERDA_LEVEL_ALTS})" + r"(.*?)\[([\w|\-|_]*?)\,"
+    r"(\{?\w{8}-?\w{4}-?\w{4}-?\w{4}-?\w{12}\}?)?([\,|\w|\-|_|=]*?)\]"
+)
+
+# P4/P6 firstline detector: log content starts with a datetime
+# (conf/ds/parsers.conf:18-23, :32-36).
+FIRSTLINE_RE = r"^\d{4}[/\-]\d{1,2}[/\-]\d{1,2}[ T]\d{2}:\d{2}:\d{2}"
+
+# P5 CRI line format (conf/ds/parsers.conf:25-30).
+CRI_RE = r"^([^ ]+) (stdout|stderr) ([^ ]*) (.*)$"
+
+# P7 ECI log path -> container name (conf/eci/parsers.conf:14-17).
+LOG_ID_RE = r"^/stdlog/([\w|\-]+)/(\d+\.log$)"
+
+# P8 cgroup cpuset -> container id (conf/eci/parsers.conf:20-23).
+CPUSET_RE = r"^/(.*?)/(\w+$)"
+
+
+def truncate_log(text: Column, max_chars: int = MAX_CONTENT_CHARS) -> Column:
+    """P2 truncate-log: cap content at 50KB (conf/ds/parsers.conf:6-10).
+
+    The reference does this with regex ``[\\s\\S]{0,51200}``; substring
+    is semantically identical and cheaper (no regex engine).
+    """
+    return F.substring(text, 1, max_chars)
+
+
+def erda_level(text: Column) -> Column:
+    """P1: extract log level ('' when absent)."""
+    return F.regexp_extract(text, ERDA_INFO_RE, 1)
+
+
+def erda_request_id(text: Column) -> Column:
+    """P1: extract request id UUID ('' when absent)."""
+    return F.regexp_extract(text, ERDA_INFO_RE, 4)
+
+
+def erda_info_pandas():
+    """Arrow-vectorized variant of P1: text -> struct(level, request_id).
+
+    One pandas `str.extract` per Arrow batch (precompiled pattern, C
+    regex engine under the hood) — zero per-row Python.
+    """
+    from logpipe.operators._grok_udf import make_erda_info_udf
+
+    return make_erda_info_udf(ERDA_INFO_RE)
+
+
+def is_firstline(text: Column) -> Column:
+    """P4/P6: True when the line starts a new (multiline) record."""
+    return text.rlike(FIRSTLINE_RE)
+
+
+def parse_cri(line: Column) -> Column:
+    """P5: CRI line -> struct(time, stream, logtag, log)."""
+    return F.struct(
+        F.regexp_extract(line, CRI_RE, 1).alias("time"),
+        F.regexp_extract(line, CRI_RE, 2).alias("stream"),
+        F.regexp_extract(line, CRI_RE, 3).alias("logtag"),
+        F.regexp_extract(line, CRI_RE, 4).alias("log"),
+    )
+
+
+def parse_docker_json(line: Column) -> Column:
+    """P3: docker json log line -> struct(log, stream, time).
+
+    (conf/ds/parsers.conf:12-16; Time_Key time, %Y-%m-%dT%H:%M:%S.%LZ)
+    """
+    return F.from_json(line, "log string, stream string, time string")
+
+
+def docker_time(time_str: Column) -> Column:
+    """P3 time key -> timestamp (RFC3339 millis, Z suffix)."""
+    return F.to_timestamp(time_str, "yyyy-MM-dd'T'HH:mm:ss.SSSX")
+
+
+def log_id_from_path(path: Column) -> Column:
+    """P7: /stdlog/<name>/<n>.log -> container name ('' when absent)."""
+    return F.regexp_extract(path, LOG_ID_RE, 1)
+
+
+def container_id_from_cpuset(cpuset: Column) -> Column:
+    """P8: cgroup path -> trailing container id ('' when absent)."""
+    return F.regexp_extract(cpuset, CPUSET_RE, 2)
