@@ -37,8 +37,10 @@ def project_log_event(df: DataFrame) -> DataFrame:
         F.coalesce(F.col("stream"), F.lit("stdout")).alias("stream"),
         F.coalesce(F.col("content"), F.lit("")).alias("content"),
         F.lit(0).cast("long").alias("offset"),
-        # UnixNano: micros*1000 (timestamps carry micros precision)
-        (F.unix_micros(F.col("ts")) * F.lit(1000)).alias("timestamp"),
+        # UnixNano: micros*1000 (timestamps carry micros precision).
+        # cast handles TIMESTAMP_NTZ parquet columns (session TZ is UTC,
+        # so the reinterpretation is identity).
+        (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).alias("timestamp"),
         F.coalesce(F.col("tags"), F.from_json(F.lit("{}"), "map<string,string>")).alias("tags"),
         F.coalesce(F.col("labels"), F.from_json(F.lit("{}"), "map<string,string>")).alias("labels"),
         F.col("sink"),
