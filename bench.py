@@ -1,0 +1,82 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit", "queries" (per-query
+sec), "sf", plus turns/sec context for the flagship pipeline}.
+
+Row-heavy queries are forced with the noop sink (full computation, no
+driver-side collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # (name, force-mode): 'collect' for small aggregates, 'noop' for row streams
+    ("flagship_route_counts", "collect"),
+    ("log_event_projection", "noop"),
+    ("erda_info_extract", "noop"),
+    ("multiline_stitch", "noop"),
+    ("tpch_q1", "collect"),
+    ("broadcast_enrich_join", "collect"),
+    ("topk_orders", "collect"),
+    ("throttle_drop", "noop"),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    from logpipe.plans import driver_queries
+    from logpipe.session import get_spark
+
+    spark = get_spark(app_name="logpipe-bench")
+    qs = driver_queries.queries()
+
+    # warm the JVM + parquet footer caches with one cheap pass
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, mode in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        if mode == "collect":
+            df.collect()
+        else:
+            df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    total = round(sum(timings.values()), 3)
+    flagship_rate = (
+        round(n_events / timings["flagship_route_counts"], 1)
+        if timings.get("flagship_route_counts")
+        else None
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time (parse->enrich->route->aggregate)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "events_rows": n_events,
+                "flagship_turns_per_sec": flagship_rate,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -39,8 +39,13 @@ def synth_transcripts(
     n_rows: int = 10_000,
     n_convs: int = 64,
     seed: int = 42,
+    oversize_permille: int = 20,
 ) -> DataFrame:
-    """Transcripts table (conv_id, turn_idx, role, text, tool, ts)."""
+    """Transcripts table (conv_id, turn_idx, role, text, tool, ts).
+
+    ``oversize_permille``: fraction (per-1000) of >50KB outlier rows;
+    2% default for truncation-coverage in tests, ~1 for realistic
+    throughput benches (log lines are usually a few hundred bytes)."""
     df = spark.range(n_rows)
     h = _h(seed, F.col("id"))
 
@@ -79,12 +84,12 @@ def synth_transcripts(
     )
     filler = F.concat(F.lit("payload-"), F.hex(_h(seed + 10, F.col("id"))))
 
-    kind = _h(seed + 11, F.col("id")) % 100
+    kind = _h(seed + 11, F.col("id")) % 1000
     dt = F.from_unixtime(F.lit(BASE_EPOCH) + F.col("id") % 86400, "yyyy-MM-dd HH:mm:ss")
     text = (
         # 35%: erda-info bracketed line (grok hit)
         F.when(
-            kind < 35,
+            kind < 350,
             F.concat(
                 dt, F.lit(" "), level, F.lit(" ["), svc, F.lit(","), uuid_ish,
                 F.lit(",key=val] handled request "), filler,
@@ -92,15 +97,15 @@ def synth_transcripts(
         )
         # 10%: java stacktrace firstline (starts with datetime, has exception)
         .when(
-            kind < 45,
+            kind < 450,
             F.concat(dt, F.lit(" ERROR [" ), svc, F.lit(",,] java.lang.RuntimeException: boom ")),
         )
         # 15%: continuation lines (no leading datetime)
-        .when(kind < 60, F.concat(F.lit("\tat com.erda.Handler.run(Handler.java:"), (h % 500).cast("string"), F.lit(")")))
+        .when(kind < 600, F.concat(F.lit("\tat com.erda.Handler.run(Handler.java:"), (h % 500).cast("string"), F.lit(")")))
         # 3%: empty (Skip_Empty_Lines case)
-        .when(kind < 63, F.lit(""))
-        # 2%: oversized (> 50KB truncate case)
-        .when(kind < 65, F.concat(dt, F.lit(" INFO big "), F.repeat(F.lit("x"), 60000)))
+        .when(kind < 630, F.lit(""))
+        # oversized (> 50KB truncate case), oversize_permille/1000
+        .when(kind < 630 + oversize_permille, F.concat(dt, F.lit(" INFO big "), F.repeat(F.lit("x"), 60000)))
         # rest: plain text
         .otherwise(F.concat(dt, F.lit(" plain turn text "), filler))
     )
