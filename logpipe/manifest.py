@@ -1,0 +1,137 @@
+"""Checkpointed manifest: resume, lineage, metrics (SURVEY.md §7.6).
+
+The reference tracks progress with a per-file SQLite position DB
+(tail `DB` option, conf/ds/docker-runtime.conf:5,13-14) and retries
+failed chunks for at-least-once delivery (main.go:117-122). The batch
+equivalent here:
+
+- work is split into deterministic BUCKETS of the input
+  (pmod(xxhash64(conv_id), n_buckets) — conv-aligned so every stage,
+  including the stitcher, is self-contained per bucket);
+- each bucket's output directory is written fully, then a manifest
+  entry (one JSON file, atomic tmp+rename) records lineage + metrics:
+  input rows, per-sink output rows/bytes, wall time;
+- a re-run SKIPS buckets whose manifest entry exists -> idempotent
+  resume; a bucket that died mid-write is simply overwritten (its
+  entry was never committed). At-least-once task retries + atomic
+  manifest commit = exactly-once visible effects.
+
+At cluster scale the same protocol runs with Iceberg snapshot commits
+instead of directory writes; the manifest then stores snapshot ids.
+On 100TB, n_buckets is sized so one bucket ≈ one executor-wave of
+work (e.g. 4096), and buckets are embarrassingly parallel across jobs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class Manifest:
+    """Directory of per-unit JSON lineage entries with atomic commit."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _entry_path(self, unit: str) -> str:
+        return os.path.join(self.path, f"{unit}.json")
+
+    def is_done(self, unit: str) -> bool:
+        return os.path.exists(self._entry_path(unit))
+
+    def record(self, unit: str, payload: dict) -> None:
+        tmp = self._entry_path(unit) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"unit": unit, **payload}, f)
+        os.replace(tmp, self._entry_path(unit))  # atomic commit
+
+    def entries(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.path)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.path, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def totals(self) -> dict:
+        """Aggregate lineage: per-sink rows/bytes across completed units."""
+        sinks: dict[str, dict[str, int]] = {}
+        rows_in = 0
+        for e in self.entries():
+            rows_in += e.get("rows_in", 0)
+            for s, m in e.get("sinks", {}).items():
+                agg = sinks.setdefault(s, {"rows": 0, "content_bytes": 0})
+                agg["rows"] += m["rows"]
+                agg["content_bytes"] += m["content_bytes"]
+        return {"rows_in": rows_in, "sinks": sinks, "units": len(self.entries())}
+
+
+def bucket_of(col, n_buckets: int):
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets))
+
+
+def run_resumable(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    k8s_meta: DataFrame,
+    tool_meta: DataFrame,
+    out_base: str,
+    manifest_dir: str,
+    n_buckets: int = 8,
+    max_buckets: int | None = None,
+) -> Manifest:
+    """Bucket-wise pipeline run with manifest resume.
+
+    ``max_buckets`` limits how many incomplete buckets to process this
+    invocation (used by tests to simulate a mid-job crash).
+    """
+    from logpipe.plans.pipeline import run_pipeline
+
+    manifest = Manifest(manifest_dir)
+    done_this_run = 0
+    for b in range(n_buckets):
+        unit = f"bucket-{b:05d}"
+        if manifest.is_done(unit):
+            continue
+        if max_buckets is not None and done_this_run >= max_buckets:
+            break
+        t0 = time.perf_counter()
+        part = transcripts.filter(bucket_of(F.col("conv_id"), n_buckets) == b)
+        rows_in = part.count()
+        out = run_pipeline(part, k8s_meta, tool_meta)
+        path = f"{out_base}/bucket={b}"
+        out.write.mode("overwrite").partitionBy("sink").parquet(path)
+        counts = (
+            spark.read.parquet(path)
+            .groupBy("sink")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.length("content")).alias("content_bytes"),
+            )
+            .collect()
+        )
+        manifest.record(
+            unit,
+            {
+                "bucket": b,
+                "path": path,
+                "rows_in": rows_in,
+                "sinks": {
+                    r["sink"]: {
+                        "rows": r["rows"],
+                        "content_bytes": r["content_bytes"],
+                    }
+                    for r in counts
+                },
+                "wall_sec": round(time.perf_counter() - t0, 3),
+            },
+        )
+        done_this_run += 1
+    return manifest

@@ -1,0 +1,113 @@
+"""F3 multiline stitch — stack-trace sessionization (SURVEY.md §2.3).
+
+Reference: the `multiline` filter (conf/eci/fluent-bit.conf:41-45) joins
+continuation lines into the preceding firstline record: a line matching
+the firstline parser starts a group, everything else appends. fluent-bit
+does this stateful-sequentially per tail-file; the Spark-first shape is
+group assignment via a running sum over (conv_id, turn_idx) order, then
+one aggregation:
+
+  is_first = text rlike FIRSTLINE_RE
+  grp      = sum(is_first) over (partition by conv_id order by turn_idx)
+  group by (conv_id, grp) -> concat_ws('\\n', lines in turn order)
+
+Leading continuation lines (no firstline yet, grp=0) form their own
+group — same as fluent-bit flushing orphan continuations.
+
+Scale notes:
+- the window + groupBy both shuffle on conv_id; with a hot conv this
+  skews. The stitch itself cannot be salted across turn boundaries
+  (group assignment must see consecutive turns), but AQE skew-join /
+  skewed-shuffle splitting handles the aggregation side, and group
+  CONTENT is bounded (a stack trace is tens of lines), so only the
+  window scan is conv-serial — O(hot conv) not O(everything).
+- an `applyInPandas` variant (exact sequential semantics, Arrow
+  batches) is provided for parity testing and for grammars where the
+  group rule isn't expressible as a running sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from logpipe.operators.parse import FIRSTLINE_RE
+
+STITCHED_SCHEMA = (
+    "conv_id string, grp long, turn_idx int, role string, text string, "
+    "tool string, ts timestamp, n_lines int"
+)
+
+
+def stitch_multiline(
+    df: DataFrame, firstline_re: str = FIRSTLINE_RE, text_col: str = "text"
+) -> DataFrame:
+    """Window-function stitcher: one row per stitched group.
+
+    Output keeps the firstline's (turn_idx, role, tool, ts) — the
+    reference record is the firstline record with `log` extended.
+    """
+    is_first = F.col(text_col).rlike(firstline_re).cast("int")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = df.withColumn("grp", F.sum(is_first).over(w))
+    ordered = F.array_sort(
+        F.collect_list(F.struct("turn_idx", text_col, "role", "tool", "ts"))
+    )
+    return (
+        marked.groupBy("conv_id", "grp")
+        .agg(ordered.alias("_lines"))
+        .select(
+            "conv_id",
+            "grp",
+            F.element_at("_lines", 1)["turn_idx"].alias("turn_idx"),
+            F.element_at("_lines", 1)["role"].alias("role"),
+            F.concat_ws("\n", F.transform("_lines", lambda x: x[text_col])).alias("text"),
+            F.element_at("_lines", 1)["tool"].alias("tool"),
+            F.element_at("_lines", 1)["ts"].alias("ts"),
+            F.size("_lines").alias("n_lines"),
+        )
+    )
+
+
+def stitch_multiline_pandas(
+    df: DataFrame, firstline_re: str = FIRSTLINE_RE
+) -> DataFrame:
+    """Exact-sequential stitcher via applyInPandas (grouped-map, Arrow).
+
+    Semantically identical to stitch_multiline (tested); use when the
+    grouping rule needs imperative state. One pandas batch per conv —
+    fine for bounded convs, not for the hot-key tail (prefer the
+    window variant at scale).
+    """
+    import pandas as pd
+    import re
+
+    pat = re.compile(firstline_re)
+
+    def stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        is_first = pdf["text"].str.match(pat).fillna(False)
+        grp = is_first.astype("int64").cumsum()
+        out = []
+        for g, sub in pdf.assign(grp=grp).groupby("grp", sort=True):
+            first = sub.iloc[0]
+            out.append(
+                {
+                    "conv_id": first["conv_id"],
+                    "grp": int(g),
+                    "turn_idx": int(first["turn_idx"]),
+                    "role": first["role"],
+                    "text": "\n".join(sub["text"].tolist()),
+                    "tool": first["tool"],
+                    "ts": first["ts"],
+                    "n_lines": int(len(sub)),
+                }
+            )
+        return pd.DataFrame(out)
+
+    return df.groupBy("conv_id").applyInPandas(stitch, schema=STITCHED_SCHEMA)

@@ -1,0 +1,76 @@
+"""Per-sink fan-out writers (SURVEY.md §2.4 O1-O3).
+
+The reference's three outputs (http container/job, out_erda export with
+per-collector dynamic URL) become partitioned table writes:
+
+- routed rows land in ONE write partitioned by `sink` (and by
+  `collector` inside the export sink) — the Match-glob dispatch (F13)
+  becomes partition pruning for downstream readers;
+- out_erda's one-URL-per-chunk invariant (sender.go:71-77: every
+  chunk carries a single collector) is reproduced by repartitioning on
+  the collector key so each task writes one collector's files;
+- conv_id hot-key skew is defused by SALTING the repartition key: we
+  never need conv-locality at write time (only the stitcher does,
+  upstream), so the writer spreads each hot key over `n_salts`
+  buckets (pmod(hash(turn-identity), n_salts)). Batching + gzip in
+  the reference (BatchSender/remote.go) are replaced by columnar
+  parquet+snappy row groups — the same bytes-on-the-wire economics.
+
+At-least-once chunk retry (main.go:117-122) -> Spark task retry with
+an atomic rename-based commit protocol; per-batch atomicity -> the
+(Iceberg-style) _SUCCESS-guarded directory commit of the v2 committer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 16
+
+
+def salted_repartition(
+    df: DataFrame, key: str, n_partitions: int, n_salts: int = DEFAULT_SALTS
+) -> DataFrame:
+    """Repartition by (key, salt): co-locates by key at partition-count
+    granularity while splitting any hot key across n_salts buckets.
+
+    The salt is derived from the row's full content hash — stable
+    across retries (no rand(), which breaks task-retry determinism).
+    """
+    hashable = [
+        f.name for f in df.schema.fields
+        if f.dataType.typeName() not in ("map",)  # maps are unhashable in Spark
+    ]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(n_salts))
+    return df.repartition(n_partitions, F.col(key), salt)
+
+
+def write_sinks(
+    log_events: DataFrame,
+    base_path: str,
+    n_partitions: int = 32,
+    n_salts: int = DEFAULT_SALTS,
+    mode: str = "overwrite",
+) -> None:
+    """One pass, one shuffle: fan all routed rows out to
+    {base_path}/sink=<container|job|export>/... parquet.
+
+    Export rows additionally partition by collector (the dynamic-URL
+    key, labels['monitor_log_collector']) so each downstream exporter
+    reads exactly its files — mirroring out_erda's per-collector POST.
+    """
+    with_collector = log_events.withColumn(
+        "collector",
+        F.when(
+            F.col("sink") == "export",
+            F.coalesce(F.col("labels")["monitor_log_collector"], F.lit("unknown")),
+        ).otherwise(F.lit("-")),
+    )
+    salted = salted_repartition(with_collector, "sink", n_partitions, n_salts)
+    salted.write.mode(mode).partitionBy("sink", "collector").parquet(base_path)
+
+
+def read_sink(spark, base_path: str, sink: str) -> DataFrame:
+    """Partition-pruned reader for one sink (F13 Match dispatch)."""
+    return spark.read.parquet(base_path).filter(F.col("sink") == sink)

@@ -1,0 +1,68 @@
+"""Resume correctness: kill after k buckets, re-run, identical outputs
+(SURVEY.md §5 invariant (c))."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logpipe.manifest import Manifest, run_resumable
+from logpipe.plans.pipeline import run_pipeline
+
+
+def _sink_totals(spark, base):
+    df = spark.read.option("basePath", base).parquet(f"{base}/bucket=*")
+    return {
+        r["sink"]: (r["rows"], r["content_bytes"])
+        for r in df.groupBy("sink")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.length("content")).alias("content_bytes"),
+        )
+        .collect()
+    }
+
+
+def test_resume_after_partial_run(spark, transcripts, k8s_meta, tool_meta, tmp_path):
+    out_base = str(tmp_path / "out")
+    mdir = str(tmp_path / "manifest")
+
+    # crash after 3 of 8 buckets
+    m1 = run_resumable(
+        spark, transcripts, k8s_meta, tool_meta, out_base, mdir,
+        n_buckets=8, max_buckets=3,
+    )
+    assert len(m1.entries()) == 3
+
+    # resume: only the remaining 5 run
+    m2 = run_resumable(
+        spark, transcripts, k8s_meta, tool_meta, out_base, mdir, n_buckets=8
+    )
+    assert len(m2.entries()) == 8
+
+    # identical result to a single-shot pipeline run
+    expected = {
+        r["sink"]: (r["count"],)
+        for r in run_pipeline(transcripts, k8s_meta, tool_meta)
+        .groupBy("sink")
+        .count()
+        .collect()
+    }
+    got = _sink_totals(spark, out_base)
+    assert {k: (v[0],) for k, v in got.items()} == expected
+
+    # lineage totals agree with the physical output
+    totals = m2.totals()
+    assert totals["units"] == 8
+    assert {s: (v["rows"], v["content_bytes"]) for s, v in totals["sinks"].items()} == got
+    # rows_in covers every input row exactly once
+    assert totals["rows_in"] == transcripts.count()
+
+
+def test_rerun_is_noop(spark, transcripts, k8s_meta, tool_meta, tmp_path):
+    out_base = str(tmp_path / "out")
+    mdir = str(tmp_path / "manifest")
+    run_resumable(spark, transcripts, k8s_meta, tool_meta, out_base, mdir, n_buckets=4)
+    before = Manifest(mdir).entries()
+    run_resumable(spark, transcripts, k8s_meta, tool_meta, out_base, mdir, n_buckets=4)
+    after = Manifest(mdir).entries()
+    assert before == after  # nothing reprocessed, nothing duplicated
