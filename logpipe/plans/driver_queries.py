@@ -458,3 +458,265 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
     )
+
+
+# ===========================================================================
+# Training-data pipeline operators (dedup / similarity / text analysis)
+# ===========================================================================
+
+_WORDS_SQL = (
+    "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+)
+
+# --- text analysis --------------------------------------------------------
+
+_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]'), x -> x <> '')) AS BIGINT) AS n_bpe_ish
+FROM documents
+"""
+
+
+@register("token_count", _TOKEN_COUNT_SQL)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.traindata import textstats as ts
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        ts.token_count(F.col("text")).alias("n_tokens"),
+        ts.bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
+    )
+
+
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(len({_WORDS_SQL}) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter({_WORDS_SQL.replace("trim(text)", "trim(lower(text))")},
+              w -> list_contains(['the','a','and','of','to','is','in'], w))) AS DOUBLE) AS sw,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS alpha_ratio
+  FROM documents
+)
+SELECT doc_id,
+       round(0.4 * least(1.0, n_tok / 50.0)
+           + 0.3 * alpha_ratio
+           + 0.3 * least(1.0, (sw / greatest(n_tok, 1.0)) * 5.0), 4) AS quality
+FROM t
+"""
+
+
+@register("text_quality", _QUALITY_SQL)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.traindata import textstats as ts
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", ts.quality_score(F.col("text")).alias("quality"))
+
+
+def _lang_score_sql(lang_words: list[str]) -> str:
+    arr = "[" + ",".join(f"'{w}'" for w in lang_words) + "]"
+    words = _WORDS_SQL.replace("trim(text)", "trim(lower(text))")
+    return f"CAST(len(list_filter({words}, w -> list_contains({arr}, w))) AS BIGINT)"
+
+
+_LANG_ID_SQL = None  # built below from textstats.STOPWORDS
+
+
+def _build_lang_id_sql() -> str:
+    from logpipe.traindata.textstats import LANG_ORDER, STOPWORDS
+
+    scores = ", ".join(
+        f"{_lang_score_sql(STOPWORDS[lang])} AS s_{lang}" for lang in LANG_ORDER
+    )
+    # same precedence logic as textstats.lang_id: earlier lang wins ties
+    cases = []
+    for lang in LANG_ORDER:
+        conds = [f"s_{lang} > 0"]
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            op = ">" if LANG_ORDER.index(other) < LANG_ORDER.index(lang) else ">="
+            # lang beats earlier langs strictly, later langs on ties
+            conds.append(
+                f"s_{lang} {op} s_{other}"
+                if LANG_ORDER.index(other) < LANG_ORDER.index(lang)
+                else f"s_{lang} >= s_{other}"
+            )
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    # evaluate in reverse so earlier langs override (mirrors the Spark fold)
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'unk' END"
+    return f"WITH t AS (SELECT doc_id, text, {scores} FROM documents)\nSELECT doc_id, {case_sql} AS pred_lang FROM t"
+
+
+@register("lang_id", None)  # SQL attached below once built
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.traindata import textstats as ts
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", ts.lang_id(F.col("text")).alias("pred_lang"))
+
+
+_REGISTRY["lang_id"] = (_REGISTRY["lang_id"][0], _build_lang_id_sql())
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+FROM documents
+"""
+
+
+@register("doc_fingerprint", _FINGERPRINT_SQL)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.traindata import textstats as ts
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", ts.fingerprint(F.col("text")).alias("fp"))
+
+
+# --- dedup ----------------------------------------------------------------
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+@register("dedup_exact", _DEDUP_EXACT_SQL)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.traindata.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH w AS (
+  SELECT doc_id, lang, source, {_WORDS_SQL} AS words FROM documents
+), t AS (
+  SELECT doc_id, lang, source,
+         list_distinct(CASE WHEN len(words) >= 2
+           THEN [words[i] || ' ' || words[i+1] for i in generate_series(1, len(words)-1)]
+           ELSE [] END) AS grams
+  FROM w
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(list_distinct(a.grams || b.grams)), 4) AS jaccard
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(a.grams) > 0 AND len(b.grams) > 0
+)
+SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.1
+"""
+
+
+@register("ngram_jaccard_pairs", _NGRAM_JACCARD_SQL)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.traindata.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=2, threshold=0.1)
+
+
+@register("minhash_lsh_dups", None)  # probabilistic recall: rows-only check
+def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.traindata.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n=2, k=32, bands=8, threshold=0.1)
+
+
+def _simhash_sql() -> str:
+    from logpipe.traindata.dedup import SIMHASH_BITS
+
+    words = _WORDS_SQL.replace("trim(text)", "trim(lower(text))")
+    votes = ", ".join(
+        f"sum(((h >> {i}) & 1) * 2 - 1) AS v{i}" for i in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({words})) AS tok FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tok
+), votes AS (
+  SELECT doc_id, {votes} FROM h GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce({sig}, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+"""
+
+
+@register("simhash_signatures", None)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.traindata.dedup import simhash_table
+
+    return simhash_table(_docs(spark, sf_dir))
+
+
+_REGISTRY["simhash_signatures"] = (
+    _REGISTRY["simhash_signatures"][0],
+    _simhash_sql(),
+)
+
+
+# --- similarity search ----------------------------------------------------
+
+_COSINE_TOPK_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn FROM n WHERE vec_id < 8),
+c AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+         round(list_dot_product(q.qe, n.emb) / (q.qn * n.nrm), 4) AS cosine
+  FROM q, n WHERE n.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS "rank"
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM c
+) WHERE rn <= 5
+"""
+
+
+@register("embedding_cosine_topk", _COSINE_TOPK_SQL)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.traindata.ann import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, query_filter=F.col("vec_id") < 8, k=5)
+
+
+_COSINE_DUPS_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cosine
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
+"""
+
+
+@register("embedding_near_dups", _COSINE_DUPS_SQL)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.traindata.ann import cosine_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_near_dups(emb, threshold=0.4)
+
+
+@register("ann_lsh_topk", None)  # probabilistic recall: rows-only check
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.traindata.ann import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(emb, query_ids=list(range(8)), k=5)

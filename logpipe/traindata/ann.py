@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force exact top-k — the correctness baseline.
+  All math JVM-side in double (zip_with product, aggregate sum —
+  sequential left-to-right, bit-matched by the DuckDB oracle).
+  Queries are broadcast; the scan side never shuffles.
+- lsh_topk: the scale path — random-hyperplane LSH (signed projections
+  onto deterministic hash-derived planes) buckets candidates, exact
+  cosine re-rank inside buckets. Sub-linear candidate sets at the cost
+  of probabilistic recall (tested vs exact in pytest).
+- cosine_near_dups: threshold variant for embedding-level dedup.
+
+At 100TB: queries broadcast (small), corpus scanned once per batch of
+queries; the LSH variant turns the crossJoin into an equi-join on
+(plane-bucket) — shuffle on a short key, AQE-skew-safe.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double dot product (matches DuckDB list_dot_product)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", norm(F.col(vec_col)))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    query_filter=None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cosine, rank); cosine rounded to 4
+    decimals, ties broken by neighbor id (fully deterministic).
+    """
+    base = with_norm(emb)
+    q = base
+    if query_ids is not None:
+        q = q.filter(F.col("vec_id").isin(query_ids))
+    if query_filter is not None:
+        q = q.filter(query_filter)
+    q = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+    )
+    joined = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos = F.round(
+        dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("_norm")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        joined.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_near_dups(emb: DataFrame, threshold: float = 0.9, modulus: int = 1) -> DataFrame:
+    """All pairs with cosine >= threshold (optionally on the vec_id %
+    modulus == 0 subset to bound the quadratic pair count)."""
+    base = with_norm(emb)
+    if modulus > 1:
+        base = base.filter(F.col("vec_id") % modulus == 0)
+    a = base.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("_norm").alias("na")
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col("_norm").alias("nb")
+    )
+    cos = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (no RNG state —
+    pure function of (seed, plane, coord) so every executor agrees)."""
+    planes = []
+    for p in range(n_planes):
+        v = [
+            math.sin(seed * 1000003 + p * 10007 + c * 101) for c in range(dim)
+        ]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: one sign bit per plane -> int key."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(proj > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH.
+
+    Each of n_tables independent tables buckets vectors by n_planes
+    sign bits; candidates = union over tables of same-bucket vectors
+    (equi-join on (table, bucket), no crossJoin), then EXACT cosine
+    re-rank. More tables -> higher recall, more candidates scanned
+    (recall ≈ 1-(1-p^planes)^tables, p = 1 - θ/π).
+
+    Recall < 1 by construction; measured vs cosine_topk in pytest.
+    """
+    tables = [
+        _hyperplanes(dim, n_planes, seed=7 + 13 * t) for t in range(n_tables)
+    ]
+    base = with_norm(emb).withColumn(
+        "tb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        lsh_bucket(F.col("embedding"), tables[t]).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ),
+    ).select("vec_id", "embedding", "_norm", "tb.table", "tb.bucket")
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+        F.col("table").alias("q_table"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    joined = (
+        base.join(
+            F.broadcast(q),
+            (F.col("table") == F.col("q_table"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "q_emb", "q_norm", "vec_id", "embedding", "_norm")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    cos = F.round(
+        dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("_norm")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        joined.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

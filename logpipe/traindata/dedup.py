@@ -1,0 +1,250 @@
+"""Deduplication for training-data pipelines (exact + near-dup).
+
+Spark-first designs, each with an explicit scale story:
+
+- exact_dedup: fingerprint groupBy — one shuffle on a 32-char key;
+  at 100TB this is the cheapest possible dedup (map-side partial agg
+  on the hash, AQE-coalesced).
+- ngram_jaccard_pairs: EXACT near-dup within small blocking groups
+  (here (lang, source)); the self-join explodes quadratically per
+  block, so blocks must be bounded — it is the verification oracle
+  for the LSH path, not the scale path.
+- minhash_lsh_pairs: the scale path. shingle -> k minhashes ->
+  b bands -> bucket-join -> candidate pairs -> EXACT jaccard verify.
+  Only candidates sharing a full band collide, so the join is linear
+  in data + collisions. Tunables (k, bands) trade recall vs cost:
+  P(candidate | jaccard=s) = 1-(1-s^r)^b, r=k/b.
+- simhash64: 64-bit near-dup signature (Charikar); hamming-adjacent
+  signatures = near-dups. Bit votes from md5-derived token hashes so
+  any engine can reproduce them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logpipe.traindata.textstats import fingerprint, tokens
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group by content fingerprint: keep lowest doc_id, count dups."""
+    return (
+        docs.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-gram shingles (n=1 -> the word set)."""
+    toks = tokens(text)
+    if n == 1:
+        return F.array_distinct(toks)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 2,
+    threshold: float = 0.5,
+    block_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs within blocking groups."""
+    d = docs.select(
+        "doc_id", *block_cols, word_ngrams(F.col("text"), n).alias("grams")
+    ).filter(F.size("grams") > 0)
+    a = d.alias("a")
+    b = d.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(grams: Column, k: int = 32) -> Column:
+    """k-permutation minhash signature via seeded xxhash64 (JVM-side)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(grams, lambda g: F.xxhash64(g, F.lit(i))))
+            for i in range(k)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Scale-path near-dup: banded MinHash-LSH candidates, exact verify.
+
+    Returns (doc_a, doc_b, jaccard) with TRUE jaccard >= threshold for
+    pairs surfaced by any band collision. Recall is probabilistic
+    (1-(1-s^r)^b); tested against the exact pairs in pytest.
+    """
+    r = k // bands
+    d = (
+        docs.select("doc_id", word_ngrams(F.col("text"), n).alias("grams"))
+        .filter(F.size("grams") > 0)
+        .withColumn("sig", minhash_signature(F.col("grams"), k))
+    )
+    banded = d.select(
+        "doc_id",
+        "grams",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[
+                                F.element_at("sig", i * r + j + 1).cast("string")
+                                for j in range(r)
+                            ])
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "grams", "bk.band", "bk.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.grams").alias("ga"),
+            F.col("b.grams").alias("gb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = (
+        F.size(F.array_intersect("ga", "gb")).cast("double")
+        / F.size(F.array_union("ga", "gb")).cast("double")
+    )
+    return cand.select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+SIMHASH_BITS = 60  # 15 md5 hex chars -> fits a signed 64-bit long
+
+
+def simhash_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — 60-bit SimHash (Charikar) per document.
+
+    Engine-portable construction (md5-derived token hashes, mirrored by
+    the DuckDB oracle): explode distinct lowercase tokens, one +1/-1
+    vote per bit per token, groupBy-sum the votes, assemble the
+    signature. Explode+groupBy keeps it columnar and scales: the
+    shuffle key is doc_id and partial aggregation collapses the token
+    fan-out map-side.
+
+    Docs with no tokens get simhash 0.
+    """
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    votes = tok.select(
+        "doc_id",
+        *[
+            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+            for i in range(SIMHASH_BITS)
+        ],
+    )
+    agg = votes.groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"v{i}") for i in range(SIMHASH_BITS)]
+    )
+    sig = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long") * F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    signed = agg.select("doc_id", sig.alias("simhash"))
+    # left join back so token-less docs keep a 0 signature
+    return (
+        docs.select("doc_id")
+        .join(signed, "doc_id", "left")
+        .select("doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+    )
+
+
+def simhash_near_dups(
+    docs: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 60-bit signature into `bands`
+    15-bit chunks (pigeonhole: hamming<=3 pairs share >=1 exact chunk
+    when bands=4), bucket-join on (band, chunk), verify true hamming.
+    """
+    width = SIMHASH_BITS // bands
+    sigs = simhash_table(docs)
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

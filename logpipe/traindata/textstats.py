@@ -1,0 +1,93 @@
+"""Text analysis for training-data curation: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All columnar (whole-stage codegen) — no Python in the hot path. Every
+function is mirrored 1:1 by a DuckDB oracle in driver_queries (md5-only
+hashing; single-pass double arithmetic so values are bit-identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "is", "in"],
+    "es": ["el", "la", "de", "y", "que", "los"],
+    "fr": ["le", "la", "de", "et", "un", "les"],
+    "de": ["der", "die", "das", "und", "zu", "ein"],
+}
+
+# deterministic precedence for argmax ties
+LANG_ORDER = ["en", "es", "fr", "de"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization, empty tokens dropped."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token estimate: count of BPE-flavored segments
+    (letter runs, digit runs, single punctuation) — a deterministic
+    stand-in for a real tokenizer's token count."""
+    seg = F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return F.size(seg).cast("long")
+
+
+def stopword_count(text: Column, lang: str) -> Column:
+    words = F.transform(tokens(F.lower(text)), lambda x: x)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words, lambda w: F.array_contains(sw, w))).cast("long")
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-vote language ID; deterministic precedence on ties;
+    'unk' when no stopword hits at all."""
+    scores = {lang: stopword_count(text, lang) for lang in LANG_ORDER}
+    # argmax with fixed precedence: first lang whose score >= all others
+    pred = F.lit("unk")
+    for lang in reversed(LANG_ORDER):
+        cond = scores[lang] > F.lit(0)
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            if LANG_ORDER.index(other) < LANG_ORDER.index(lang):
+                cond = cond & (scores[lang] > scores[other])  # earlier lang wins ties
+            else:
+                cond = cond & (scores[lang] >= scores[other])
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def alpha_ratio(text: Column) -> Column:
+    alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+    return alpha.cast("double") / F.length(text).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length sweet-spot +
+    alphabetic density + stopword density (fluency proxy)."""
+    n_tok = token_count(text).cast("double")
+    sw = stopword_count(text, "en").cast("double")
+    length_part = F.least(F.lit(1.0), n_tok / F.lit(50.0))
+    fluency_part = F.least(F.lit(1.0), (sw / F.greatest(n_tok, F.lit(1.0))) * F.lit(5.0))
+    return F.round(
+        F.lit(0.4) * length_part + F.lit(0.3) * alpha_ratio(text) + F.lit(0.3) * fluency_part,
+        4,
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, whitespace-collapsed."""
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint over normalized text (md5 — bit-identical
+    across engines; exact-dedup key)."""
+    return F.md5(normalize_text(text))
