@@ -1,0 +1,133 @@
+"""Structured Streaming variant of the pipeline (SURVEY.md §2.5).
+
+The reference IS a stream (0.5s flush, conf/ds/fluent-bit.conf:2);
+this module runs the same DAG incrementally:
+
+- readStream over the transcripts directory (new files = new chunks;
+  maxFilesPerTrigger = the throttle's retain-mode pacing);
+- the whole parse -> enrich -> reshape -> route chain is stateless, so
+  run_pipeline applies unchanged to the streaming frame;
+- fan-out via foreachBatch -> sinks.write_sinks in append mode: each
+  micro-batch commit is the analog of a fluent-bit chunk flush, with
+  the checkpoint directory playing the tail-position-DB role
+  (resume-exactly-once over at-least-once retries);
+- multiline stitch needs state: streaming_stitch uses
+  applyInPandasWithState with a processing-time timeout as the
+  Multiline_Flush=3s group-closure timer (conf/ds/cri-runtime.conf:18).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from logpipe import schema as S
+from logpipe.plans.pipeline import run_pipeline
+from logpipe.sinks import write_sinks
+
+
+def read_transcript_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = 4
+) -> DataFrame:
+    r = spark.readStream.schema(S.TRANSCRIPT)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return r.parquet(path)
+
+
+def start_stream_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    k8s_meta: DataFrame,
+    tool_meta: DataFrame,
+    out_base: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = 4,
+):
+    """Run the flagship DAG incrementally; returns the StreamingQuery."""
+    stream = read_transcript_stream(spark, input_path, max_files_per_trigger)
+    routed = run_pipeline(stream, k8s_meta, tool_meta)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_sinks(batch_df, f"{out_base}/batch={batch_id}", n_partitions=8, mode="overwrite")
+
+    return (
+        routed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+STITCH_OUT_SCHEMA = (
+    "conv_id string, turn_idx int, text string, n_lines int"
+)
+STITCH_STATE_SCHEMA = "turn_idx int, lines array<string>"
+
+
+def streaming_stitch(stream: DataFrame, firstline_re: str):
+    """Stateful multiline stitch: per conv_id, buffer lines until the
+    next firstline arrives, then emit the closed group. A processing-
+    time timeout (3s, mirroring Multiline_Flush) flushes a group that
+    never sees a successor — fluent-bit's emitter timer.
+
+    Within a micro-batch, rows are ordered by turn_idx; ACROSS batches
+    state carries the open group. (Late/out-of-order turns are the
+    caller's watermark concern, as in the reference's tail semantics.)
+    """
+    import re
+
+    import pandas as pd
+
+    pat = re.compile(firstline_re)
+
+    def stitch(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                turn_idx, lines = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [
+                        {
+                            "conv_id": conv_id,
+                            "turn_idx": int(turn_idx),
+                            "text": "\n".join(lines),
+                            "n_lines": len(lines),
+                        }
+                    ]
+                )
+            return
+
+        open_turn, open_lines = (state.get if state.exists else (None, []))
+        open_lines = list(open_lines)
+        out = []
+        for pdf in pdfs:
+            for _, row in pdf.sort_values("turn_idx").iterrows():
+                text = row["text"] or ""
+                if pat.match(text) and open_lines:
+                    out.append(
+                        {
+                            "conv_id": conv_id,
+                            "turn_idx": int(open_turn),
+                            "text": "\n".join(open_lines),
+                            "n_lines": len(open_lines),
+                        }
+                    )
+                    open_turn, open_lines = None, []
+                if not open_lines:
+                    open_turn = int(row["turn_idx"])
+                open_lines.append(text)
+        state.update((open_turn, open_lines))
+        state.setTimeoutDuration(3000)  # Multiline_Flush 3s
+        if out:
+            yield pd.DataFrame(out)
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        stitch,
+        outputStructType=STITCH_OUT_SCHEMA,
+        stateStructType=STITCH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,76 @@
+"""Log-file sources vs. the reference's own fixtures
+(/root/reference/testdata/k8s — read-only; used as INPUT, the expected
+values below are computed independently in Python)."""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from logpipe.operators.parse import FIRSTLINE_RE
+from logpipe.operators.stitch import stitch_multiline
+from logpipe.sources.logfiles import read_cri_logs, read_docker_logs
+
+K8S = Path("/root/reference/testdata/k8s")
+DOCKER_FIXTURE = next(str(p) for p in K8S.glob("admin-*.log"))
+CRI_FIXTURE = str(K8S / "cri.log")
+
+
+def test_docker_fixture_parses(spark):
+    df = read_docker_logs(spark, DOCKER_FIXTURE).orderBy("turn_idx")
+    rows = df.collect()
+
+    raw = [json.loads(l) for l in Path(DOCKER_FIXTURE).read_text().splitlines() if l]
+    assert len(rows) == len(raw)
+    for got, exp in zip(rows, raw):
+        assert got["text"] == exp["log"].rstrip("\n")
+        assert got["role"] == exp["stream"]
+        assert got["ts"] is not None
+    # identity parsed from the tag-encoded filename
+    assert rows[0]["conv_id"] == "admin-3feb156fc4-f964fff57-rqv8q_project-387-dev_admin"
+    assert rows[0]["docker_id"].endswith("963c") and len(rows[0]["docker_id"]) == 64
+
+
+def test_cri_fixture_parses(spark):
+    df = read_cri_logs(spark, CRI_FIXTURE).orderBy("turn_idx")
+    rows = df.collect()
+
+    raw = [l for l in Path(CRI_FIXTURE).read_text().split("\n") if l]
+    assert len(rows) == len(raw)
+    pat = re.compile(r"^([^ ]+) (stdout|stderr) ([^ ]*) (.*)$")
+    for got, exp in zip(rows, raw):
+        m = pat.match(exp)
+        assert got["role"] == m.group(2)
+        assert got["logtag"] == m.group(3)
+        assert got["text"] == m.group(4)
+        assert got["ts"] is not None
+
+
+def _expected_groups(texts: list[str]) -> list[str]:
+    """Independent reimplementation of the multiline join."""
+    first = re.compile(FIRSTLINE_RE)
+    groups: list[list[str]] = []
+    for t in texts:
+        if first.match(t) or not groups:
+            groups.append([t])
+        else:
+            groups[-1].append(t)
+    return ["\n".join(g) for g in groups]
+
+
+def test_multiline_stitch_on_reference_fixtures(spark):
+    """The java stack trace in both fixtures stitches exactly as the
+    reference's multiline filter would (firstline = datetime prefix)."""
+    for reader, fixture in [
+        (read_docker_logs, DOCKER_FIXTURE),
+        (read_cri_logs, CRI_FIXTURE),
+    ]:
+        df = reader(spark, fixture)
+        stitched = stitch_multiline(df).orderBy("turn_idx").collect()
+        texts = [r["text"] for r in df.orderBy("turn_idx").collect()]
+        expected = _expected_groups(texts)
+        assert [r["text"] for r in stitched] == expected
+        assert sum(r["n_lines"] for r in stitched) == len(texts)

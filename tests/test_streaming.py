@@ -1,0 +1,87 @@
+"""Structured Streaming pipeline: incremental run matches the batch run;
+stateful stitch closes groups across micro-batches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logpipe.operators.parse import FIRSTLINE_RE
+from logpipe.plans.pipeline import run_pipeline
+from logpipe.streaming.stream_pipeline import (
+    start_stream_pipeline,
+    streaming_stitch,
+)
+
+
+def test_stream_matches_batch(spark, transcripts, k8s_meta, tool_meta, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # several input files => several micro-batches under maxFilesPerTrigger
+    transcripts.repartition(6).write.parquet(inp)
+
+    q = start_stream_pipeline(
+        spark, inp, k8s_meta, tool_meta, out, ckpt, max_files_per_trigger=2
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.option("basePath", out).parquet(f"{out}/batch=*")
+    expected = run_pipeline(spark.read.parquet(inp), k8s_meta, tool_meta)
+    a = {r["sink"]: r["count"] for r in got.groupBy("sink").count().collect()}
+    b = {r["sink"]: r["count"] for r in expected.groupBy("sink").count().collect()}
+    assert a == b
+    cols = ["sink", "source", "id", "stream", "content", "timestamp"]
+    assert expected.select(cols).exceptAll(got.select(cols)).count() == 0
+    assert got.select(cols).exceptAll(expected.select(cols)).count() == 0
+
+    # resume: restarting on the same checkpoint reprocesses nothing
+    q2 = start_stream_pipeline(
+        spark, inp, k8s_meta, tool_meta, out, ckpt, max_files_per_trigger=2
+    )
+    q2.awaitTermination(120)
+    again = {r["sink"]: r["count"] for r in spark.read.option("basePath", out).parquet(f"{out}/batch=*").groupBy("sink").count().collect()}
+    assert again == a
+
+
+def test_streaming_stitch_across_batches(spark, tmp_path):
+    """A group left open at the end of batch 1 closes when batch 2's
+    firstline arrives — state survives the micro-batch boundary."""
+    rows_b1 = [
+        ("c1", 0, "user", "2024-01-01 00:00:00 ERROR boom", None, None),
+        ("c1", 1, "user", "\tat Frame.one", None, None),
+    ]
+    rows_b2 = [
+        ("c1", 2, "user", "\tat Frame.two", None, None),
+        ("c1", 3, "user", "2024-01-01 00:00:05 INFO next", None, None),
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(rows_b1, schema).coalesce(1).write.mode("append").parquet(inp)
+    spark.createDataFrame(rows_b2, schema).coalesce(1).write.mode("append").parquet(inp)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inp)
+    )
+    out = str(tmp_path / "stitched")
+    q = (
+        streaming_stitch(stream, FIRSTLINE_RE)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r["turn_idx"]: (r["text"], r["n_lines"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # the 3-line trace group must be emitted closed, exactly once
+    assert got.get(0) == (
+        "2024-01-01 00:00:00 ERROR boom\n\tat Frame.one\n\tat Frame.two",
+        3,
+    )
