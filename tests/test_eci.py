@@ -1,0 +1,64 @@
+"""ECI sidecar pipeline (§3.3): path-derived identity, Lua-lookup
+enrichment, stitch-first ordering, collector routing."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from logpipe.plans.eci import run_eci_pipeline
+
+
+def test_eci_pipeline(spark, transcripts, tool_meta):
+    out = run_eci_pipeline(transcripts, tool_meta, collector=None, stitch=False)
+    rows = out.collect()
+    assert rows
+
+    # no collector => everything routes to container, nothing to export
+    sinks = {r["sink"] for r in rows}
+    assert sinks == {"container"}
+
+    # tool rows with a dim entry get the cpuset-derived container id
+    tmeta = {r["tool"]: r["cpuset"] for r in tool_meta.collect()}
+    for r in rows:
+        cid = r["tags"].get("container_id")
+        if cid:
+            assert re.fullmatch(r"\w+", cid)
+            assert any(c.endswith("/" + cid) for c in tmeta.values())
+        # static record_modifier tags always present
+        assert r["tags"]["cluster_name"] == "erda-eci"
+        assert r["tags"]["dice_service_name"] == "svc-eci"
+
+    # rows whose tool is missing from the dim pass through un-enriched
+    # (enrich-meta.lua: return -1 keeps the record)
+    missing_tools = {
+        r["tool"]
+        for r in transcripts.select("tool").distinct().collect()
+        if r["tool"] is not None and r["tool"] not in tmeta
+    }
+    assert missing_tools, "synth must include tools absent from the dim"
+    n_all = out.count()
+    assert n_all == transcripts.filter("text is not null and text <> ''").count()
+
+
+def test_eci_with_collector_duplicates_to_export(spark, transcripts, tool_meta):
+    out = run_eci_pipeline(transcripts, tool_meta, collector="collector-9", stitch=False)
+    counts = {r["sink"]: r["count"] for r in out.groupBy("sink").count().collect()}
+    assert counts["export"] == counts["container"]  # keep=true duplication
+    lab = out.filter("sink = 'export'").first()["labels"]
+    assert lab["monitor_log_collector"] == "collector-9"
+
+
+def test_eci_stitch_path(spark, transcripts, tool_meta):
+    """With stitching on, output rows = stitched groups (per conv), and
+    continuation lines are folded into their firstline record."""
+    from logpipe.operators.stitch import stitch_multiline
+
+    src = transcripts.filter(F.length("text") < 1000)
+    expected_groups = stitch_multiline(
+        src.withColumn("text", F.substring("text", 1, 51200))
+    ).count()
+    out = run_eci_pipeline(src, tool_meta, stitch=True)
+    assert out.count() == expected_groups
+    assert out.filter(F.col("content").contains("\n")).count() > 0

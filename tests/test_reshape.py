@@ -1,0 +1,82 @@
+"""Unit tests: modify/nest/lift map helpers (F6-F11) + Size accounting
+(O5) + plan-quality guards (pushdown, codegen)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logpipe.operators import reshape as R
+from logpipe.operators.project import event_size
+
+
+def test_modify_family(spark):
+    df = spark.createDataFrame(
+        [("a", None), (None, "b")], "x string, y string"
+    )
+    got = R.modify_add(df, "x", F.lit("dx"))  # add: only if absent
+    assert [r["x"] for r in got.orderBy("y").collect()] == ["a", "dx"]
+    got = R.modify_set(df, "x", F.lit("sx"))  # set: overwrite
+    assert {r["x"] for r in got.collect()} == {"sx"}
+    got = R.modify_copy(df, "x", "y")  # copy: only if dst absent
+    assert sorted(((r["x"], r["y"]) for r in got.collect()), key=str) == sorted(
+        [(None, "b"), ("a", "a")], key=str
+    )
+    got = R.modify_hard_copy(df, "x", "y")  # hard_copy: overwrite dst
+    assert sorted(((r["x"], r["y"]) for r in got.collect()), key=str) == sorted(
+        [(None, None), ("a", "a")], key=str
+    )
+
+
+def test_map_nest_lift_remove(spark):
+    df = spark.createDataFrame([(1,)], "i int").select(
+        F.create_map(
+            F.lit("__tags_a"), F.lit("1"),
+            F.lit("__tags_monitor_log_collector"), F.lit("c1"),
+            F.lit("__pri_secret"), F.lit("x"),
+            F.lit("other"), F.lit("o"),
+        ).alias("m")
+    )
+    # F11 nest: pick __tags_*, strip prefix
+    nested = df.select(R.nest_wildcard(F.col("m"), "__tags_").alias("t")).first()["t"]
+    assert nested == {"a": "1", "monitor_log_collector": "c1"}
+    # F9 remove_wildcard: drop __pri_*
+    cleaned = df.select(R.remove_wildcard(F.col("m"), "__pri_").alias("t")).first()["t"]
+    assert "__pri_secret" not in cleaned and len(cleaned) == 3
+    # F10 lift with prefix
+    lifted = df.select(R.lift_prefixed(F.col("m"), "k8s_").alias("t")).first()["t"]
+    assert set(lifted) == {"k8s___tags_a", "k8s___tags_monitor_log_collector", "k8s___pri_secret", "k8s_other"}
+    # build_map drops empty/absent values (fluent-bit no-match parity)
+    built = (
+        spark.range(1)
+        .select(R.build_map({"a": F.lit(""), "b": F.lit(None).cast("string"), "c": F.lit("v")}).alias("t"))
+        .first()["t"]
+    )
+    assert built == {"c": "v"}
+
+
+def test_event_size_accounting(spark):
+    """O5 Size(): content+id+source+stream+Σ(tag k+v) bytes
+    (out_erda/sender.go:26-32)."""
+    df = spark.createDataFrame(
+        [("container", "id1", "stdout", "hello", {"k1": "v1", "key2": "val2"})],
+        "source string, id string, stream string, content string, tags map<string,string>",
+    )
+    got = event_size(df).first()["event_bytes"]
+    assert got == len("container") + len("id1") + len("stdout") + len("hello") + (
+        len("k1") + len("v1") + len("key2") + len("val2")
+    )
+
+
+def test_scan_pushdown(spark, tmp_path):
+    """Filters and column pruning must reach the parquet scan
+    (100TB guard: a scan reading all columns for a 2-column projection
+    is wrong)."""
+    path = str(tmp_path / "ev")
+    spark.range(1000).selectExpr(
+        "id", "cast(id % 7 as string) k", "id * 2 v", "cast(id as string) junk"
+    ).write.parquet(path)
+    df = spark.read.parquet(path).filter(F.col("k") == "3").select("id", "v")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,3)]" in plan
+    assert "junk" not in plan.split("ReadSchema")[1][:200]
+    assert "*(1)" in plan  # whole-stage-codegen stage marker
