@@ -622,11 +622,70 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=2, threshold=0.1)
 
 
-@register("minhash_lsh_dups", None)  # probabilistic recall: rows-only check
+def _minhash_sql(k: int = 32, bands: int = 8, threshold: float = 0.1) -> str:
+    """Full MinHash-LSH pipeline in DuckDB: same Carter-Wegman hashes
+    (md5-derived, mod 2^48), same banding, same exact-jaccard verify —
+    the Spark LSH path is checked END-TO-END, not just sampled."""
+    r = k // bands
+    mod = 1 << 48
+    bucket_exprs = ", ".join(
+        "("
+        + " || ',' || ".join(f"CAST(sig[{b * r + j + 1}] AS VARCHAR)" for j in range(r))
+        + f") AS bucket_{b}"
+        for b in range(bands)
+    )
+    bucket_union = " UNION ALL ".join(
+        f"SELECT doc_id, grams, {b} AS band, bucket_{b} AS bucket FROM buckets"
+        for b in range(bands)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(words) >= 2
+           THEN [words[i] || ' ' || words[i+1] for i in generate_series(1, len(words)-1)]
+           ELSE [] END) AS grams
+  FROM w
+), gf AS (
+  SELECT doc_id, grams FROM g WHERE len(grams) > 0
+), h AS (
+  SELECT doc_id, grams,
+         [('0x' || substring(md5(x), 1, 12))::BIGINT for x in grams] AS h1s,
+         [('0x' || substring(md5(x), 13, 12))::BIGINT for x in grams] AS h2s
+  FROM gf
+), sigs AS (
+  SELECT doc_id, grams,
+         [list_min([(h1s[j] + i * h2s[j]) % {mod} for j in generate_series(1, len(h1s))])
+          for i in generate_series(0, {k - 1})] AS sig
+  FROM h
+), buckets AS (
+  SELECT doc_id, grams, {bucket_exprs} FROM sigs
+), banded AS (
+  {bucket_union}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.grams AS ga, b.grams AS gb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT doc_a, doc_b,
+         round(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+               / len(list_distinct(ga || gb)), 4) AS jaccard
+  FROM cand
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
+"""
+
+
+@register("minhash_lsh_dups", None)  # SQL attached below (needs builder)
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logpipe.traindata.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_docs(spark, sf_dir), n=2, k=32, bands=8, threshold=0.1)
+
+
+_REGISTRY["minhash_lsh_dups"] = (_REGISTRY["minhash_lsh_dups"][0], _minhash_sql())
 
 
 def _simhash_sql() -> str:

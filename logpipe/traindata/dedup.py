@@ -83,11 +83,43 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(grams: Column, k: int = 32) -> Column:
-    """k-permutation minhash signature via seeded xxhash64 (JVM-side)."""
+MINHASH_MOD = 1 << 48  # 48-bit halves: h1 + k*h2 stays < 2^54 (no overflow)
+
+
+def minhash_signature(grams: Column, k: int = 32, portable: bool = True) -> Column:
+    """k-permutation minhash signature.
+
+    portable=True (default): Carter-Wegman family h_i = (h1 + i*h2)
+    mod 2^48 from ONE md5 per shingle (h1 = hex[1:12], h2 = hex[13:24])
+    — one hash invocation per shingle, and bit-identical in any engine
+    with md5 (the DuckDB oracle reproduces the whole LSH pipeline).
+    portable=False: seeded xxhash64 per permutation (marginally faster
+    JVM path when cross-engine parity isn't needed).
+    """
+    if not portable:
+        return F.array(
+            *[
+                F.array_min(F.transform(grams, lambda g: F.xxhash64(g, F.lit(i))))
+                for i in range(k)
+            ]
+        )
+    hashed = F.transform(
+        grams,
+        lambda g: F.struct(
+            F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(F.md5(g), 13, 12), 16, 10).cast("long").alias("h2"),
+        ),
+    )
     return F.array(
         *[
-            F.array_min(F.transform(grams, lambda g: F.xxhash64(g, F.lit(i))))
+            F.array_min(
+                F.transform(
+                    hashed,
+                    lambda s: F.pmod(
+                        s["h1"] + F.lit(i) * s["h2"], F.lit(MINHASH_MOD)
+                    ),
+                )
+            )
             for i in range(k)
         ]
     )
@@ -120,12 +152,12 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[
-                                F.element_at("sig", i * r + j + 1).cast("string")
-                                for j in range(r)
-                            ])
-                        ).alias("bucket"),
+                        # portable bucket key: the band's raw signature
+                        # slice (engine-independent string equality)
+                        F.concat_ws(",", *[
+                            F.element_at("sig", i * r + j + 1).cast("string")
+                            for j in range(r)
+                        ]).alias("bucket"),
                     )
                     for i in range(bands)
                 ]
