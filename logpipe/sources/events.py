@@ -81,14 +81,17 @@ def events_k8s_meta(events: DataFrame) -> DataFrame:
 
 def events_tool_meta(events: DataFrame) -> DataFrame:
     """tool -> cpuset dim; tool-N with N%4==3 is deliberately missing
-    (left-join pass-through case, enrich-meta.lua:6-8)."""
+    (left-join pass-through case, enrich-meta.lua:6-8).
+
+    Pure function of the 16 tool ids — built from range(), NOT from an
+    events scan (a dim derived by scanning the fact table would add a
+    full pass at 100TB; extra dim rows for tools that never occur are
+    invisible through the left join)."""
+    spark = events.sparkSession
     t = (
-        events.filter(F.col("event_type") == "purchase")
-        .select(
-            F.concat(F.lit("tool-"), (F.col("user_id") % 16).cast("string")).alias("tool")
-        )
-        .distinct()
-        .filter(F.substring_index(F.col("tool"), "-", -1).cast("int") % 4 != 3)
+        spark.range(16)
+        .filter(F.col("id") % 4 != 3)
+        .select(F.concat(F.lit("tool-"), F.col("id").cast("string")).alias("tool"))
     )
     return t.select(
         "tool",
