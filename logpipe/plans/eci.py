@@ -91,9 +91,12 @@ def run_eci_pipeline(
         F.when(F.col("cpuset").isNotNull(), parse.container_id_from_cpuset(F.col("cpuset"))),
     )
 
-    # P1 erda-info
-    df = df.withColumn("level", parse.erda_level(F.col("text"))).withColumn(
-        "request_id", parse.erda_request_id(F.col("text"))
+    # P1 erda-info (single-pass variant)
+    df = (
+        df.withColumn("_g", parse.erda_info_struct(F.col("text")))
+        .withColumn("level", F.col("_g.level"))
+        .withColumn("request_id", F.col("_g.request_id"))
+        .drop("_g")
     )
 
     # F5 record_modifier static fields

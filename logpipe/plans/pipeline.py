@@ -64,9 +64,10 @@ def run_pipeline(
             "level", F.col("_g.level")
         ).withColumn("request_id", F.col("_g.request_id")).drop("_g")
     else:
-        df = df.withColumn("level", parse.erda_level(F.col("content"))).withColumn(
-            "request_id", parse.erda_request_id(F.col("content"))
-        )
+        g = parse.erda_info_struct(F.col("content"))
+        df = df.withColumn("_g", g).withColumn("level", F.col("_g.level")).withColumn(
+            "request_id", F.col("_g.request_id")
+        ).drop("_g")
 
     # F2 kubernetes enrich + F4 tool (Lua) enrich — broadcast left joins
     df = enrich_k8s(df, k8s_meta)
