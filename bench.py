@@ -28,6 +28,9 @@ HEADLINE = [
     ("broadcast_enrich_join", "collect"),
     ("topk_orders", "collect"),
     ("throttle_drop", "noop"),
+    ("dedup_exact", "noop"),
+    ("minhash_lsh_dups", "noop"),
+    ("embedding_cosine_topk", "collect"),
 ]
 
 

@@ -39,9 +39,14 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def word_ngrams(text: Column, n: int) -> Column:
-    """Distinct word n-gram shingles (n=1 -> the word set)."""
-    toks = tokens(text)
+def ngrams_of(toks: Column, n: int) -> Column:
+    """Distinct n-grams from an ALREADY-MATERIALIZED tokens column.
+
+    The tokens argument must be a plain column reference, not an
+    expression: Catalyst inlines lambda-captured expressions into every
+    element_at call, so passing `split(...)` here recomputes the split
+    O(tokens) times per row (measured: multi-second per 5k docs).
+    """
     if n == 1:
         return F.array_distinct(toks)
     grams = F.when(
@@ -54,6 +59,23 @@ def word_ngrams(text: Column, n: int) -> Column:
     return F.array_distinct(grams)
 
 
+def with_ngrams(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    """docs + `grams` column, tokens materialized once per row."""
+    return (
+        docs.withColumn("_toks", tokens(F.col(text_col)))
+        .withColumn("grams", ngrams_of(F.col("_toks"), n))
+        .drop("_toks")
+    )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-gram shingles (n=1 -> the word set).
+
+    Convenience single-expression form; prefer with_ngrams in plans
+    (see ngrams_of docstring for why)."""
+    return ngrams_of(tokens(text), n)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 2,
@@ -61,9 +83,14 @@ def ngram_jaccard_pairs(
     block_cols: tuple[str, ...] = ("lang", "source"),
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs within blocking groups."""
-    d = docs.select(
-        "doc_id", *block_cols, word_ngrams(F.col("text"), n).alias("grams")
-    ).filter(F.size("grams") > 0)
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = (
+        # repartition before the per-element n-gram lambdas (see
+        # minhash_lsh_pairs) so the compute parallelizes
+        with_ngrams(docs.repartition(n_part, "doc_id"), n)
+        .select("doc_id", *block_cols, "grams")
+        .filter(F.size("grams") > 0)
+    )
     a = d.alias("a")
     b = d.alias("b")
     cond = F.col("a.doc_id") < F.col("b.doc_id")
@@ -103,21 +130,34 @@ def minhash_signature(grams: Column, k: int = 32, portable: bool = True) -> Colu
                 for i in range(k)
             ]
         )
-    hashed = F.transform(
-        grams,
-        lambda g: F.struct(
-            F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("long").alias("h1"),
-            F.conv(F.substring(F.md5(g), 13, 12), 16, 10).cast("long").alias("h2"),
+    return minhash_from_hashes(gram_hashes(grams), k)
+
+
+def gram_hashes(grams: Column) -> Column:
+    """shingles -> array<struct(h1,h2)> (ONE md5 per shingle).
+
+    Keep this as its OWN projected column before fanning out to k
+    signature lambdas: Catalyst inlines column expressions into every
+    consumer, so computing it inside minhash_from_hashes would run md5
+    k times per shingle (measured 50x slowdown)."""
+    md5s = F.transform(grams, lambda g: F.md5(g))
+    return F.transform(
+        md5s,
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 12), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 13, 12), 16, 10).cast("long").alias("h2"),
         ),
     )
+
+
+def minhash_from_hashes(hashes: Column, k: int = 32) -> Column:
+    """array<struct(h1,h2)> -> k-element signature (cheap arithmetic)."""
     return F.array(
         *[
             F.array_min(
                 F.transform(
-                    hashed,
-                    lambda s: F.pmod(
-                        s["h1"] + F.lit(i) * s["h2"], F.lit(MINHASH_MOD)
-                    ),
+                    hashes,
+                    lambda s: F.pmod(s["h1"] + F.lit(i) * s["h2"], F.lit(MINHASH_MOD)),
                 )
             )
             for i in range(k)
@@ -139,10 +179,35 @@ def minhash_lsh_pairs(
     (1-(1-s^r)^b); tested against the exact pairs in pytest.
     """
     r = k // bands
-    d = (
-        docs.select("doc_id", word_ngrams(F.col("text"), n).alias("grams"))
+    spark = docs.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    grams = (
+        # repartition the RAW docs first: otherwise the (interpreted,
+        # per-element) n-gram lambdas execute inside the single-file
+        # scan stage on one core — the exchange must precede the compute
+        with_ngrams(docs.repartition(n_part, "doc_id"), n)
+        .select("doc_id", "grams")
         .filter(F.size("grams") > 0)
-        .withColumn("sig", minhash_signature(F.col("grams"), k))
+    )
+    # signature via explode + groupBy-min: one md5 per (doc, shingle)
+    # row, k cheap min-aggregates with map-side partial agg. (The
+    # array-lambda formulation compiles a huge nested expression tree —
+    # ~10s of Catalyst/codegen per query — and re-inlines the md5 into
+    # every lambda; this shape is both fast to plan and scalable.)
+    tok = grams.select("doc_id", F.explode("grams").alias("g"))
+    m = F.md5(F.col("g"))
+    hashed = tok.select(
+        "doc_id",
+        F.conv(F.substring(m, 1, 12), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(m, 13, 12), 16, 10).cast("long").alias("h2"),
+    )
+    sig_cols = [
+        F.min(F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), F.lit(MINHASH_MOD))).alias(f"m{i}")
+        for i in range(k)
+    ]
+    sigs = hashed.groupBy("doc_id").agg(*sig_cols)
+    d = grams.join(sigs, "doc_id").select(
+        "doc_id", "grams", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
     )
     banded = d.select(
         "doc_id",
