@@ -343,10 +343,10 @@ def throttle_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _THROTTLE_AUDIT_SQL = """
 SELECT user_id,
-       date_trunc('day', ts) AS window_start,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
        CAST(count(*) AS BIGINT) AS n
 FROM events
-GROUP BY user_id, date_trunc('day', ts)
+GROUP BY date_trunc('day', ts), user_id
 HAVING count(*) > 3
 """
 
