@@ -725,6 +725,41 @@ _REGISTRY["simhash_signatures"] = (
 )
 
 
+def _simhash_pairs_sql(max_hamming: int = 3, bands: int = 4) -> str:
+    from logpipe.traindata.dedup import SIMHASH_BITS
+
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    sig_sql = _simhash_sql().strip()
+    union = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * width}) & {mask} AS chunk FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH sigs AS ({sig_sql}), banded AS ({union}), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+@register("simhash_near_dups", None)
+def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.traindata.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=3, bands=4)
+
+
+_REGISTRY["simhash_near_dups"] = (
+    _REGISTRY["simhash_near_dups"][0],
+    _simhash_pairs_sql(),
+)
+
+
 # --- similarity search ----------------------------------------------------
 
 _COSINE_TOPK_SQL = """

@@ -108,3 +108,12 @@ def read_cri_logs(spark: SparkSession, path: str, conv_from_file: bool = True) -
         F.col("file"),
         F.regexp_extract("line", CRI_RE, 3).alias("logtag"),
     )
+
+
+def ignore_older(df: DataFrame, cutoff, ts_col: str = "ts") -> DataFrame:
+    """`ignore_older 5m` (conf/eci/fluent-bit.conf:18): drop records
+    older than the cutoff. The reference skips stale files at tail
+    start; the batch analog is an event-time predicate, which Catalyst
+    pushes into the scan (partition pruning on ts-partitioned tables).
+    """
+    return df.filter(F.col(ts_col) >= F.lit(cutoff))

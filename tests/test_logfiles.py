@@ -74,3 +74,14 @@ def test_multiline_stitch_on_reference_fixtures(spark):
         expected = _expected_groups(texts)
         assert [r["text"] for r in stitched] == expected
         assert sum(r["n_lines"] for r in stitched) == len(texts)
+
+
+def test_ignore_older(spark, transcripts):
+    from datetime import datetime
+
+    from logpipe.sources.logfiles import ignore_older
+
+    cutoff = datetime(2024, 1, 1, 12, 0, 0)
+    kept = ignore_older(transcripts, cutoff)
+    assert kept.count() == transcripts.filter(F.col("ts") >= F.lit(cutoff)).count()
+    assert kept.filter(F.col("ts") < F.lit(cutoff)).count() == 0
