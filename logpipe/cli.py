@@ -1,9 +1,10 @@
 """spark-submit entry point (north rule: ships as --py-files package).
 
-Usage:
-  spark-submit --py-files logpipe.zip -m logpipe.cli \\
+Usage (cluster; see scripts/package.sh for the zip):
+  spark-submit --py-files dist/logpipe.zip logpipe/cli.py \\
       --transcripts <path> --k8s-meta <path> --tool-meta <path> \\
       --out <path> --manifest <path> [--buckets 4096] [--synth N]
+Local: PYTHONPATH=. python -m logpipe.cli --synth 100000 ...
 
 With --synth N the input is generated deterministically (smoke/bench
 runs); otherwise the three parquet paths are read. The job is

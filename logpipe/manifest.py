@@ -92,9 +92,27 @@ def run_resumable(
     ``max_buckets`` limits how many incomplete buckets to process this
     invocation (used by tests to simulate a mid-job crash).
     """
+    from pyspark.sql import Observation
+
     from logpipe.plans.pipeline import run_pipeline
 
     manifest = Manifest(manifest_dir)
+    # the bucketing function is part of the checkpoint's identity:
+    # resuming with a different n_buckets would skip units whose conv
+    # sets were computed under the old modulus (rows lost + duplicated)
+    meta_path = os.path.join(manifest_dir, "_meta")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            recorded = json.load(f)["n_buckets"]
+        if recorded != n_buckets:
+            raise ValueError(
+                f"manifest at {manifest_dir} was created with n_buckets="
+                f"{recorded}; refusing to resume with n_buckets={n_buckets}"
+            )
+    else:
+        with open(meta_path, "w") as f:
+            json.dump({"n_buckets": n_buckets}, f)
+
     done_this_run = 0
     for b in range(n_buckets):
         unit = f"bucket-{b:05d}"
@@ -104,10 +122,13 @@ def run_resumable(
             break
         t0 = time.perf_counter()
         part = transcripts.filter(bucket_of(F.col("conv_id"), n_buckets) == b)
-        rows_in = part.count()
+        # rows_in observed during the write pass — no separate count scan
+        obs = Observation(f"rows_in_{b}")
+        part = part.observe(obs, F.count(F.lit(1)).alias("rows_in"))
         out = run_pipeline(part, k8s_meta, tool_meta)
         path = f"{out_base}/bucket={b}"
         out.write.mode("overwrite").partitionBy("sink").parquet(path)
+        rows_in = obs.get["rows_in"]
         counts = (
             spark.read.parquet(path)
             .groupBy("sink")
@@ -121,6 +142,7 @@ def run_resumable(
             unit,
             {
                 "bucket": b,
+                "n_buckets": n_buckets,
                 "path": path,
                 "rows_in": rows_in,
                 "sinks": {

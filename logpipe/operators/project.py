@@ -51,15 +51,21 @@ def event_size(df: DataFrame) -> DataFrame:
     """O5 Size() accounting (out_erda/sender.go:26-32): per-event byte
     size = len(content)+len(id)+len(source)+len(stream)+Σ(len(k)+len(v))
     over tags."""
+    # octet_length: Go len() counts BYTES; length() counts chars and
+    # undercounts multibyte UTF-8
     tag_bytes = F.coalesce(
         F.aggregate(
             F.map_entries(F.col("tags")),
             F.lit(0),
-            lambda acc, e: acc + F.length(e.key) + F.length(e.value),
+            lambda acc, e: acc + F.octet_length(e.key) + F.octet_length(e.value),
         ),
         F.lit(0),
     )
     return df.withColumn(
         "event_bytes",
-        F.length("content") + F.length("id") + F.length("source") + F.length("stream") + tag_bytes,
+        F.octet_length("content")
+        + F.octet_length("id")
+        + F.octet_length("source")
+        + F.octet_length("stream")
+        + tag_bytes,
     )

@@ -33,12 +33,19 @@ SINK_EXPORT = "export"        # out_erda dynamic-URL sink    (conf/ds/fluent-bit
 def sink_array(collector_label: Column, define_tag: Column) -> Column:
     """Destination sinks for one row, preserving reference semantics.
 
-    - collector label matches `.+`  => export copy (keep=true, F12 rule 1)
-    - define_tag matches `.+`       => job replaces container (keep=false,
+    - collector label present       => export copy (keep=true, F12 rule 1)
+    - define_tag present            => job replaces container (keep=false,
       F12 rule 2); otherwise the original lands in container.
+
+    'Present' = non-null, non-empty (reshape.nonempty) — semantically
+    the reference's `.+` rule test; we deliberately do NOT use a regex
+    here (a per-row regex for a presence check, and Onig `.+` would
+    technically fail a value of just "\\n" — an impossible label).
     """
-    has_export = collector_label.isNotNull() & collector_label.rlike(".+")
-    has_job = define_tag.isNotNull() & define_tag.rlike(".+")
+    from logpipe.operators.reshape import nonempty
+
+    has_export = nonempty(collector_label)
+    has_job = nonempty(define_tag)
     export_part = F.when(has_export, F.array(F.lit(SINK_EXPORT))).otherwise(
         F.array().cast("array<string>")
     )

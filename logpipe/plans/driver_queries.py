@@ -327,14 +327,16 @@ FROM numbered WHERE rn <= 3 GROUP BY user_id
 def throttle_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drop-mode throttle: keep first `rate` records per (key, window).
 
-    The reference's retain=false path (throttle.c:98-107) as a
-    row_number frame; rate=3/hour here so the small SFs actually drop.
+    The reference's retain=false path (throttle.c:98-107); rate=3/day
+    here so the small SFs actually drop. Uses the shipped operator so
+    the oracle gates operators/throttle.py itself.
     """
+    from logpipe.operators.throttle import throttle_drop as op_drop
+
     ev = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id", F.date_trunc("day", F.col("ts"))).orderBy(
-        "event_id"
+    kept = op_drop(
+        ev, rate=3, key="user_id", ts_col="ts", order_col="event_id", bucket="day"
     )
-    kept = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
     return kept.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("kept"),
         F.min("event_id").cast("long").alias("first_event"),
@@ -354,13 +356,12 @@ HAVING count(*) > 3
 @register("throttle_audit", _THROTTLE_AUDIT_SQL)
 def throttle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audit aggregate: windows exceeding the rate (retain=true mode
-    keeps rows, so correctness-wise throttling is an audit metric)."""
+    keeps rows, so correctness-wise throttling is an audit metric).
+    Uses the shipped operator so the oracle gates it directly."""
+    from logpipe.operators.throttle import throttle_audit as op_audit
+
     ev = load_events(spark, sf_dir)
-    return (
-        ev.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("window_start"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 3)
-    )
+    return op_audit(ev, rate=3, key="user_id", ts_col="ts", bucket="day")
 
 
 # ---------------------------------------------------------------------------
@@ -473,7 +474,7 @@ _WORDS_SQL = (
 _TOKEN_COUNT_SQL = f"""
 SELECT doc_id,
        CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens,
-       CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]'), x -> x <> '')) AS BIGINT) AS n_bpe_ish
+       CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'), x -> x <> '')) AS BIGINT) AS n_bpe_ish
 FROM documents
 """
 

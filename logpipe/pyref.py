@@ -8,6 +8,7 @@ itself. Used only by tests; never in the hot path.
 
 from __future__ import annotations
 
+import calendar
 import re
 from typing import Any
 
@@ -86,7 +87,11 @@ def process_row(
         labels["monitor_log_collector"] = meta["monitor_log_collector"]
 
     stream = "stderr" if row.get("role") in ("tool", "system") else "stdout"
-    ts_nanos = int(row["ts"].timestamp() * 1_000_000) * 1000
+    # integer math: float .timestamp()*1e6 can truncate 1us low near ulp
+    ts = row["ts"]
+    ts_nanos = (
+        calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
+    ) * 1000
 
     sinks = []
     if labels.get("monitor_log_collector"):

@@ -103,8 +103,12 @@ def streaming_stitch(stream: DataFrame, firstline_re: str):
         open_turn, open_lines = (state.get if state.exists else (None, []))
         open_lines = list(open_lines)
         out = []
-        for pdf in pdfs:
-            for _, row in pdf.sort_values("turn_idx").iterrows():
+        # one sort over the WHOLE micro-batch group: Arrow may deliver a
+        # group as several chunks, and per-chunk sorting would stitch
+        # later-chunk turns into whatever group the last chunk left open
+        batch = pd.concat(list(pdfs)) if pdfs is not None else pd.DataFrame()
+        if len(batch):
+            for _, row in batch.sort_values("turn_idx").iterrows():
                 text = row["text"] or ""
                 if pat.match(text) and open_lines:
                     out.append(

@@ -1,10 +1,11 @@
 #!/usr/bin/env bash
 # Build the spark-submit --py-files artifact.
 #   ./scripts/package.sh  ->  dist/logpipe.zip
-# Run on a cluster:
+# Run on a cluster (logpipe/cli.py is the driver script; the zip makes
+# the package importable on executors):
 #   spark-submit --py-files dist/logpipe.zip \
 #     --conf spark.sql.adaptive.enabled=true \
-#     cluster_entry.py --transcripts ... --out ... --manifest ...
+#     logpipe/cli.py --transcripts ... --out ... --manifest ...
 set -euo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p dist

@@ -66,3 +66,22 @@ def test_rerun_is_noop(spark, transcripts, k8s_meta, tool_meta, tmp_path):
     run_resumable(spark, transcripts, k8s_meta, tool_meta, out_base, mdir, n_buckets=4)
     after = Manifest(mdir).entries()
     assert before == after  # nothing reprocessed, nothing duplicated
+
+
+def test_resume_refuses_bucket_count_change(
+    spark, transcripts, k8s_meta, tool_meta, tmp_path
+):
+    """Resuming under a different modulus would skip units computed
+    under the old conv->bucket mapping (silent loss + duplication)."""
+    import pytest
+
+    out_base = str(tmp_path / "out")
+    mdir = str(tmp_path / "manifest")
+    run_resumable(
+        spark, transcripts, k8s_meta, tool_meta, out_base, mdir,
+        n_buckets=8, max_buckets=2,
+    )
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_resumable(
+            spark, transcripts, k8s_meta, tool_meta, out_base, mdir, n_buckets=16
+        )

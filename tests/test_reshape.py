@@ -55,15 +55,18 @@ def test_map_nest_lift_remove(spark):
 
 
 def test_event_size_accounting(spark):
-    """O5 Size(): content+id+source+stream+Σ(tag k+v) bytes
-    (out_erda/sender.go:26-32)."""
+    """O5 Size(): content+id+source+stream+Σ(tag k+v) BYTES — Go len()
+    semantics (out_erda/sender.go:26-32), so multibyte UTF-8 counts by
+    encoded length."""
+    content = "hello 世界"  # 6 ascii + 2 CJK chars = 12 utf-8 bytes
     df = spark.createDataFrame(
-        [("container", "id1", "stdout", "hello", {"k1": "v1", "key2": "val2"})],
+        [("container", "id1", "stdout", content, {"k1": "v1", "kéy2": "väl2"})],
         "source string, id string, stream string, content string, tags map<string,string>",
     )
     got = event_size(df).first()["event_bytes"]
-    assert got == len("container") + len("id1") + len("stdout") + len("hello") + (
-        len("k1") + len("v1") + len("key2") + len("val2")
+    blen = lambda s: len(s.encode("utf-8"))
+    assert got == blen("container") + blen("id1") + blen("stdout") + blen(content) + (
+        blen("k1") + blen("v1") + blen("kéy2") + blen("väl2")
     )
 
 

@@ -101,3 +101,53 @@ def test_streaming_stitch_across_batches(spark, tmp_path):
         "2024-01-01 00:00:00 ERROR boom\n\tat Frame.one\n\tat Frame.two",
         3,
     )
+
+
+def test_streaming_stitch_multi_chunk_batch(spark, tmp_path):
+    """A group whose micro-batch arrives as MANY Arrow chunks (forced
+    via maxRecordsPerBatch=1) must still stitch in turn order — the
+    sort has to span the whole batch, not each chunk."""
+    rows = [
+        ("c1", 5, "user", "2024-01-01 00:00:05 ERROR later", None, None),
+        ("c1", 1, "user", "2024-01-01 00:00:01 ERROR first", None, None),
+        ("c1", 2, "user", "\tat Frame.cont", None, None),
+        ("c1", 9, "user", "2024-01-01 00:00:09 INFO done", None, None),
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(inp)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        stream = spark.readStream.schema(schema).parquet(inp)
+        out = str(tmp_path / "stitched")
+        q = (
+            streaming_stitch(stream, FIRSTLINE_RE)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        import time
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 2:
+                    break
+            except Exception:
+                pass
+            time.sleep(2)
+        q.stop()
+        q.awaitTermination(60)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = {r["turn_idx"]: r["text"] for r in spark.read.parquet(out).collect()}
+    # turn 1 + its continuation close when turn 5 starts; turn 5 closes
+    # when turn 9 starts — regardless of chunking
+    assert got.get(1) == "2024-01-01 00:00:01 ERROR first\n\tat Frame.cont"
+    assert got.get(5) == "2024-01-01 00:00:05 ERROR later"
