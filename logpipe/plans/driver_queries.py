@@ -815,3 +815,95 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_topk(emb, query_ids=list(range(8)), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Operator-direct gates: stitch_multiline (F3) and event_size (O5)
+# ---------------------------------------------------------------------------
+
+# half the props lines count as 'firstline' -> real group mixing
+_STITCH_OP_RE = '^\\{"k": [0-4]'
+
+_STITCH_OP_SQL = f"""
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id AS INT) AS turn_idx,
+         props AS text
+  FROM events
+), marked AS (
+  SELECT conv_id, turn_idx, text,
+         CAST(sum(CASE WHEN regexp_matches(text, '{_STITCH_OP_RE}') THEN 1 ELSE 0 END)
+              OVER (PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+  FROM t
+)
+SELECT conv_id, grp,
+       CAST(min(turn_idx) AS INT) AS turn_idx,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+       CAST(count(*) AS INT) AS n_lines
+FROM marked GROUP BY conv_id, grp
+"""
+
+
+@register("multiline_stitch_operator", _STITCH_OP_SQL)
+def multiline_stitch_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates operators/stitch.py::stitch_multiline itself (the
+    `multiline_stitch` query checks the windowing pattern; this one
+    runs the shipped operator end-to-end)."""
+    from logpipe.operators.stitch import stitch_multiline
+
+    ev = load_events(spark, sf_dir)
+    t = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("props").alias("text"),
+        F.lit("user").alias("role"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+    )
+    out = stitch_multiline(t, firstline_re=_STITCH_OP_RE)
+    return out.select("conv_id", "grp", "turn_idx", "text", "n_lines")
+
+
+_EVENT_SIZE_SQL = """
+WITH t AS (
+  SELECT user_id, substring(props, 1, 51200) AS content,
+         CASE WHEN user_id % 7 <> 0 THEN md5('docker-' || CAST(user_id AS VARCHAR)) END AS docker_id,
+         CASE WHEN event_type = 'purchase' AND (user_id % 16) % 4 <> 3
+              THEN md5('cid-tool-' || CAST(user_id % 16 AS VARCHAR)) END AS tool_cid,
+         (user_id % 5 = 0 OR user_id % 10 = 7) AS has_export,
+         (user_id % 10 IN (3, 7)) AS has_job,
+         'job-' || CAST(user_id AS VARCHAR) AS define_tag
+  FROM events WHERE props IS NOT NULL AND length(props) > 0
+), s AS (
+  SELECT 'export' AS sink, content, coalesce(docker_id, tool_cid, '') AS id,
+         'container' AS source FROM t WHERE has_export
+  UNION ALL
+  SELECT CASE WHEN has_job THEN 'job' ELSE 'container' END AS sink, content,
+         CASE WHEN has_job THEN define_tag ELSE coalesce(docker_id, tool_cid, '') END AS id,
+         CASE WHEN has_job THEN 'job' ELSE 'container' END AS source
+  FROM t
+)
+SELECT sink,
+       CAST(sum(strlen(content) + strlen(id)
+              + strlen(source) + strlen('stdout')) AS BIGINT)
+         AS scalar_bytes
+FROM s GROUP BY sink
+"""
+
+
+@register("event_size_accounting", _EVENT_SIZE_SQL)
+def event_size_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 Size() (out_erda/sender.go:26-32): per-sink byte totals over
+    the scalar LogEvent fields (tag bytes excluded here — tags carry
+    md5/collector salts the SQL side reproduces via flagship instead)."""
+    from logpipe.operators.project import event_size
+
+    ev = load_events(spark, sf_dir)
+    out = run_pipeline(
+        events_as_transcripts(ev), events_k8s_meta(ev), events_tool_meta(ev)
+    )
+    sized = event_size(out.withColumn("tags", F.from_json(F.lit("{}"), "map<string,string>")))
+    return sized.groupBy("sink").agg(
+        F.sum("event_bytes").cast("long").alias("scalar_bytes")
+    )
