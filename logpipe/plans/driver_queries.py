@@ -907,3 +907,38 @@ def event_size_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sized.groupBy("sink").agg(
         F.sum("event_bytes").cast("long").alias("scalar_bytes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function layer (helps.go/remote.go utilities)
+# ---------------------------------------------------------------------------
+
+_SCALAR_FN_SQL = """
+SELECT event_id,
+       'Basic ' || to_base64(encode('user-' || CAST(user_id AS VARCHAR)
+                                    || ':' || md5(props))) AS auth,
+       regexp_replace('http://collector-' || CAST(user_id % 4 AS VARCHAR) || '///',
+                      '/+$', '') || '/' ||
+       regexp_replace('//collect/logs/' || event_type, '^/+', '') AS url
+FROM events
+"""
+
+
+@register("scalar_functions", _SCALAR_FN_SQL)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """basic-auth base64 (helps.go:73-76) + URL host/path join with
+    slash normalization (remote.go:164-166, remote_test.go:65-91)."""
+    from logpipe.functions import basic_auth_header, host_join_path
+
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        basic_auth_header(
+            F.concat(F.lit("user-"), F.col("user_id").cast("string")),
+            F.md5(F.col("props")),
+        ).alias("auth"),
+        host_join_path(
+            F.concat(F.lit("http://collector-"), (F.col("user_id") % 4).cast("string"), F.lit("///")),
+            F.concat(F.lit("//collect/logs/"), F.col("event_type")),
+        ).alias("url"),
+    )

@@ -83,3 +83,34 @@ def test_scan_pushdown(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(k), EqualTo(k,3)]" in plan
     assert "junk" not in plan.split("ReadSchema")[1][:200]
     assert "*(1)" in plan  # whole-stage-codegen stage marker
+
+
+def test_scalar_functions(spark):
+    """helps.go/remote.go utilities: auth header + URL join slash
+    normalization (remote_test.go:65-91 table cases)."""
+    import base64
+
+    from logpipe.functions import basic_auth_header, host_join_path
+
+    df = spark.createDataFrame(
+        [("http://h//", "//p/x"), ("http://h", "p"), ("http://h/", "/p")],
+        "host string, path string",
+    )
+    rows = df.select(
+        host_join_path(F.col("host"), F.col("path")).alias("u"),
+        basic_auth_header(F.lit("u"), F.lit("p")).alias("a"),
+    ).collect()
+    assert [r["u"] for r in rows] == ["http://h/p/x", "http://h/p", "http://h/p"]
+    assert rows[0]["a"] == "Basic " + base64.b64encode(b"u:p").decode()
+
+
+def test_dummy_source(spark):
+    from logpipe.sources.dummy import dummy_source
+
+    rec = {"log": "hello dummy", "stream": "stderr"}
+    df = dummy_source(spark, rec, n=5, tag="eci-log")
+    rows = df.orderBy("turn_idx").collect()
+    assert len(rows) == 5
+    assert all(r["text"] == "hello dummy" and r["role"] == "stderr" for r in rows)
+    assert [r["turn_idx"] for r in rows] == list(range(5))
+    assert rows[0]["conv_id"] == "eci-log"
