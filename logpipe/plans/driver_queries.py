@@ -942,3 +942,11 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("//collect/logs/"), F.col("event_type")),
         ).alias("url"),
     )
+
+
+@register("ann_ivf_topk", None)  # probabilistic recall: rows-only check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.traindata.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, query_ids=list(range(8)), k=5, n_centroids=16, n_probe=4)

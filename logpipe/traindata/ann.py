@@ -192,3 +192,78 @@ def lsh_topk(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_assign(emb: DataFrame, n_centroids: int = 16) -> tuple[DataFrame, DataFrame]:
+    """IVF index build: deterministic centroids (the n_centroids vectors
+    with the lowest md5-of-id — a seedless reproducible sample), every
+    vector assigned to its nearest centroid by cosine.
+
+    Returns (assigned, centroids): assigned = emb + `cell` column.
+    At scale: centroids broadcast; assignment is one scan + per-row
+    argmax over n_centroids dot products — no shuffle.
+    """
+    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    cents = (
+        with_norm(emb)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_centroids)
+        .select(
+            F.col("_r").alias("cell"),
+            F.col("embedding").alias("c_emb"),
+            F.col("_norm").alias("c_norm"),
+        )
+    )
+    base = with_norm(emb)
+    scored = base.join(F.broadcast(cents))
+    cos = dot(F.col("embedding"), F.col("c_emb")) / (F.col("_norm") * F.col("c_norm"))
+    w2 = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("cell"))
+    assigned = (
+        scored.withColumn("_cos", cos)
+        .withColumn("_rk", F.row_number().over(w2))
+        .filter(F.col("_rk") == 1)
+        .select("vec_id", "embedding", "_norm", "cell")
+    )
+    return assigned, cents
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: probe the query's n_probe nearest cells,
+    exact cosine re-rank inside them. Scans ~n_probe/n_centroids of the
+    corpus per query instead of all of it; recall grows with n_probe
+    (tested vs cosine_topk)."""
+    assigned, cents = ivf_assign(emb, n_centroids)
+    q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+    )
+    # per query: its n_probe nearest centroids
+    qc = q.join(F.broadcast(cents))
+    qcos = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("_qc").desc(), F.col("cell"))
+    probes = (
+        qc.withColumn("_qc", qcos)
+        .withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= n_probe)
+        .select("query_id", "q_emb", "q_norm", F.col("cell").alias("p_cell"))
+    )
+    cand = assigned.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("p_cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "q_emb", "q_norm", "vec_id", "embedding", "_norm")
+    cos = F.round(
+        dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("_norm")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -131,3 +131,26 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         resize_image(media, 64, 64)
+
+
+def test_ivf_topk_recall(spark, emb):
+    """IVF probes a fraction of the corpus; recall@5 vs exact must be
+    substantial with n_probe=4/16 cells, and the re-ranked cosines are
+    exact."""
+    from logpipe.traindata.ann import cosine_topk, ivf_assign, ivf_topk
+
+    assigned, cents = ivf_assign(emb, n_centroids=16)
+    assert cents.count() == 16
+    assert assigned.count() == emb.count()  # every vector in exactly one cell
+
+    qids = list(range(8))
+    exact = cosine_topk(emb, query_ids=qids, k=5).collect()
+    approx = ivf_topk(emb, query_ids=qids, k=5, n_centroids=16, n_probe=4).collect()
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert len(a & e) / len(e) >= 0.3
+    ec = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ec:
+            assert ec[key] == r["cosine"]
