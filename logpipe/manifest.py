@@ -110,8 +110,10 @@ def run_resumable(
                 f"{recorded}; refusing to resume with n_buckets={n_buckets}"
             )
     else:
-        with open(meta_path, "w") as f:
+        tmp = meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
             json.dump({"n_buckets": n_buckets}, f)
+        os.replace(tmp, meta_path)  # atomic, like Manifest.record
 
     done_this_run = 0
     for b in range(n_buckets):

@@ -61,18 +61,28 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 1. Flagship: full pipeline route + per-sink counts (SURVEY §3.1, F12/F13)
 # ---------------------------------------------------------------------------
 
-_FLAGSHIP_SQL = """
-WITH t AS (
-  SELECT user_id, substring(props, 1, 51200) AS content
+# shared oracle model of sources/events.py's enrichment derivation —
+# ONE definition so the routing/identity modulus rules can't drift
+# between the flagship / LogEvent / Size() oracles
+_EVENTS_BASE_CTE = """
+  SELECT user_id, event_id, event_type,
+         substring(props, 1, 51200) AS content,
+         epoch_ns(ts) AS ts_nanos,
+         CASE WHEN user_id % 7 <> 0 THEN md5('docker-' || CAST(user_id AS VARCHAR)) END AS docker_id,
+         CASE WHEN event_type = 'purchase' AND (user_id % 16) % 4 <> 3
+              THEN md5('cid-tool-' || CAST(user_id % 16 AS VARCHAR)) END AS tool_cid,
+         (user_id % 5 = 0 OR user_id % 10 = 7) AS has_export,
+         (user_id % 10 IN (3, 7)) AS has_job,
+         'job-' || CAST(user_id AS VARCHAR) AS define_tag
   FROM events
   WHERE props IS NOT NULL AND length(props) > 0
-), s AS (
-  SELECT 'export' AS sink, content FROM t
-  WHERE (user_id % 5 = 0 OR user_id % 10 = 7)
+"""
+
+_FLAGSHIP_SQL = f"""
+WITH t AS ({_EVENTS_BASE_CTE}), s AS (
+  SELECT 'export' AS sink, content FROM t WHERE has_export
   UNION ALL
-  SELECT CASE WHEN user_id % 10 IN (3, 7) THEN 'job' ELSE 'container' END AS sink,
-         content
-  FROM t
+  SELECT CASE WHEN has_job THEN 'job' ELSE 'container' END AS sink, content FROM t
 )
 SELECT sink,
        CAST(count(*) AS BIGINT) AS n_rows,
@@ -97,20 +107,8 @@ def flagship_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2. LogEvent projection (O4, out_erda/outerda.go:73-118) — scalar fields
 # ---------------------------------------------------------------------------
 
-_LOG_EVENT_SQL = """
-WITH t AS (
-  SELECT user_id, event_id, event_type,
-         substring(props, 1, 51200) AS content,
-         epoch_ns(ts) AS ts_nanos,
-         CASE WHEN user_id % 7 <> 0 THEN md5('docker-' || CAST(user_id AS VARCHAR)) END AS docker_id,
-         CASE WHEN event_type = 'purchase' AND (user_id % 16) % 4 <> 3
-              THEN md5('cid-tool-' || CAST(user_id % 16 AS VARCHAR)) END AS tool_cid,
-         (user_id % 5 = 0 OR user_id % 10 = 7) AS has_export,
-         (user_id % 10 IN (3, 7)) AS has_job,
-         'job-' || CAST(user_id AS VARCHAR) AS define_tag
-  FROM events
-  WHERE props IS NOT NULL AND length(props) > 0
-), r AS (
+_LOG_EVENT_SQL = f"""
+WITH t AS ({_EVENTS_BASE_CTE}), r AS (
   SELECT *, coalesce(docker_id, tool_cid, '') AS rid FROM t
 ), s AS (
   SELECT 'export' AS sink, * FROM r WHERE has_export
@@ -865,17 +863,8 @@ def multiline_stitch_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "grp", "turn_idx", "text", "n_lines")
 
 
-_EVENT_SIZE_SQL = """
-WITH t AS (
-  SELECT user_id, substring(props, 1, 51200) AS content,
-         CASE WHEN user_id % 7 <> 0 THEN md5('docker-' || CAST(user_id AS VARCHAR)) END AS docker_id,
-         CASE WHEN event_type = 'purchase' AND (user_id % 16) % 4 <> 3
-              THEN md5('cid-tool-' || CAST(user_id % 16 AS VARCHAR)) END AS tool_cid,
-         (user_id % 5 = 0 OR user_id % 10 = 7) AS has_export,
-         (user_id % 10 IN (3, 7)) AS has_job,
-         'job-' || CAST(user_id AS VARCHAR) AS define_tag
-  FROM events WHERE props IS NOT NULL AND length(props) > 0
-), s AS (
+_EVENT_SIZE_SQL = f"""
+WITH t AS ({_EVENTS_BASE_CTE}), s AS (
   SELECT 'export' AS sink, content, coalesce(docker_id, tool_cid, '') AS id,
          'container' AS source FROM t WHERE has_export
   UNION ALL

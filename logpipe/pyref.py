@@ -8,7 +8,6 @@ itself. Used only by tests; never in the hot path.
 
 from __future__ import annotations
 
-import calendar
 import re
 from typing import Any
 
@@ -87,11 +86,11 @@ def process_row(
         labels["monitor_log_collector"] = meta["monitor_log_collector"]
 
     stream = "stderr" if row.get("role") in ("tool", "system") else "stdout"
-    # integer math: float .timestamp()*1e6 can truncate 1us low near ulp
+    # whole-second float + exact integer micros: .timestamp()*1e6 in one
+    # float op can truncate 1us low; timegm would mis-shift on non-UTC
+    # hosts (Spark collect() returns naive LOCAL-tz datetimes)
     ts = row["ts"]
-    ts_nanos = (
-        calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
-    ) * 1000
+    ts_nanos = int(ts.replace(microsecond=0).timestamp()) * 10**9 + ts.microsecond * 1000
 
     sinks = []
     if labels.get("monitor_log_collector"):

@@ -194,14 +194,43 @@ def lsh_topk(
     )
 
 
+def _nearest_cell(vec: Column, vnorm: Column, centroids: list[tuple[int, list[float], float]]) -> Column:
+    """argmax cosine over driver-collected centroids as ONE expression:
+    array_max over struct(cos, -cell) picks the best cell (lowest cell
+    id on exact ties), entirely per-row — no join, no shuffle."""
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            vec,
+                            F.array(*[F.lit(x) for x in c_emb]),
+                            lambda x, y: x.cast("double") * y,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    / (vnorm * F.lit(c_norm))
+                ).alias("cos"),
+                F.lit(-cell).alias("neg_cell"),
+            )
+            for cell, c_emb, c_norm in centroids
+        ]
+    )
+    return -F.array_max(scored)["neg_cell"]
+
+
 def ivf_assign(emb: DataFrame, n_centroids: int = 16) -> tuple[DataFrame, DataFrame]:
     """IVF index build: deterministic centroids (the n_centroids vectors
     with the lowest md5-of-id — a seedless reproducible sample), every
     vector assigned to its nearest centroid by cosine.
 
     Returns (assigned, centroids): assigned = emb + `cell` column.
-    At scale: centroids broadcast; assignment is one scan + per-row
-    argmax over n_centroids dot products — no shuffle.
+    The centroid table is tiny and collected to the driver once; the
+    assignment is genuinely one scan with a per-row argmax expression —
+    no join, no row blowup, no shuffle (the previous formulation
+    crossed the corpus with the centroids and windowed on vec_id).
     """
     w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
     cents = (
@@ -214,16 +243,14 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16) -> tuple[DataFrame, DataFr
             F.col("_norm").alias("c_norm"),
         )
     )
+    centroids = [
+        (r["cell"], [float(x) for x in r["c_emb"]], float(r["c_norm"]))
+        for r in cents.collect()
+    ]
     base = with_norm(emb)
-    scored = base.join(F.broadcast(cents))
-    cos = dot(F.col("embedding"), F.col("c_emb")) / (F.col("_norm") * F.col("c_norm"))
-    w2 = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("cell"))
-    assigned = (
-        scored.withColumn("_cos", cos)
-        .withColumn("_rk", F.row_number().over(w2))
-        .filter(F.col("_rk") == 1)
-        .select("vec_id", "embedding", "_norm", "cell")
-    )
+    assigned = base.withColumn(
+        "cell", _nearest_cell(F.col("embedding"), F.col("_norm"), centroids)
+    ).select("vec_id", "embedding", "_norm", "cell")
     return assigned, cents
 
 
@@ -239,7 +266,9 @@ def ivf_topk(
     corpus per query instead of all of it; recall grows with n_probe
     (tested vs cosine_topk)."""
     assigned, cents = ivf_assign(emb, n_centroids)
-    q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+    # queries don't need a cell — take them off the base scan so the
+    # assignment expression isn't evaluated a second time for them
+    q = with_norm(emb).filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("_norm").alias("q_norm"),

@@ -87,13 +87,14 @@ def test_scan_pushdown(spark, tmp_path):
 
 def test_scalar_functions(spark):
     """helps.go/remote.go utilities: auth header + URL join slash
-    normalization (remote_test.go:65-91 table cases)."""
+    normalization (remote_test.go:65-91 table semantics: strings.Trim
+    '/' from both ends of both args)."""
     import base64
 
     from logpipe.functions import basic_auth_header, host_join_path
 
     df = spark.createDataFrame(
-        [("http://h//", "//p/x"), ("http://h", "p"), ("http://h/", "/p")],
+        [("http://h//", "//p/x/"), ("http://h", "p"), ("http://h/", "/p")],
         "host string, path string",
     )
     rows = df.select(
@@ -102,6 +103,39 @@ def test_scalar_functions(spark):
     ).collect()
     assert [r["u"] for r in rows] == ["http://h/p/x", "http://h/p", "http://h/p"]
     assert rows[0]["a"] == "Basic " + base64.b64encode(b"u:p").decode()
+
+    # long credentials: Spark's MIME base64 would CRLF-chunk at 76
+    # chars; Go StdEncoding never does — stripped (header-injection
+    # hazard otherwise)
+    user, pw = "u" * 40, "p" * 40
+    long_auth = (
+        spark.range(1)
+        .select(basic_auth_header(F.lit(user), F.lit(pw)).alias("a"))
+        .first()["a"]
+    )
+    assert long_auth == "Basic " + base64.b64encode(f"{user}:{pw}".encode()).decode()
+    assert "\r" not in long_auth and "\n" not in long_auth
+
+
+def test_rfc3339_to_unix_nanos(spark):
+    """helps.go:52-63: RFC3339Nano with Z and numeric offsets; bad
+    input -> NULL (not a job-killing ANSI parse error)."""
+    from logpipe.functions import rfc3339_to_unix_nanos
+
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01T00:00:00Z",),
+            ("2024-01-01T08:00:00+08:00",),  # same instant as row 1
+            ("2021-08-16T08:25:28.826167874Z",),  # nanos truncate to micros
+            ("not-a-time",),
+        ],
+        "s string",
+    )
+    got = [r["n"] for r in df.select(rfc3339_to_unix_nanos(F.col("s")).alias("n")).collect()]
+    assert got[0] == 1704067200 * 10**9
+    assert got[1] == got[0]
+    assert got[2] == (1629102328 * 10**6 + 826167) * 1000
+    assert got[3] is None
 
 
 def test_dummy_source(spark):
