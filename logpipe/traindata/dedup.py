@@ -206,12 +206,12 @@ def minhash_lsh_pairs(
         for i in range(k)
     ]
     sigs = hashed.groupBy("doc_id").agg(*sig_cols)
-    d = grams.join(sigs, "doc_id").select(
-        "doc_id", "grams", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
-    )
-    banded = d.select(
+    # band WITHOUT the grams payload: the banded frame is exploded
+    # x bands and self-joined, so carrying the shingle arrays through
+    # it would shuffle every doc's grams `bands` times; grams join back
+    # onto the (deduped, tiny) candidate pairs instead
+    banded = sigs.select(
         "doc_id",
-        "grams",
         F.explode(
             F.array(
                 *[
@@ -220,15 +220,14 @@ def minhash_lsh_pairs(
                         # portable bucket key: the band's raw signature
                         # slice (engine-independent string equality)
                         F.concat_ws(",", *[
-                            F.element_at("sig", i * r + j + 1).cast("string")
-                            for j in range(r)
+                            F.col(f"m{i * r + j}").cast("string") for j in range(r)
                         ]).alias("bucket"),
                     )
                     for i in range(bands)
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "grams", "bk.band", "bk.bucket")
+    ).select("doc_id", "bk.band", "bk.bucket")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -242,16 +241,17 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.grams").alias("ga"),
-            F.col("b.grams").alias("gb"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    verified = cand.join(ga, "doc_a").join(gb, "doc_b")
     jac = (
         F.size(F.array_intersect("ga", "gb")).cast("double")
         / F.size(F.array_union("ga", "gb")).cast("double")
     )
-    return cand.select(
+    return verified.select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
 
