@@ -151,3 +151,35 @@ def test_streaming_stitch_multi_chunk_batch(spark, tmp_path):
     # when turn 9 starts — regardless of chunking
     assert got.get(1) == "2024-01-01 00:00:01 ERROR first\n\tat Frame.cont"
     assert got.get(5) == "2024-01-01 00:00:05 ERROR later"
+
+
+def test_pacing_bounds_batch_size(spark, tmp_path):
+    """F1 retain=true (backpressure, not loss): maxFilesPerTrigger
+    paces ingest — with 6 input files and a 2-file cap the stream
+    takes >= 3 micro-batches and still delivers every row exactly once."""
+    from logpipe.operators.throttle import pacing_options
+
+    schema = "conv_id string, turn_idx int, text string"
+    inp = str(tmp_path / "in")
+    rows = [(f"c{i}", i, f"line {i}") for i in range(60)]
+    spark.createDataFrame(rows, schema).repartition(6).write.parquet(inp)
+
+    reader = spark.readStream.schema(schema)
+    for k, v in pacing_options(max_files_per_trigger=2).items():
+        reader = reader.option(k, v)
+    batch_sizes = []
+
+    def record(df, bid):
+        batch_sizes.append(df.count())
+
+    q = (
+        reader.parquet(inp)
+        .writeStream.foreachBatch(record)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sum(batch_sizes) == 60  # nothing dropped (retain semantics)
+    assert len(batch_sizes) >= 3  # ingest actually paced
+    assert max(batch_sizes) <= 2 * 60 // 6 + 20  # bounded per trigger
