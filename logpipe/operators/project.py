@@ -22,11 +22,12 @@ from pyspark.sql import functions as F
 from logpipe.operators.route import SINK_JOB
 
 
-def project_log_event(df: DataFrame) -> DataFrame:
+def project_log_event(df: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Project routed+reshaped rows into the LogEvent output schema.
 
     Expects columns: content, id, stream, ts, tags, labels, sink,
-    define_tag (nullable).
+    define_tag (nullable). ``passthrough`` appends extra lineage
+    columns (e.g. a manifest bucket id) to the otherwise-fixed schema.
     """
     is_job = F.col("sink") == SINK_JOB
     return df.select(

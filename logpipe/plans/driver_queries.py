@@ -807,12 +807,148 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dups(emb, threshold=0.4)
 
 
-@register("ann_lsh_topk", None)  # probabilistic recall: rows-only check
+# --- deterministic DuckDB replays of the hyperplane/IVF ANN paths ---------
+# The planes and the centroid rule are pure functions (math.sin of
+# (seed, plane, coord); lowest-md5(vec_id) sample), so the "approximate"
+# queries are exactly reproducible: the oracle re-runs the SAME banding /
+# probing pipeline in SQL with the planes inlined as double literals
+# (repr() round-trips IEEE doubles bit-exactly through DuckDB's parser).
+
+_EMB_NORM_CTE = """
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)
+"""
+
+
+def _banded_sql(n_planes: int, n_tables: int, dim: int = 64) -> str:
+    """UNION ALL of per-table sign-bit bucket selects over CTE `n`."""
+    from logpipe.traindata.ann import _hyperplanes
+
+    def plane_lit(p: list[float]) -> str:
+        return "[" + ",".join(repr(x) for x in p) + "]"
+
+    selects = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=7 + 13 * t)
+        bucket = " + ".join(
+            f"(CASE WHEN list_dot_product(emb, {plane_lit(p)}) > 0 THEN {2**i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        selects.append(f"SELECT vec_id, {t} AS tbl, {bucket} AS bucket FROM n")
+    return " UNION ALL ".join(selects)
+
+
+def _cosine_lsh_near_dups_sql(
+    threshold: float = 0.4, n_planes: int = 3, n_tables: int = 12
+) -> str:
+    return f"""
+WITH {_EMB_NORM_CTE},
+banded AS ({_banded_sql(n_planes, n_tables)}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+v AS (
+  SELECT c.id_a, c.id_b,
+         round(list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm), 4) AS cosine
+  FROM cand c JOIN n x ON c.id_a = x.vec_id JOIN n y ON c.id_b = y.vec_id
+)
+SELECT id_a, id_b, cosine FROM v WHERE cosine >= {threshold}
+"""
+
+
+@register("cosine_lsh_near_dups", None)  # SQL attached below (needs builder)
+def cosine_lsh_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100TB embedding-dedup path (bucketed; embedding_near_dups is
+    its O(n²) exactness oracle, kept for tests only)."""
+    from logpipe.traindata.ann import cosine_lsh_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_lsh_near_dups(emb, threshold=0.4, n_planes=3, n_tables=12)
+
+
+_REGISTRY["cosine_lsh_near_dups"] = (
+    _REGISTRY["cosine_lsh_near_dups"][0],
+    _cosine_lsh_near_dups_sql(),
+)
+
+
+def _ann_lsh_topk_sql(k: int = 5, n_planes: int = 4, n_tables: int = 4) -> str:
+    qids = ",".join(str(i) for i in range(8))
+    return f"""
+WITH {_EMB_NORM_CTE},
+banded AS ({_banded_sql(n_planes, n_tables)}),
+qb AS (SELECT vec_id AS query_id, tbl, bucket FROM banded WHERE vec_id IN ({qids})),
+cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+  FROM qb q JOIN banded b
+    ON b.tbl = q.tbl AND b.bucket = q.bucket AND b.vec_id <> q.query_id
+),
+c AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_dot_product(qq.emb, nn.emb) / (qq.nrm * nn.nrm), 4) AS cosine
+  FROM cand JOIN n qq ON qq.vec_id = cand.query_id
+            JOIN n nn ON nn.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS "rank"
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn FROM c)
+WHERE rn <= {k}
+"""
+
+
+@register("ann_lsh_topk", None)  # SQL attached below (needs builder)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logpipe.traindata.ann import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_topk(emb, query_ids=list(range(8)), k=5)
+
+
+_REGISTRY["ann_lsh_topk"] = (_REGISTRY["ann_lsh_topk"][0], _ann_lsh_topk_sql())
+
+
+def _ann_ivf_topk_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 4) -> str:
+    qids = ",".join(str(i) for i in range(8))
+    return f"""
+WITH {_EMB_NORM_CTE},
+cents AS (
+  SELECT cell, emb AS cemb, nrm AS cnrm FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell,
+           emb, nrm
+    FROM n
+  ) WHERE cell <= {n_centroids}
+),
+assigned AS (
+  SELECT vec_id, emb, nrm, cell FROM (
+    SELECT n.vec_id, n.emb, n.nrm, c.cell,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY list_dot_product(n.emb, c.cemb) / (n.nrm * c.cnrm) DESC,
+                                       c.cell) AS rn
+    FROM n, cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn FROM n WHERE vec_id IN ({qids})),
+probes AS (
+  SELECT query_id, qe, qn, cell FROM (
+    SELECT q.query_id, q.qe, q.qn, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(q.qe, c.cemb) / (q.qn * c.cnrm) DESC,
+                                       c.cell) AS rn
+    FROM q, cents c
+  ) WHERE rn <= {n_probe}
+),
+c AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_dot_product(p.qe, a.emb) / (p.qn * a.nrm), 4) AS cosine
+  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS "rank"
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn FROM c)
+WHERE rn <= {k}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -933,9 +1069,12 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk", None)  # probabilistic recall: rows-only check
+@register("ann_ivf_topk", None)  # SQL attached below (needs builder)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logpipe.traindata.ann import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ivf_topk(emb, query_ids=list(range(8)), k=5, n_centroids=16, n_probe=4)
+
+
+_REGISTRY["ann_ivf_topk"] = (_REGISTRY["ann_ivf_topk"][0], _ann_ivf_topk_sql())

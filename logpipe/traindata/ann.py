@@ -8,11 +8,18 @@
   onto deterministic hash-derived planes) buckets candidates, exact
   cosine re-rank inside buckets. Sub-linear candidate sets at the cost
   of probabilistic recall (tested vs exact in pytest).
-- cosine_near_dups: threshold variant for embedding-level dedup.
+- cosine_near_dups: exact all-pairs threshold variant — O(n²), the
+  VERIFICATION ORACLE for the bucketed path, not the scale path
+  (mirrors dedup.py's ngram_jaccard_pairs / minhash_lsh_pairs split).
+- cosine_lsh_near_dups: the scale path for embedding-level dedup —
+  multi-table hyperplane buckets -> payload-free candidate join ->
+  exact cosine verify, exactly the MinHash-LSH shape on the text side.
 
 At 100TB: queries broadcast (small), corpus scanned once per batch of
-queries; the LSH variant turns the crossJoin into an equi-join on
-(plane-bucket) — shuffle on a short key, AQE-skew-safe.
+queries; the LSH variants turn the crossJoin into an equi-join on
+(table, plane-bucket) — shuffle on a short key, AQE-skew-safe — and
+every shuffle carries ids + scalars only (embeddings re-join onto the
+tiny candidate set, never ride a wide exchange).
 """
 
 from __future__ import annotations
@@ -81,7 +88,11 @@ def cosine_topk(
 
 def cosine_near_dups(emb: DataFrame, threshold: float = 0.9, modulus: int = 1) -> DataFrame:
     """All pairs with cosine >= threshold (optionally on the vec_id %
-    modulus == 0 subset to bound the quadratic pair count)."""
+    modulus == 0 subset to bound the quadratic pair count).
+
+    O(n²) by construction — this is the exactness oracle that gates
+    cosine_lsh_near_dups (the 100TB path) in tests; do not run it on
+    an unblocked corpus."""
     base = with_norm(emb)
     if modulus > 1:
         base = base.filter(F.col("vec_id") % modulus == 0)
@@ -100,13 +111,30 @@ def cosine_near_dups(emb: DataFrame, threshold: float = 0.9, modulus: int = 1) -
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
-    """Deterministic pseudo-random unit hyperplanes (no RNG state —
-    pure function of (seed, plane, coord) so every executor agrees)."""
+    """Deterministic GAUSSIAN unit hyperplanes — pure function of
+    (seed, plane, coord) so every executor (and the DuckDB oracle,
+    which gets them inlined as literals) agrees.
+
+    Box-Muller over md5-derived uniforms: md5 gives genuinely
+    independent coordinates across planes AND tables. (A previous
+    sin(linear-combination) generator produced planes so correlated
+    across tables that recall plateaued at ~0.56 no matter how many
+    tables were added — measured on sf0.01; md5-Gaussian reaches 1.0
+    recall at r=3, T=12 on the same data.) Gaussian directions make
+    P(sign split) = θ/π exactly, the textbook SimHash/LSH guarantee.
+    """
+    import hashlib
+
     planes = []
     for p in range(n_planes):
-        v = [
-            math.sin(seed * 1000003 + p * 10007 + c * 101) for c in range(dim)
-        ]
+        v: list[float] = []
+        for c in range(0, dim, 2):
+            h = hashlib.md5(f"{seed}:{p}:{c}".encode()).hexdigest()
+            u1 = (int(h[:8], 16) + 1) / (2**32 + 1)
+            u2 = int(h[8:16], 16) / 2**32
+            r = math.sqrt(-2 * math.log(u1))
+            v += [r * math.cos(2 * math.pi * u2), r * math.sin(2 * math.pi * u2)]
+        v = v[:dim]
         n = math.sqrt(sum(x * x for x in v)) or 1.0
         planes.append([x / n for x in v])
     return planes
@@ -129,6 +157,79 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def _banded(emb: DataFrame, n_planes: int, n_tables: int, dim: int) -> DataFrame:
+    """(vec_id, table, bucket) — multi-table hyperplane banding,
+    PAYLOAD-FREE: the banded frame is exploded x n_tables and
+    self-joined, so embeddings must not ride through it (same rule as
+    dedup.py's minhash banding). Embeddings re-join onto the candidate
+    set afterwards."""
+    tables = [_hyperplanes(dim, n_planes, seed=7 + 13 * t) for t in range(n_tables)]
+    return emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        lsh_bucket(F.col("embedding"), tables[t]).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "tb.table", "tb.bucket")
+
+
+def cosine_lsh_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 3,
+    n_tables: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """Scale-path embedding near-dup: bucketed candidates, exact verify.
+
+    The bucketed replacement for cosine_near_dups (which stays as the
+    test oracle): sign-bit hyperplane buckets per table -> candidates =
+    same-(table,bucket) pairs -> dedup ids -> exact cosine re-join ->
+    threshold. Recall for a pair at angle θ is 1-(1-p^r)^T with
+    p = 1-θ/π, r=n_planes, T=n_tables (defaults: ≈0.97 at cosine 0.4);
+    precision is exact (the verify step recomputes true cosine).
+
+    100TB shape: candidates are an equi-join on (table, bucket) — no
+    cross join — and both the banding explode and the candidate dedup
+    shuffle carry only (vec_id, table, bucket) / (id_a, id_b). The
+    embedding arrays touch a shuffle only in the final re-join, sized
+    by the candidate count, not the corpus.
+    """
+    base = with_norm(emb).select("vec_id", "embedding", "_norm")
+    banded = _banded(emb, n_planes, n_tables, dim)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ea = base.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("_norm").alias("na")
+    )
+    eb = base.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col("_norm").alias("nb")
+    )
+    cos = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4)
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -146,6 +247,13 @@ def lsh_topk(
     (recall ≈ 1-(1-p^planes)^tables, p = 1 - θ/π).
 
     Recall < 1 by construction; measured vs cosine_topk in pytest.
+
+    Shuffle discipline: the corpus side (banded + embedding) never
+    shuffles — the candidate join broadcasts the tiny query side, and
+    cosine is computed INSIDE that (narrow) join stage so the only
+    exchange in the plan, the candidate dedup + rank, moves
+    (query_id, neighbor_id, cosine) scalars. A banded duplicate costs
+    one redundant 64-wide dot product instead of shuffling the arrays.
     """
     tables = [
         _hyperplanes(dim, n_planes, seed=7 + 13 * t) for t in range(n_tables)
@@ -171,6 +279,9 @@ def lsh_topk(
         F.col("table").alias("q_table"),
         F.col("bucket").alias("q_bucket"),
     )
+    cos = F.round(
+        dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("_norm")), 4
+    )
     joined = (
         base.join(
             F.broadcast(q),
@@ -178,18 +289,14 @@ def lsh_topk(
             & (F.col("bucket") == F.col("q_bucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", "q_emb", "q_norm", "vec_id", "embedding", "_norm")
-        .dropDuplicates(["query_id", "vec_id"])
-    )
-    cos = F.round(
-        dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("_norm")), 4
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        joined.select(
-            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
-        )
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
@@ -227,26 +334,36 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16) -> tuple[DataFrame, DataFr
     vector assigned to its nearest centroid by cosine.
 
     Returns (assigned, centroids): assigned = emb + `cell` column.
-    The centroid table is tiny and collected to the driver once; the
-    assignment is genuinely one scan with a per-row argmax expression —
-    no join, no row blowup, no shuffle (the previous formulation
-    crossed the corpus with the centroids and windowed on vec_id).
+
+    The centroid pick is orderBy(md5(id), id).limit(n) — Spark compiles
+    that to TakeOrderedAndProject, a per-partition top-n + tree-reduce,
+    so the corpus NEVER funnels through a single-partition exchange
+    (the previous formulation used a global row_number window). Cell
+    ids are assigned driver-side on the n collected rows (md5-hex
+    string order is plain byte order — identical in Python, Spark and
+    DuckDB), and the assignment is one scan with a per-row argmax
+    expression — no join, no row blowup, no shuffle.
     """
-    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-    cents = (
+    import hashlib
+
+    spark = emb.sparkSession
+    rows = (
         with_norm(emb)
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_centroids)
-        .select(
-            F.col("_r").alias("cell"),
-            F.col("embedding").alias("c_emb"),
-            F.col("_norm").alias("c_norm"),
-        )
+        .select("vec_id", "embedding", "_norm")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(n_centroids)
+        .collect()
     )
+    rows.sort(
+        key=lambda r: (hashlib.md5(str(r["vec_id"]).encode()).hexdigest(), r["vec_id"])
+    )  # belt-and-braces: don't rely on collect() preserving TakeOrdered order
     centroids = [
-        (r["cell"], [float(x) for x in r["c_emb"]], float(r["c_norm"]))
-        for r in cents.collect()
+        (i + 1, [float(x) for x in r["embedding"]], float(r["_norm"]))
+        for i, r in enumerate(rows)
     ]
+    cents = spark.createDataFrame(
+        centroids, schema="cell int, c_emb array<double>, c_norm double"
+    )
     base = with_norm(emb)
     assigned = base.withColumn(
         "cell", _nearest_cell(F.col("embedding"), F.col("_norm"), centroids)

@@ -133,6 +133,41 @@ def test_multimodal_plumbing(spark):
         resize_image(media, 64, 64)
 
 
+def test_cosine_lsh_near_dups_vs_exact(spark, emb):
+    """The bucketed (scale-path) embedding near-dup must recover the
+    all-pairs result with high recall and EXACT precision (the verify
+    step recomputes true cosine, so every emitted pair is real and its
+    cosine matches the exact path bit-for-bit)."""
+    from logpipe.traindata.ann import cosine_lsh_near_dups, cosine_near_dups
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_near_dups(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_lsh_near_dups(emb, threshold=0.4, n_planes=3, n_tables=12).collect()
+    }
+    assert exact, "test data must contain near-dup pairs at 0.4"
+    assert set(lsh) <= set(exact)  # exact precision
+    assert len(lsh) / len(exact) >= 0.9  # measured 1.0 on sf0.001/sf0.01
+    for pair, c in lsh.items():
+        assert exact[pair] == c
+
+
+def test_ivf_assign_plan_has_no_global_window(spark, emb):
+    """The centroid pick must not funnel the corpus through one task:
+    no Window operator and no single-partition exchange anywhere in
+    the assignment plan (centroids are TakeOrdered + a 16-row local
+    relation; assignment is a per-row argmax expression)."""
+    from logpipe.traindata.ann import ivf_assign
+
+    assigned, cents = ivf_assign(emb, n_centroids=16)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
 def test_ivf_topk_recall(spark, emb):
     """IVF probes a fraction of the corpus; recall@5 vs exact must be
     substantial with n_probe=4/16 cells, and the re-ranked cosines are
