@@ -7,19 +7,29 @@ equivalent here:
 
 - work is split into deterministic BUCKETS of the input
   (pmod(xxhash64(conv_id), n_buckets) — conv-aligned so every stage,
-  including the stitcher, is self-contained per bucket);
-- each bucket's output directory is written fully, then a manifest
-  entry (one JSON file, atomic tmp+rename) records lineage + metrics:
-  input rows, per-sink output rows/bytes, wall time;
+  including the stitcher, is self-contained per bucket; in the
+  reference one conv IS one tailed file, so this is its file grain);
+- ALL pending buckets are processed in ONE wave: one pipeline pass
+  writing partitionBy(bucket, sink) with dynamic partition overwrite,
+  one input aggregation for per-bucket input rows, one scan of the
+  newly written output for per-bucket/per-sink rows+bytes. Scan count
+  is O(1) per invocation — independent of n_buckets (the previous
+  formulation filtered and rescanned the input once per bucket:
+  256 buckets = 256 full passes at 100TB);
+- then one manifest entry per bucket (one JSON file, atomic
+  tmp+rename) records lineage + metrics: input rows, per-sink output
+  rows/bytes, wave wall time;
 - a re-run SKIPS buckets whose manifest entry exists -> idempotent
-  resume; a bucket that died mid-write is simply overwritten (its
-  entry was never committed). At-least-once task retries + atomic
-  manifest commit = exactly-once visible effects.
+  resume; a bucket that died mid-write is simply overwritten on the
+  next wave (dynamic partition overwrite replaces exactly the
+  re-processed bucket partitions; its entry was never committed).
+  At-least-once task retries + atomic manifest commit = exactly-once
+  visible effects.
 
 At cluster scale the same protocol runs with Iceberg snapshot commits
 instead of directory writes; the manifest then stores snapshot ids.
 On 100TB, n_buckets is sized so one bucket ≈ one executor-wave of
-work (e.g. 4096), and buckets are embarrassingly parallel across jobs.
+work (e.g. 4096), and waves are embarrassingly parallel across jobs.
 """
 
 from __future__ import annotations
@@ -92,8 +102,6 @@ def run_resumable(
     ``max_buckets`` limits how many incomplete buckets to process this
     invocation (used by tests to simulate a mid-job crash).
     """
-    from pyspark.sql import Observation
-
     from logpipe.plans.pipeline import run_pipeline
 
     manifest = Manifest(manifest_dir)
@@ -115,47 +123,71 @@ def run_resumable(
             json.dump({"n_buckets": n_buckets}, f)
         os.replace(tmp, meta_path)  # atomic, like Manifest.record
 
-    done_this_run = 0
-    for b in range(n_buckets):
-        unit = f"bucket-{b:05d}"
-        if manifest.is_done(unit):
-            continue
-        if max_buckets is not None and done_this_run >= max_buckets:
-            break
-        t0 = time.perf_counter()
-        part = transcripts.filter(bucket_of(F.col("conv_id"), n_buckets) == b)
-        # rows_in observed during the write pass — no separate count scan
-        obs = Observation(f"rows_in_{b}")
-        part = part.observe(obs, F.count(F.lit(1)).alias("rows_in"))
-        out = run_pipeline(part, k8s_meta, tool_meta)
-        path = f"{out_base}/bucket={b}"
-        out.write.mode("overwrite").partitionBy("sink").parquet(path)
-        rows_in = obs.get["rows_in"]
-        counts = (
-            spark.read.parquet(path)
-            .groupBy("sink")
+    pending = [
+        b for b in range(n_buckets) if not manifest.is_done(f"bucket-{b:05d}")
+    ]
+    if max_buckets is not None:
+        pending = pending[:max_buckets]
+    if not pending:
+        return manifest
+
+    t0 = time.perf_counter()
+    part = transcripts.withColumn(
+        "bucket", bucket_of(F.col("conv_id"), n_buckets)
+    ).filter(F.col("bucket").isin(pending))
+
+    # per-bucket input rows: one aggregation pass (shuffle key = bucket,
+    # map-side partial agg; NOT one count job per bucket)
+    rows_in = {
+        r["bucket"]: r["n"]
+        for r in part.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    # ONE write pass for the whole wave; dynamic partition overwrite
+    # replaces exactly the bucket/sink partitions this wave produces,
+    # leaving completed buckets' directories untouched (crash-safe:
+    # a partially written bucket has no manifest entry and is rewritten
+    # wholesale when its wave re-runs)
+    out = run_pipeline(part, k8s_meta, tool_meta, passthrough=("bucket",))
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("bucket", "sink").parquet(out_base)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    # per-bucket/per-sink metrics: one scan of the NEWLY written bucket
+    # directories only (verifies what physically landed on disk)
+    written = [b for b in pending if os.path.isdir(f"{out_base}/bucket={b}")]
+    counts: dict[int, dict[str, dict[str, int]]] = {b: {} for b in pending}
+    if written:
+        for r in (
+            spark.read.option("basePath", out_base)
+            .parquet(*[f"{out_base}/bucket={b}" for b in written])
+            .groupBy("bucket", "sink")
             .agg(
                 F.count(F.lit(1)).alias("rows"),
                 F.sum(F.length("content")).alias("content_bytes"),
             )
             .collect()
-        )
+        ):
+            counts[r["bucket"]][r["sink"]] = {
+                "rows": r["rows"],
+                "content_bytes": r["content_bytes"],
+            }
+
+    wall = round(time.perf_counter() - t0, 3)
+    for b in pending:
         manifest.record(
-            unit,
+            f"bucket-{b:05d}",
             {
                 "bucket": b,
                 "n_buckets": n_buckets,
-                "path": path,
-                "rows_in": rows_in,
-                "sinks": {
-                    r["sink"]: {
-                        "rows": r["rows"],
-                        "content_bytes": r["content_bytes"],
-                    }
-                    for r in counts
-                },
-                "wall_sec": round(time.perf_counter() - t0, 3),
+                "path": f"{out_base}/bucket={b}",
+                "rows_in": rows_in.get(b, 0),
+                "sinks": counts[b],
+                "wall_sec": wall,
+                "wave_units": len(pending),
             },
         )
-        done_this_run += 1
     return manifest

@@ -45,6 +45,7 @@ def project_log_event(df: DataFrame, passthrough: tuple[str, ...] = ()) -> DataF
         F.coalesce(F.col("tags"), F.from_json(F.lit("{}"), "map<string,string>")).alias("tags"),
         F.coalesce(F.col("labels"), F.from_json(F.lit("{}"), "map<string,string>")).alias("labels"),
         F.col("sink"),
+        *[F.col(c) for c in passthrough],
     )
 
 

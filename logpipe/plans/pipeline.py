@@ -46,8 +46,13 @@ def run_pipeline(
     tool_meta: DataFrame,
     cluster_name: str = DEFAULT_CLUSTER,
     use_pandas_grok: bool = False,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """transcripts + dims -> routed LogEvent rows (schema.LOG_EVENT)."""
+    """transcripts + dims -> routed LogEvent rows (schema.LOG_EVENT).
+
+    ``passthrough``: extra transcript columns (e.g. a manifest bucket
+    id) carried verbatim onto the output for lineage partitioning.
+    """
     df = transcripts
 
     # S1 Skip_Empty_Lines (conf/ds/docker-runtime.conf:10)
@@ -127,7 +132,7 @@ def run_pipeline(
     df = route(df)
 
     # O4 LogEvent projection; __pri_* (define_tag et al) die here (F9)
-    return project_log_event(df)
+    return project_log_event(df, passthrough=passthrough)
 
 
 def sink_counts(log_events: DataFrame) -> DataFrame:

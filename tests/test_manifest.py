@@ -68,6 +68,33 @@ def test_rerun_is_noop(spark, transcripts, k8s_meta, tool_meta, tmp_path):
     assert before == after  # nothing reprocessed, nothing duplicated
 
 
+def test_wave_job_count_independent_of_buckets(
+    spark, transcripts, k8s_meta, tool_meta, tmp_path
+):
+    """A full run must be O(1) Spark jobs per wave — NOT O(n_buckets)
+    (the per-bucket-rescan formulation ran 3 jobs x n_buckets; at 100TB
+    with 256 buckets that is 256 full input scans). One wave = one
+    input aggregation + one write + one output-metrics scan."""
+    sc = spark.sparkContext
+
+    def jobs_for(n_buckets: int) -> int:
+        group = f"manifest-wave-{n_buckets}"
+        sc.setJobGroup(group, "wave job count probe")
+        try:
+            run_resumable(
+                spark, transcripts, k8s_meta, tool_meta,
+                str(tmp_path / f"out{n_buckets}"), str(tmp_path / f"m{n_buckets}"),
+                n_buckets=n_buckets,
+            )
+        finally:
+            sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    j4, j16 = jobs_for(4), jobs_for(16)
+    assert j16 <= j4 + 1  # constant, not proportional to bucket count
+    assert j16 <= 8
+
+
 def test_resume_refuses_bucket_count_change(
     spark, transcripts, k8s_meta, tool_meta, tmp_path
 ):
