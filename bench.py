@@ -30,8 +30,36 @@ HEADLINE = [
     ("throttle_drop", "noop"),
     ("dedup_exact", "noop"),
     ("minhash_lsh_dups", "noop"),
+    ("minhash_lsh_dups_10x", "noop"),
     ("embedding_cosine_topk", "collect"),
+    ("cosine_lsh_near_dups", "noop"),
 ]
+
+
+def _minhash_10x(spark, sf_dir):
+    """minhash_lsh_dups over a 10x corpus: ten copies of documents with
+    every token salted per copy (disjoint shingle sets — no artificial
+    cross-copy duplicates), so wall-vs-input slope is measurable.
+    Sub-linear growth 1x->10x = the 1x number is dominated by fixed
+    planning/scheduling cost, not by the algorithm."""
+    from pyspark.sql import functions as F
+
+    from logpipe.traindata.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(1_000_000 * i)).alias("doc_id"),
+            F.regexp_replace(
+                F.concat(F.lit(f"c{i}_"), F.col("text")), r"(\s+)", f"$1c{i}_"
+            ).alias("text"),
+        )
+        for i in range(10)
+    ]
+    d10 = parts[0]
+    for p in parts[1:]:
+        d10 = d10.union(p)
+    return minhash_lsh_pairs(d10, n=2, k=32, bands=8, threshold=0.1)
 
 
 def main() -> None:
@@ -42,7 +70,8 @@ def main() -> None:
     from logpipe.session import get_spark
 
     spark = get_spark(app_name="logpipe-bench")
-    qs = driver_queries.queries()
+    qs = dict(driver_queries.queries())
+    qs["minhash_lsh_dups_10x"] = _minhash_10x
 
     # warm the JVM + parquet footer caches with one cheap pass
     spark.read.parquet(f"{sf_dir}/events.parquet").count()

@@ -26,19 +26,31 @@ from pyspark.sql import functions as F
 from logpipe.operators.parse import container_id_from_cpuset
 
 
-def enrich_k8s(df: DataFrame, k8s_meta: DataFrame) -> DataFrame:
-    """F2: broadcast left join of pod/platform metadata on conv_id."""
-    return df.join(F.broadcast(k8s_meta), on="conv_id", how="left")
+def enrich_k8s(df: DataFrame, k8s_meta: DataFrame, use_broadcast: bool = True) -> DataFrame:
+    """F2: broadcast left join of pod/platform metadata on conv_id.
+
+    ``use_broadcast=False`` drops the hard hint so AQE picks the
+    strategy at runtime: broadcast when the built dim is under
+    spark.sql.autoBroadcastJoinThreshold (10MB default), shuffled hash
+    join otherwise — the production setting for dims of unbounded
+    cardinality (the reference caps its kube-meta cache analogously:
+    Buffer_Size 5MB / Kube_Meta_Cache_TTL, conf/ds/fluent-bit.conf:47,58-59).
+    A hard broadcast() of an oversized dim would OOM the executors.
+    """
+    dim = F.broadcast(k8s_meta) if use_broadcast else k8s_meta
+    return df.join(dim, on="conv_id", how="left")
 
 
-def enrich_tool(df: DataFrame, tool_meta: DataFrame) -> DataFrame:
+def enrich_tool(df: DataFrame, tool_meta: DataFrame, use_broadcast: bool = True) -> DataFrame:
     """F4 + P8: broadcast left join of tool->cpuset, then extract the
     container id from the cgroup path (conf/eci/parsers.conf:20-23).
 
     Missing tool or missing dim row => columns null, row unchanged
     (enrich-meta.lua:6-8,14-16: `return -1` keeps the record).
+    ``use_broadcast``: see enrich_k8s.
     """
-    out = df.join(F.broadcast(tool_meta), on="tool", how="left")
+    dim = F.broadcast(tool_meta) if use_broadcast else tool_meta
+    out = df.join(dim, on="tool", how="left")
     return out.withColumn(
         "tool_container_id",
         F.when(F.col("cpuset").isNotNull(), container_id_from_cpuset(F.col("cpuset"))),

@@ -103,6 +103,65 @@ def flagship_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# K8S-Logging.Exclude (conf/ds/fluent-bit.conf:55): annotated pods
+# (uid%25==0 in the dim) opt out of collection entirely — the oracle is
+# the flagship with the exclusion predicate applied at the source
+_K8S_EXCLUDE_SQL = _FLAGSHIP_SQL.replace(
+    "WHERE props IS NOT NULL", "WHERE user_id % 25 <> 0 AND props IS NOT NULL"
+)
+
+
+@register("k8s_exclude_route_counts", _K8S_EXCLUDE_SQL)
+def k8s_exclude_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship with honor_k8s_exclude=True: rows of pods annotated
+    fluentbit.io/exclude are dropped after the enrich join."""
+    ev = load_events(spark, sf_dir)
+    out = run_pipeline(
+        events_as_transcripts(ev), events_k8s_meta(ev), events_tool_meta(ev),
+        honor_k8s_exclude=True,
+    )
+    return out.groupBy("sink").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("content")).alias("content_bytes"),
+    )
+
+
+_MERGE_LOG_SQL = """
+WITH lines AS (
+  SELECT event_id,
+         CASE WHEN event_id % 5 <> 0 THEN props
+              ELSE 'plain ' || props END AS line
+  FROM events
+)
+SELECT event_id,
+       CASE WHEN json_valid(line)
+            THEN (CASE WHEN json_type(line) = 'OBJECT'
+                       THEN json_extract_string(line, '$.k') END)
+       END AS log_processed_k
+FROM lines
+"""
+
+
+@register("merge_log_processed", _MERGE_LOG_SQL)
+def merge_log_processed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 Merge_Log On + Merge_Log_Key log_processed
+    (conf/ds/fluent-bit.conf:52-53): JSON-object log bodies merge into
+    the record as log_processed_* keys; non-JSON bodies (every 5th
+    event here gets a 'plain ' prefix) leave the record untouched."""
+    from logpipe.operators.reshape import build_map
+    from logpipe.plans.dynamic import merge_log
+
+    ev = load_events(spark, sf_dir)
+    line = F.when(F.col("event_id") % 5 != 0, F.col("props")).otherwise(
+        F.concat(F.lit("plain "), F.col("props"))
+    )
+    rec = build_map({"log": line})
+    out = ev.select("event_id", merge_log(rec).alias("rec"))
+    return out.select(
+        "event_id", F.col("rec").getItem("log_processed_k").alias("log_processed_k")
+    )
+
+
 # ---------------------------------------------------------------------------
 # 2. LogEvent projection (O4, out_erda/outerda.go:73-118) — scalar fields
 # ---------------------------------------------------------------------------

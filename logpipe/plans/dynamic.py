@@ -65,6 +65,24 @@ def copy_key(m: Column, src: str, dst: str) -> Column:
     ).otherwise(m)
 
 
+def merge_log(rec: Column, log_key: str = "log", merge_key: str = "log_processed") -> Column:
+    """F2 Merge_Log On + Merge_Log_Key log_processed
+    (conf/ds/fluent-bit.conf:52-53): when the record's log body parses
+    as a JSON object, its keys merge into the record under
+    ``<merge_key>_<k>`` (the flattened form of fluent-bit nesting the
+    parsed map under Merge_Log_Key). A non-JSON / non-object body
+    leaves the record untouched (from_json yields NULL for both).
+
+    Scalar JSON values arrive stringified ("87" for 87) — same as
+    fluent-bit re-encoding msgpack scalars.
+    """
+    parsed = F.from_json(rec.getItem(log_key), "map<string,string>")
+    lifted = F.transform_keys(
+        parsed, lambda k, _: F.concat(F.lit(merge_key + "_"), k)
+    )
+    return F.when(parsed.isNotNull(), F.map_concat(rec, lifted)).otherwise(rec)
+
+
 def run_dynamic_pipeline(
     transcripts: DataFrame,
     k8s_meta: DataFrame,
@@ -102,7 +120,14 @@ def run_dynamic_pipeline(
         ),
     )
 
-    # F2 kubernetes filter: broadcast join, then the metadata arrives as
+    # F2 kubernetes filter, part 1: Merge_Log — JSON log bodies merge
+    # into the record under log_processed_* (:52-53). The merged keys
+    # are plain record keys: not __tags_*, so they survive to the sink
+    # payload in the reference's msgpack but are outside the LogEvent
+    # scalar projection — same end state here.
+    df = df.withColumn("rec", merge_log(F.col("rec")))
+
+    # F2 part 2: broadcast join, then the metadata arrives as
     # a nested map that is LIFTED with the k8s_ prefix (F10,
     # conf/ds/fluent-bit.conf:69-75)
     df = df.join(F.broadcast(k8s_meta), "conv_id", "left")

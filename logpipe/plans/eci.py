@@ -56,8 +56,20 @@ def run_eci_pipeline(
     """transcripts (+ tool dim) -> routed LogEvent rows, ECI flavor."""
     df = transcripts.filter(F.col("text").isNotNull() & (F.length("text") > 0))
 
+    # P2 truncate before everything else (conf/eci/fluent-bit.conf:33-39)
+    df = df.withColumn("text", parse.truncate_log(F.col("text")))
+
+    # F3 multiline stitch (java traces; conf/eci/fluent-bit.conf:41-45)
+    if stitch:
+        df = stitch_multiline(df)
+
     # S3 Path_Key: the tail records its source path; synthesize it the
-    # way the sidecar lays files out (/stdlog/<container>/0.log)
+    # way the sidecar lays files out (/stdlog/<container>/0.log).
+    # Derived AFTER the stitch from the stitcher-preserved `tool` — the
+    # path is a pure function of the container name, so recomputing it
+    # replaces a full-input shuffle join (the previous plan re-joined
+    # the stitched frame against the pre-stitch frame on
+    # (conv_id, turn_idx) just to recover this column).
     df = df.withColumn(
         "log_path",
         F.when(
@@ -65,16 +77,6 @@ def run_eci_pipeline(
             F.concat(F.lit("/stdlog/"), F.col("tool"), F.lit("/0.log")),
         ),
     )
-
-    # P2 truncate before everything else (conf/eci/fluent-bit.conf:33-39)
-    df = df.withColumn("text", parse.truncate_log(F.col("text")))
-
-    # F3 multiline stitch (java traces; conf/eci/fluent-bit.conf:41-45)
-    if stitch:
-        stitched = stitch_multiline(df)
-        df = stitched.join(
-            df.select("conv_id", "turn_idx", "log_path"), ["conv_id", "turn_idx"], "left"
-        )
 
     # P7 log-id: container name from the recorded path
     df = df.withColumn("pri_id", parse.log_id_from_path(F.col("log_path")))

@@ -47,11 +47,21 @@ def run_pipeline(
     cluster_name: str = DEFAULT_CLUSTER,
     use_pandas_grok: bool = False,
     passthrough: tuple[str, ...] = (),
+    honor_k8s_exclude: bool = False,
+    broadcast_dims: bool = True,
 ) -> DataFrame:
     """transcripts + dims -> routed LogEvent rows (schema.LOG_EVENT).
 
     ``passthrough``: extra transcript columns (e.g. a manifest bucket
     id) carried verbatim onto the output for lineage partitioning.
+    ``honor_k8s_exclude``: K8S-Logging.Exclude (conf/ds/fluent-bit.conf:55)
+    — pods annotated fluentbit.io/exclude opt out of collection; the
+    dim carries that as a boolean ``k8s_exclude`` column and annotated
+    rows are dropped right after the enrich join (absent column /
+    NULL = collected, like an un-annotated pod).
+    ``broadcast_dims``: False drops the hard broadcast hints so AQE
+    sizes the dim joins at runtime (see operators.enrich.enrich_k8s) —
+    set this when dim cardinality is unbounded.
     """
     df = transcripts
 
@@ -75,8 +85,10 @@ def run_pipeline(
         ).drop("_g")
 
     # F2 kubernetes enrich + F4 tool (Lua) enrich — broadcast left joins
-    df = enrich_k8s(df, k8s_meta)
-    df = enrich_tool(df, tool_meta)
+    df = enrich_k8s(df, k8s_meta, use_broadcast=broadcast_dims)
+    if honor_k8s_exclude and "k8s_exclude" in df.columns:
+        df = df.filter(~F.coalesce(F.col("k8s_exclude"), F.lit(False)))
+    df = enrich_tool(df, tool_meta, use_broadcast=broadcast_dims)
 
     # F6-F9 compat block (conf/ds/fluent-bit.conf:132-161):
     # rename namespace_name->pod_namespace, docker_id->container_id,

@@ -76,6 +76,10 @@ def events_k8s_meta(events: DataFrame) -> DataFrame:
             F.concat(F.lit("collector-"), (uid % 4).cast("string")),
         ).alias("monitor_log_collector"),
         F.when((uid % 10).isin(3, 7), F.concat(F.lit("job-"), s)).alias("define_tag"),
+        # K8S-Logging.Exclude annotation (fluentbit.io/exclude,
+        # conf/ds/fluent-bit.conf:55): uid%25==0 pods opt out — inert
+        # unless run_pipeline(honor_k8s_exclude=True)
+        (uid % 25 == 0).alias("k8s_exclude"),
     )
 
 

@@ -26,6 +26,8 @@ replicates that: `<pod>_<namespace>_<container>-<64hex>.log`.
 
 from __future__ import annotations
 
+import fnmatch
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,16 +35,65 @@ from logpipe.operators.parse import CRI_RE
 
 KUBE_FILENAME_RE = r"([a-z0-9\-.]+)_([a-z0-9\-.]+)_(.+)-([a-f0-9]{64})\.log$"
 
+# Buffer_Max_Size 10MB + Skip_Long_Lines On (docker-runtime.conf:8-9):
+# a line that exceeds the tail buffer is DROPPED, not truncated
+DEFAULT_MAX_LINE_BYTES = 10 * 1024 * 1024
 
-def _lines(spark: SparkSession, path: str) -> DataFrame:
-    """(file, line_no, line) with exact in-file ordering."""
-    raw = spark.read.text(path, wholetext=True).select(
+
+def _resolve_paths(
+    spark: SparkSession, path: str, exclude_path: tuple[str, ...]
+) -> list[str]:
+    """Expand the input glob and drop Exclude_Path matches AT LISTING
+    TIME (docker-runtime.conf:4; default '*fluent-bit*.log',
+    entrypoint.sh:19-21 — the collector must not ingest its own logs).
+
+    Exclusion happens before the scan is planned, so excluded files are
+    never opened — the batch analog of the tail input never watching
+    them (a post-scan input_file_name() filter would still read every
+    byte). Uses the Hadoop FileSystem API, so it works on any FS the
+    cluster mounts (hdfs/s3a/file).
+    """
+    if not exclude_path:
+        return [path]
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(hpath)
+    if statuses is None:
+        return [path]  # let the reader raise its usual path-not-found
+    kept = []
+    for st in statuses:
+        p = st.getPath().toUri().getPath()  # scheme-less path for globbing
+        if not any(fnmatch.fnmatch(p, pat) for pat in exclude_path):
+            kept.append(st.getPath().toString())
+    return kept
+
+
+def _lines(
+    spark: SparkSession,
+    path: str,
+    exclude_path: tuple[str, ...] = (),
+    skip_long_lines: int | None = None,
+) -> DataFrame:
+    """(file, line_no, line) with exact in-file ordering.
+
+    ``skip_long_lines``: byte cap above which a line is dropped
+    (Skip_Long_Lines On, docker-runtime.conf:9) — distinct from P2
+    truncation, which caps records the tail DID accept.
+    """
+    paths = _resolve_paths(spark, path, exclude_path)
+    if not paths:
+        return spark.createDataFrame([], "file string, line_no int, line string")
+    raw = spark.read.text(*paths, wholetext=True).select(
         F.input_file_name().alias("file"), F.col("value")
     )
-    return raw.select(
+    out = raw.select(
         "file",
         F.posexplode(F.split(F.col("value"), "\n")).alias("line_no", "line"),
     ).filter(F.length("line") > 0)  # Skip_Empty_Lines (docker-runtime.conf:10)
+    if skip_long_lines is not None:
+        out = out.filter(F.octet_length("line") <= skip_long_lines)
+    return out
 
 
 def parse_kube_filename(file_col) -> dict:
@@ -56,15 +107,24 @@ def parse_kube_filename(file_col) -> dict:
     }
 
 
-def read_docker_logs(spark: SparkSession, path: str) -> DataFrame:
+def read_docker_logs(
+    spark: SparkSession,
+    path: str,
+    exclude_path: tuple[str, ...] = (),
+    skip_long_lines: int | None = None,
+) -> DataFrame:
     """Docker-runtime tail: JSON lines -> transcripts shape.
 
     text = the `log` payload with its trailing newline stripped (the
     stitcher re-joins lines with '\\n', reproducing the concatenated
     docker-mode record); role = `stream`; ts = the record `time`
     (RFC3339 nanos; Spark timestamps keep micros).
+
+    ``exclude_path``/``skip_long_lines``: see _resolve_paths/_lines
+    (Exclude_Path + Skip_Long_Lines, docker-runtime.conf:4,9). Pass
+    skip_long_lines=DEFAULT_MAX_LINE_BYTES for the reference's 10MB cap.
     """
-    lines = _lines(spark, path)
+    lines = _lines(spark, path, exclude_path, skip_long_lines)
     parsed = lines.withColumn(
         "j", F.from_json("line", "log string, stream string, time string")
     ).filter(F.col("j.log").isNotNull())
@@ -87,9 +147,17 @@ def read_docker_logs(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def read_cri_logs(spark: SparkSession, path: str, conv_from_file: bool = True) -> DataFrame:
-    """CRI-runtime tail: `time stream logtag log` lines -> transcripts."""
-    lines = _lines(spark, path)
+def read_cri_logs(
+    spark: SparkSession,
+    path: str,
+    conv_from_file: bool = True,
+    exclude_path: tuple[str, ...] = (),
+    skip_long_lines: int | None = None,
+) -> DataFrame:
+    """CRI-runtime tail: `time stream logtag log` lines -> transcripts
+    (Exclude_Path / Skip_Long_Lines as in read_docker_logs;
+    cri-runtime.conf:4,9)."""
+    lines = _lines(spark, path, exclude_path, skip_long_lines)
     t = F.regexp_extract("line", CRI_RE, 1)
     return lines.select(
         (

@@ -165,6 +165,9 @@ def synth_k8s_meta(spark: SparkSession, n_convs: int = 64, seed: int = 42) -> Da
         ).alias("workspace"),
         collector.alias("monitor_log_collector"),
         define_tag.alias("define_tag"),
+        # K8S-Logging.Exclude annotation (fluentbit.io/exclude,
+        # conf/ds/fluent-bit.conf:55): id%25==0 pods opt out
+        (F.col("id") % 25 == 0).alias("k8s_exclude"),
     )
 
 

@@ -1,0 +1,64 @@
+"""Arrow-vectorized LSH kernels (numpy matrix math over Arrow batches).
+
+Lives in a module WITHOUT `from __future__ import annotations` so
+pyspark can resolve the pandas_udf type hints (same constraint as
+operators/_grok_udf.py).
+
+Why a pandas UDF here: the bucket signature needs n_tables*n_planes
+64-wide dot products per row. The expression form
+(aggregate(zip_with(...)) per plane) is an interpreted higher-order
+function in Spark — measured ~3.6s for 72k dots at sf0.1; the numpy
+matrix multiply does the same work in one BLAS call per Arrow batch.
+
+Float caveat (documented, bounded): numpy sums in SIMD/pairwise order;
+the JVM/DuckDB expression forms sum sequentially left-to-right. A sign
+bit (bucket membership) can differ only when |projection| < ~1e-13 —
+vanishingly unlikely for real-valued data. Cosines that reach query
+OUTPUT are always recomputed with the exact sequential expression on
+the (tiny) surviving pair set, so emitted values stay bit-identical to
+the DuckDB oracles; the numpy path is only ever a candidate/prefilter.
+"""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+
+def bucket_udf(planes_by_table):
+    """pandas UDF: embedding -> array of per-table bucket ids.
+
+    Bucket semantics match the expression/SQL form exactly (modulo the
+    float caveat above): bit i of table t's bucket = sign of the
+    projection onto plane (t, i), packed as sum(2^i * [proj > 0]).
+    """
+    P = np.array(
+        [p for planes in planes_by_table for p in planes], dtype=np.float64
+    )  # (n_tables*n_planes, dim)
+    n_tables = len(planes_by_table)
+    n_planes = len(planes_by_table[0])
+    w = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _buckets(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        X = np.vstack(emb.to_numpy()).astype(np.float64)
+        signs = (X @ P.T) > 0  # (batch, n_tables*n_planes)
+        buckets = signs.reshape(len(X), n_tables, n_planes).astype(np.int64) @ w
+        return pd.Series(list(buckets))
+
+    return _buckets
+
+
+@pandas_udf("double")
+def cosine_prefilter_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Approximate cosine for candidate PREFILTERING only (callers must
+    re-verify survivors with the exact sequential expression before
+    emitting values — see cosine_lsh_near_dups)."""
+    if len(a) == 0:
+        return pd.Series([], dtype=float)
+    A = np.vstack(a.to_numpy()).astype(np.float64)
+    B = np.vstack(b.to_numpy()).astype(np.float64)
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.sqrt(np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B))
+    return pd.Series(num / den)

@@ -8,6 +8,36 @@ from logpipe.plans.dynamic import run_dynamic_pipeline
 from logpipe.plans.pipeline import run_pipeline
 
 
+def test_merge_log_json_object(spark):
+    """F2 Merge_Log + Merge_Log_Key (conf/ds/fluent-bit.conf:52-53):
+    JSON-object bodies merge as log_processed_*; scalars stringify;
+    non-JSON and non-object JSON leave the record untouched."""
+    from pyspark.sql import functions as F
+
+    from logpipe.operators.reshape import build_map
+    from logpipe.plans.dynamic import merge_log
+
+    df = spark.createDataFrame(
+        [
+            ("a", '{"k": "v", "n": 3}'),
+            ("b", "not json at all"),
+            ("c", "[1, 2]"),
+            ("d", "87"),
+        ],
+        "id string, log string",
+    )
+    rec = build_map({"log": F.col("log")})
+    m = {
+        r["id"]: r["rec"]
+        for r in df.select("id", merge_log(rec).alias("rec")).collect()
+    }
+    assert m["a"]["log_processed_k"] == "v"
+    assert m["a"]["log_processed_n"] == "3"
+    assert m["a"]["log"] == '{"k": "v", "n": 3}'  # Preserve the raw body
+    for rid in ("b", "c", "d"):
+        assert set(m[rid].keys()) == {"log"}
+
+
 def test_dynamic_equals_typed(spark, transcripts, k8s_meta, tool_meta):
     typed = run_pipeline(transcripts, k8s_meta, tool_meta)
     dyn = run_dynamic_pipeline(transcripts, k8s_meta, tool_meta)

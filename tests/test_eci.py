@@ -50,6 +50,19 @@ def test_eci_with_collector_duplicates_to_export(spark, transcripts, tool_meta):
     assert lab["monitor_log_collector"] == "collector-9"
 
 
+def test_eci_stitch_plan_joins_nothing_big(spark, transcripts, tool_meta):
+    """log_path is recomputed from the stitcher-preserved `tool`, so the
+    plan must contain NO shuffle join (the old plan re-joined the
+    stitched frame against the full pre-stitch input on
+    (conv_id, turn_idx) just to recover the path column) — the only
+    join left is the broadcast dim lookup."""
+    out = run_eci_pipeline(transcripts, tool_meta, stitch=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the F4 tool lookup remains
+
+
 def test_eci_stitch_path(spark, transcripts, tool_meta):
     """With stitching on, output rows = stitched groups (per conv), and
     continuation lines are folded into their firstline record."""

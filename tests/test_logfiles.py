@@ -76,6 +76,41 @@ def test_multiline_stitch_on_reference_fixtures(spark):
         assert sum(r["n_lines"] for r in stitched) == len(texts)
 
 
+_DOCKER_LINE = (
+    '{"log": "%s\\n", "stream": "stdout", "time": "2024-01-01T00:00:00.000000001Z"}'
+)
+
+
+def test_exclude_path_prunes_at_listing(spark, tmp_path):
+    """Exclude_Path (docker-runtime.conf:4; default *fluent-bit*.log,
+    entrypoint.sh:19-21): excluded files are dropped from the listing —
+    the collector never ingests its own logs."""
+    (tmp_path / "app.log").write_text(_DOCKER_LINE % "hello" + "\n")
+    (tmp_path / "fluent-bit-abc.log").write_text(_DOCKER_LINE % "self" + "\n")
+    glob = str(tmp_path / "*.log")
+
+    df = read_docker_logs(spark, glob, exclude_path=("*fluent-bit*.log",))
+    files = [r["file"] for r in df.select("file").distinct().collect()]
+    assert len(files) == 1 and "fluent-bit" not in files[0]
+    assert df.count() == 1 and df.first()["text"] == "hello"
+    # without exclusion both files are read
+    assert read_docker_logs(spark, glob).select("file").distinct().count() == 2
+    # everything excluded -> empty frame, not an error
+    assert read_docker_logs(spark, glob, exclude_path=("*.log",)).count() == 0
+
+
+def test_skip_long_lines_drops_not_truncates(spark, tmp_path):
+    """Skip_Long_Lines On (docker-runtime.conf:8-9): a line over the
+    buffer cap is DROPPED entirely — distinct from P2 truncation."""
+    f = tmp_path / "a.log"
+    f.write_text(_DOCKER_LINE % "ok" + "\n" + _DOCKER_LINE % ("x" * 2000) + "\n")
+
+    kept = read_docker_logs(spark, str(f), skip_long_lines=1000).collect()
+    assert [r["text"] for r in kept] == ["ok"]
+    # without the cap both lines parse
+    assert read_docker_logs(spark, str(f)).count() == 2
+
+
 def test_ignore_older(spark, transcripts):
     from datetime import datetime
 

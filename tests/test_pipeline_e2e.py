@@ -72,6 +72,51 @@ def test_pandas_grok_parity(spark, transcripts, k8s_meta, tool_meta):
     assert ra == rb
 
 
+def test_k8s_exclude_annotation(spark, transcripts, k8s_meta, tool_meta):
+    """K8S-Logging.Exclude (conf/ds/fluent-bit.conf:55): with
+    honor_k8s_exclude=True, every row of an annotated pod is dropped —
+    and exactly those rows (the diff equals a pipeline run over the
+    excluded convs alone)."""
+    from pyspark.sql import functions as F
+
+    excluded = [
+        r["conv_id"] for r in k8s_meta.filter("k8s_exclude").select("conv_id").collect()
+    ]
+    assert excluded, "synth dim must annotate at least one pod"
+
+    base = run_pipeline(transcripts, k8s_meta, tool_meta)
+    out = run_pipeline(transcripts, k8s_meta, tool_meta, honor_k8s_exclude=True)
+    dropped = run_pipeline(
+        transcripts.filter(F.col("conv_id").isin(excluded)), k8s_meta, tool_meta
+    )
+    assert base.count() - out.count() == dropped.count()
+    assert dropped.count() > 0
+    # no surviving row carries an excluded pod's identity
+    excluded_pods = {
+        r["pod_name"] for r in k8s_meta.filter("k8s_exclude").collect()
+    }
+    survivors = {r["tags"].get("pod_name") for r in out.collect()}
+    assert not (survivors & excluded_pods)
+    # default stays collect-everything (flagship semantics unchanged)
+    assert base.count() == run_pipeline(transcripts, k8s_meta, tool_meta).count()
+
+
+def test_broadcast_guard_oversized_dim(spark, transcripts, k8s_meta, tool_meta):
+    """broadcast_dims=False drops the hard hint so an oversized dim
+    (300k rows here — past any sane autoBroadcastJoinThreshold at real
+    row widths) goes through a runtime-chosen join instead of a forced
+    executor-OOM broadcast. Output must be identical: the extra dim
+    rows match no transcript (left join)."""
+    from logpipe.synth import synth_k8s_meta
+
+    big_dim = synth_k8s_meta(spark, n_convs=300_000)
+    out = run_pipeline(transcripts, big_dim, tool_meta, broadcast_dims=False)
+    base = run_pipeline(transcripts, k8s_meta, tool_meta)
+    got = {r["sink"]: r["rows"] for r in sink_counts(out).collect()}
+    exp = {r["sink"]: r["rows"] for r in sink_counts(base).collect()}
+    assert got == exp
+
+
 def test_no_shuffle_before_route(spark, transcripts, k8s_meta, tool_meta, tmp_path):
     """The pipeline plan over a parquet scan must be 100% shuffle-free:
     broadcast joins only (scale guard — at 100TB a shuffle here
