@@ -50,6 +50,27 @@ def bucket_udf(planes_by_table):
     return _buckets
 
 
+def nearest_cell_udf(centroids):
+    """pandas UDF: embedding -> IVF cell id (argmax cosine over the
+    driver-collected centroid list; FIRST max wins = lowest cell id on
+    exact ties, matching the expression/SQL tie rule). Assignment only
+    shapes candidate sets — emitted cosines are computed exactly."""
+    C = np.array([c_emb for _, c_emb, _ in centroids], dtype=np.float64)
+    cn = np.array([c_norm for _, _, c_norm in centroids], dtype=np.float64)
+    cells = np.array([cell for cell, _, _ in centroids], dtype=np.int32)
+
+    @pandas_udf("int")
+    def _cell(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.vstack(emb.to_numpy()).astype(np.float64)
+        # row-common ||x|| cancels in argmax; only the per-cell norm matters
+        cos = (X @ C.T) / cn
+        return pd.Series(cells[np.argmax(cos, axis=1)])
+
+    return _cell
+
+
 @pandas_udf("double")
 def cosine_prefilter_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Approximate cosine for candidate PREFILTERING only (callers must

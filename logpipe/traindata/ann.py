@@ -287,33 +287,6 @@ def lsh_topk(
     )
 
 
-def _nearest_cell(vec: Column, vnorm: Column, centroids: list[tuple[int, list[float], float]]) -> Column:
-    """argmax cosine over driver-collected centroids as ONE expression:
-    array_max over struct(cos, -cell) picks the best cell (lowest cell
-    id on exact ties), entirely per-row — no join, no shuffle."""
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    F.aggregate(
-                        F.zip_with(
-                            vec,
-                            F.array(*[F.lit(x) for x in c_emb]),
-                            lambda x, y: x.cast("double") * y,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    )
-                    / (vnorm * F.lit(c_norm))
-                ).alias("cos"),
-                F.lit(-cell).alias("neg_cell"),
-            )
-            for cell, c_emb, c_norm in centroids
-        ]
-    )
-    return -F.array_max(scored)["neg_cell"]
-
-
 def ivf_assign(emb: DataFrame, n_centroids: int = 16) -> tuple[DataFrame, DataFrame]:
     """IVF index build: deterministic centroids (the n_centroids vectors
     with the lowest md5-of-id — a seedless reproducible sample), every
@@ -328,7 +301,9 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16) -> tuple[DataFrame, DataFr
     ids are assigned driver-side on the n collected rows (md5-hex
     string order is plain byte order — identical in Python, Spark and
     DuckDB), and the assignment is one scan with a per-row argmax
-    expression — no join, no row blowup, no shuffle.
+    (Arrow/numpy kernel — the expression form paid n_centroids
+    interpreted 64-wide dots per row) — no join, no row blowup, no
+    shuffle.
     """
     import hashlib
 
@@ -350,9 +325,11 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16) -> tuple[DataFrame, DataFr
     cents = spark.createDataFrame(
         centroids, schema="cell int, c_emb array<double>, c_norm double"
     )
+    from logpipe.traindata._lsh_udf import nearest_cell_udf
+
     base = with_norm(emb)
     assigned = base.withColumn(
-        "cell", _nearest_cell(F.col("embedding"), F.col("_norm"), centroids)
+        "cell", nearest_cell_udf(centroids)(F.col("embedding"))
     ).select("vec_id", "embedding", "_norm", "cell")
     return assigned, cents
 

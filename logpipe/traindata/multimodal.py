@@ -102,23 +102,34 @@ def frame_sample(media: DataFrame, every_bytes: int = 16) -> DataFrame:
     exercises the 1->N mapInPandas fan-out shape."""
 
     def sample(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "video" or r["payload"] is None:
-                    continue
-                n = len(r["payload"])
-                for i in range(0, n, every_bytes):
-                    rows.append(
-                        {
-                            "media_id": r["media_id"],
-                            "frame_idx": i // every_bytes,
-                            "frame_bytes": min(every_bytes, n - i),
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_bytes"])
+            vid = pdf[(pdf["kind"] == "video") & pdf["payload"].notna()]
+            if len(vid) == 0:
+                yield pd.DataFrame(
+                    {"media_id": pd.Series(dtype="int64"),
+                     "frame_idx": pd.Series(dtype="int32"),
+                     "frame_bytes": pd.Series(dtype="int64")}
+                )
+                continue
+            # vectorized 1->N fan-out: per-payload frame counts, then one
+            # repeat + one global arange (no per-row Python loop)
+            sizes = vid["payload"].map(len).to_numpy(dtype="int64")
+            n_frames = (sizes + every_bytes - 1) // every_bytes
+            media_id = np.repeat(vid["media_id"].to_numpy(), n_frames)
+            # frame_idx: global arange minus each payload's start offset
+            starts = np.repeat(np.cumsum(n_frames) - n_frames, n_frames)
+            frame_idx = np.arange(int(n_frames.sum())) - starts
+            tail = np.repeat(sizes, n_frames) - frame_idx * every_bytes
+            yield pd.DataFrame(
+                {
+                    "media_id": media_id,
+                    "frame_idx": frame_idx.astype("int32"),
+                    "frame_bytes": np.minimum(tail, every_bytes),
+                }
+            )
 
     return media.mapInPandas(sample, schema=FRAME_SCHEMA)
 
