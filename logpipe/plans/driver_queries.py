@@ -246,20 +246,23 @@ FROM lines
 """
 
 
-def _erda_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_events(spark, sf_dir)
+def _erda_line_expr() -> F.Column:
     m = F.md5(F.col("props"))
     uuid = F.concat_ws(
         "-",
         F.substring(m, 1, 8), F.substring(m, 9, 4), F.substring(m, 13, 4),
         F.substring(m, 17, 4), F.substring(m, 21, 12),
     )
-    line = F.concat(
+    return F.concat(
         F.upper("event_type"), F.lit(" [svc-"), (F.col("user_id") % 8).cast("string"),
         F.lit(","), F.when(F.col("event_id") % 3 == 0, uuid).otherwise(F.lit("")),
         F.lit(",k=v] "), F.col("props"),
     )
-    return ev.select("event_id", line.alias("line"))
+
+
+def _erda_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return ev.select("event_id", _erda_line_expr().alias("line"))
 
 
 @register("erda_info_extract", _ERDA_EXTRACT_SQL)
@@ -280,6 +283,80 @@ def erda_info_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = parse.erda_info_pandas()(F.col("line"))
     return lines.select(
         "event_id", g["level"].alias("level"), g["request_id"].alias("request_id")
+    )
+
+
+# K8S-Logging.Parser (conf/ds/fluent-bit.conf:54): per-pod parser
+# annotation off the k8s dim, applied to the log body, extracted keys
+# merged as parsed_* (absent on no-match / no annotation)
+_ERDA_LINE_EXPR_SQL = """
+           upper(event_type) || ' [svc-' || CAST(user_id % 8 AS VARCHAR) || ',' ||
+           CASE WHEN event_id % 3 = 0 THEN
+             substring(md5(props),1,8) || '-' || substring(md5(props),9,4) || '-' ||
+             substring(md5(props),13,4) || '-' || substring(md5(props),17,4) || '-' ||
+             substring(md5(props),21,12)
+           ELSE '' END || ',k=v] ' || props
+"""
+
+_CRI_RE_SQL = "^([^ ]+) (stdout|stderr) ([^ ]*) (.*)$"
+
+_K8S_PARSER_SQL = f"""
+WITH base AS (
+  SELECT event_id, user_id, event_type, props, ts,
+         CASE WHEN user_id % 9 = 1 THEN 'erda-info'
+              WHEN user_id % 9 = 2 THEN 'cri' END AS parser
+  FROM events
+), lines AS (
+  SELECT event_id, parser,
+         CASE WHEN parser = 'cri' THEN
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z ' ||
+           CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END || ' F ' || props
+         ELSE {_ERDA_LINE_EXPR_SQL}
+         END AS line
+  FROM base
+)
+SELECT event_id, parser,
+  CASE WHEN parser = 'erda-info' THEN nullif(regexp_extract(line, '{_ERDA_RE_SQL}', 1), '') END AS parsed_level,
+  CASE WHEN parser = 'erda-info' THEN nullif(regexp_extract(line, '{_ERDA_RE_SQL}', 4), '') END AS parsed_request_id,
+  CASE WHEN parser = 'cri' THEN nullif(regexp_extract(line, '{_CRI_RE_SQL}', 2), '') END AS parsed_stream,
+  CASE WHEN parser = 'cri' THEN nullif(regexp_extract(line, '{_CRI_RE_SQL}', 4), '') END AS parsed_log
+FROM lines
+"""
+
+
+@register("k8s_parser_annotation", _K8S_PARSER_SQL)
+def k8s_parser_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pod parser annotation: the k8s dim names a parser
+    ('erda-info' / 'cri' / none), applied to the record's log body by
+    annotation_parse; extracted keys merge as parsed_* map keys.
+    Lines are built cri-shaped for cri-annotated pods, erda-shaped
+    otherwise, so both parser branches extract real values."""
+    from logpipe.operators.reshape import build_map
+    from logpipe.plans.dynamic import annotation_parse
+
+    ev = load_events(spark, sf_dir)
+    dim = events_k8s_meta(ev).select("conv_id", "k8s_parser")
+    joined = ev.withColumn("conv_id", F.col("user_id").cast("string")).join(
+        F.broadcast(dim), "conv_id", "left"
+    )
+    cri_line = F.concat(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z "),
+        F.when(F.col("event_id") % 2 == 0, "stdout").otherwise("stderr"),
+        F.lit(" F "), F.col("props"),
+    )
+    line = F.when(F.col("k8s_parser") == "cri", cri_line).otherwise(_erda_line_expr())
+    rec = build_map({"log": line})
+    out = joined.select(
+        "event_id",
+        F.col("k8s_parser").alias("parser"),
+        annotation_parse(rec, F.col("k8s_parser")).alias("rec"),
+    )
+    return out.select(
+        "event_id", "parser",
+        F.col("rec").getItem("parsed_level").alias("parsed_level"),
+        F.col("rec").getItem("parsed_request_id").alias("parsed_request_id"),
+        F.col("rec").getItem("parsed_stream").alias("parsed_stream"),
+        F.col("rec").getItem("parsed_log").alias("parsed_log"),
     )
 
 
@@ -744,6 +821,45 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REGISTRY["minhash_lsh_dups"] = (_REGISTRY["minhash_lsh_dups"][0], _minhash_sql())
+
+
+def _near_dup_clusters_sql(threshold: float = 0.1) -> str:
+    """Connected components replayed in DuckDB: the full MinHash-LSH
+    pair pipeline as a CTE, then a recursive reachability closure —
+    cluster_id = min doc_id reachable through near-dup edges. The
+    UNION (not UNION ALL) dedupes (node, label) pairs, so the
+    recursion terminates at the transitive closure."""
+    mh = _minhash_sql(threshold=threshold).strip()
+    return f"""
+WITH RECURSIVE mh AS ({mh}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mh
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM mh
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+@register("near_dup_clusters", None)  # SQL attached below (needs builder)
+def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment over the minhash near-dup graph
+    (min-label propagation; the 'keep one per cluster' dedup step)."""
+    from logpipe.traindata.dedup import near_dup_clusters
+
+    return near_dup_clusters(_docs(spark, sf_dir), n=2, k=32, bands=8, threshold=0.1)
+
+
+_REGISTRY["near_dup_clusters"] = (
+    _REGISTRY["near_dup_clusters"][0],
+    _near_dup_clusters_sql(),
+)
 
 
 def _simhash_sql() -> str:

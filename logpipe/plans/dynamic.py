@@ -83,6 +83,37 @@ def merge_log(rec: Column, log_key: str = "log", merge_key: str = "log_processed
     return F.when(parsed.isNotNull(), F.map_concat(rec, lifted)).otherwise(rec)
 
 
+def annotation_parse(rec: Column, parser: Column) -> Column:
+    """F2 K8S-Logging.Parser (conf/ds/fluent-bit.conf:54): a pod can
+    name its own parser via the fluentbit.io/parser annotation; the
+    kubernetes filter applies it to the log body and merges the
+    extracted fields into the record (parsed_* here — the flattened
+    root-merge with Reserve_Data semantics). Unknown/absent annotation
+    leaves the record untouched; no-match extractions are empty and
+    build_map drops them (fluent-bit no-keys-on-no-match parity).
+
+    Registered parsers mirror conf/ds/parsers.conf: erda-info and cri.
+    """
+    log = rec.getItem("log")
+    erda = parse.erda_info_struct(log)
+    cri = parse.parse_cri(log)
+    m_erda = build_map(
+        {"parsed_level": erda["level"], "parsed_request_id": erda["request_id"]}
+    )
+    m_cri = build_map(
+        {
+            "parsed_stream": cri["stream"],
+            "parsed_logtag": cri["logtag"],
+            "parsed_log": cri["log"],
+        }
+    )
+    return (
+        F.when(parser == "erda-info", F.map_concat(rec, m_erda))
+        .when(parser == "cri", F.map_concat(rec, m_cri))
+        .otherwise(rec)
+    )
+
+
 def run_dynamic_pipeline(
     transcripts: DataFrame,
     k8s_meta: DataFrame,
@@ -152,6 +183,12 @@ def run_dynamic_pipeline(
         }
     )
     df = df.withColumn("rec", F.map_concat("rec", lift_prefixed(k8s_map, "k8s_")))
+
+    # F2 K8S-Logging.Parser: per-pod parser annotation off the dim (:54)
+    if "k8s_parser" in df.columns:
+        df = df.withColumn(
+            "rec", annotation_parse(F.col("rec"), F.col("k8s_parser"))
+        )
 
     # F4 Lua cpuset lookup -> __pri_cpuset; P8 extracts the id
     df = df.join(F.broadcast(tool_meta), "tool", "left")

@@ -80,6 +80,10 @@ def events_k8s_meta(events: DataFrame) -> DataFrame:
         # conf/ds/fluent-bit.conf:55): uid%25==0 pods opt out — inert
         # unless run_pipeline(honor_k8s_exclude=True)
         (uid % 25 == 0).alias("k8s_exclude"),
+        # K8S-Logging.Parser annotation (fluentbit.io/parser, :54)
+        F.when(uid % 9 == 1, "erda-info")
+        .when(uid % 9 == 2, "cri")
+        .alias("k8s_parser"),
     )
 
 

@@ -168,6 +168,10 @@ def synth_k8s_meta(spark: SparkSession, n_convs: int = 64, seed: int = 42) -> Da
         # K8S-Logging.Exclude annotation (fluentbit.io/exclude,
         # conf/ds/fluent-bit.conf:55): id%25==0 pods opt out
         (F.col("id") % 25 == 0).alias("k8s_exclude"),
+        # K8S-Logging.Parser annotation (fluentbit.io/parser, :54)
+        F.when(F.col("id") % 9 == 1, "erda-info")
+        .when(F.col("id") % 9 == 2, "cri")
+        .alias("k8s_parser"),
     )
 
 

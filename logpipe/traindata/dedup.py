@@ -262,6 +262,83 @@ def minhash_lsh_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def near_dup_clusters(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph — the canonical
+    'keep one doc per duplicate cluster' step after minhash_lsh_pairs.
+
+    Returns (doc_id, cluster_id) for EVERY doc; cluster_id = min doc_id
+    reachable through near-dup edges (isolated docs cluster with
+    themselves). Iterative min-label propagation:
+
+      label(v) <- min(label(v), min over neighbors u of label(u))
+
+    converging in O(component diameter) rounds — near-dup components
+    are shallow (dups of a common source), so a handful of rounds.
+
+    100TB shape: the iteration working set is the DUP NODES ONLY
+    (nodes incident to a verified pair — tiny vs the corpus; the full
+    corpus enters once, in the final left join). Each round is two
+    shuffles on id scalars; labels are localCheckpoint()ed per round to
+    truncate lineage (on a cluster: reliable checkpoint / persisted
+    table). The alternating large-star/small-star algorithm
+    (Kiveris et al.) is the drop-in upgrade if components ever get
+    deep chains.
+    """
+    pairs = minhash_lsh_pairs(docs, n=n, k=k, bands=bands, threshold=threshold)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("src"), "cluster_id"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr.withColumnRenamed("dst", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("a")
+            .join(labels.alias("b"), "doc_id")
+            .filter(F.col("a.cluster_id") != F.col("b.cluster_id"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+
+
 SIMHASH_BITS = 60  # 15 md5 hex chars -> fits a signed 64-bit long
 
 

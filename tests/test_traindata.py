@@ -48,6 +48,45 @@ def test_minhash_lsh_recall(spark, docs):
         assert ev[pair] == j
 
 
+def test_near_dup_clusters_equals_union_find(spark, docs):
+    """Min-label propagation must produce exactly the connected
+    components of the minhash pair graph — verified against an
+    independent driver-side union-find over the same pairs."""
+    from logpipe.traindata.dedup import minhash_lsh_pairs, near_dup_clusters
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, n=2, k=32, bands=8, threshold=0.3).collect()
+    ]
+    assert pairs, "need at least one near-dup pair for a meaningful test"
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    expected = {r["doc_id"]: r["doc_id"] for r in docs.select("doc_id").collect()}
+    for x in list(parent):
+        expected[x] = find(x)
+
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(docs, n=2, k=32, bands=8, threshold=0.3).collect()
+    }
+    assert got == expected
+    # at least one non-trivial cluster
+    assert any(v != k for k, v in got.items())
+
+
 def test_simhash_properties(spark, docs):
     from logpipe.traindata.dedup import simhash_table
 
