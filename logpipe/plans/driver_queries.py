@@ -126,6 +126,71 @@ def k8s_exclude_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("flagship_dynamic_route_counts", _FLAGSHIP_SQL)
+def flagship_dynamic_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DYNAMIC-map pipeline (plans/dynamic.py — the reference's
+    mutable-record data model) against the SAME oracle as the typed
+    flagship: the two articulations must agree with the SQL model
+    independently (pytest proves dynamic==typed row-for-row; this
+    gates the map-operator chain against DuckDB directly)."""
+    from logpipe.plans.dynamic import run_dynamic_pipeline
+
+    ev = load_events(spark, sf_dir)
+    out = run_dynamic_pipeline(
+        events_as_transcripts(ev), events_k8s_meta(ev), events_tool_meta(ev)
+    )
+    return out.groupBy("sink").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("content")).alias("content_bytes"),
+    )
+
+
+# ECI sidecar chain (plans/eci.py, conf/eci/fluent-bit.conf): truncate ->
+# (no stitch here: stitch is oracle-gated separately via
+# multiline_stitch_operator) -> path identity -> cpuset lookup -> erda
+# grok -> static fields -> route with a collector (export keep=true dup).
+# id = container id from the cpuset tail = md5('cid-' || tool) for
+# purchase rows whose tool is in the dim (tool-N, N%4!=3), else ''.
+_ECI_SQL = """
+WITH t AS (
+  SELECT substring(props, 1, 51200) AS content,
+         CASE WHEN event_type = 'purchase' AND (user_id % 16) % 4 <> 3
+              THEN md5('cid-tool-' || CAST(user_id % 16 AS VARCHAR))
+              ELSE '' END AS id
+  FROM events
+  WHERE props IS NOT NULL AND length(props) > 0
+), s AS (
+  SELECT 'export' AS sink, content, id FROM t
+  UNION ALL
+  SELECT 'container' AS sink, content, id FROM t
+)
+SELECT sink,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(length(content)) AS BIGINT) AS content_bytes,
+       CAST(sum(length(id)) AS BIGINT) AS id_bytes
+FROM s GROUP BY sink
+"""
+
+
+@register("eci_route_counts", _ECI_SQL)
+def eci_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """run_eci_pipeline end-to-end over events (stitch=False — the
+    stitcher has its own operator-direct oracle): per-sink counts,
+    content bytes, and id bytes (the cpuset-derived container id)."""
+    from logpipe.plans.eci import run_eci_pipeline
+
+    ev = load_events(spark, sf_dir)
+    out = run_eci_pipeline(
+        events_as_transcripts(ev), events_tool_meta(ev),
+        collector="collector-9", stitch=False,
+    )
+    return out.groupBy("sink").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("content")).alias("content_bytes"),
+        F.sum(F.length("id")).alias("id_bytes"),
+    )
+
+
 _MERGE_LOG_SQL = """
 WITH lines AS (
   SELECT event_id,

@@ -46,6 +46,13 @@ def events_k8s_meta(events: DataFrame) -> DataFrame:
     Routing coverage mirrors logpipe.synth: collector on user_id%5==0 or
     %10==7; define_tag on %10 in (3,7); both on %10==7. docker_id is
     NULL on user_id%7==0 to exercise the cpuset-id fallback.
+
+    HARNESS-ONLY shape: deriving the dim from a fact-table distinct is
+    what lets the DuckDB oracle reproduce it from the same parquet. In
+    production the dim is its own table (pod metadata), read directly —
+    and when its cardinality is unbounded, pass
+    run_pipeline(broadcast_dims=False) so AQE sizes the join instead of
+    force-broadcasting (see operators.enrich.enrich_k8s).
     """
     u = events.select(F.col("user_id")).distinct()
     uid = F.col("user_id")
