@@ -60,6 +60,65 @@ def start_stream_pipeline(
     )
 
 
+THROTTLE_STATE_SCHEMA = "buckets array<long>, counts array<long>"
+
+
+def streaming_throttle_drop(
+    stream: DataFrame,
+    rate: int,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+    bucket: str = "day",
+    ring: int = 16,
+):
+    """F1 retain=false as a STATEFUL streaming operator: drop records
+    once their (key, event-time bucket) count exceeds `rate`.
+
+    State mirrors the reference's bucket ring (throttle.c keeps a ring
+    of `Window` counters advanced per `Interval`): per key, the counts
+    of the last `ring` buckets; older buckets are pruned, bounding the
+    state size no matter how long the stream runs. Counting is exact
+    under in-order per-key delivery (the tail position-DB guarantee —
+    same caveat as streaming_stitch); cross-micro-batch equality with
+    the batch throttle_drop is pinned by tests.
+    """
+    import pandas as pd
+
+    out_schema = stream.schema
+    cols = [f.name for f in out_schema.fields]
+    freq = {"day": "D", "hour": "h", "minute": "min", "second": "s"}[bucket]
+
+    def fn(key_, pdfs, state: GroupState):
+        if state.hasTimedOut:  # NoTimeout — defensive only
+            return
+        buckets, counts = (state.get if state.exists else ([], []))
+        m: dict[int, int] = dict(zip(buckets, counts))
+        batch = pd.concat(list(pdfs)) if pdfs is not None else pd.DataFrame()
+        if not len(batch):
+            return
+        batch = batch.sort_values(order_col)
+        b = batch[ts_col].dt.floor(freq).astype("int64")
+        rank = b.groupby(b).cumcount()
+        prior = b.map(m).fillna(0).astype("int64")
+        keep = (prior + rank) < rate
+        for bk, n in b.value_counts().items():
+            m[int(bk)] = m.get(int(bk), 0) + int(n)
+        pruned = sorted(m.items())[-ring:]  # keep the newest `ring` buckets
+        state.update(([int(k) for k, _ in pruned], [int(v) for _, v in pruned]))
+        kept = batch.loc[keep, cols]
+        if len(kept):
+            yield kept
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=THROTTLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 STITCH_OUT_SCHEMA = (
     "conv_id string, turn_idx int, text string, n_lines int"
 )

@@ -153,6 +153,69 @@ def test_streaming_stitch_multi_chunk_batch(spark, tmp_path):
     assert got.get(5) == "2024-01-01 00:00:05 ERROR later"
 
 
+def test_streaming_throttle_drop_across_batches(spark, tmp_path):
+    """F1 retain=false, stateful: bucket counts carry across
+    micro-batches (rows over rate in a LATER batch still drop), and the
+    kept set equals the batch throttle_drop on the same input."""
+    from logpipe.operators.throttle import throttle_drop
+    from logpipe.streaming.stream_pipeline import streaming_throttle_drop
+
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    rows_b1 = [
+        ("c1", i, "user", f"line {i}", None, f"2024-01-01 00:00:0{i}")
+        for i in range(4)  # day-1 bucket: 4 rows, rate 3 -> keep 0,1,2
+    ]
+    rows_b2 = [
+        ("c1", 4, "user", "line 4", None, "2024-01-01 00:01:00"),  # over rate
+        ("c1", 5, "user", "line 5", None, "2024-01-01 00:02:00"),  # over rate
+        ("c1", 6, "user", "line 6", None, "2024-01-02 00:00:00"),  # new bucket
+        ("c2", 7, "user", "line 7", None, "2024-01-01 00:00:00"),  # other key
+    ]
+
+    import datetime as dt
+
+    def parse(rows):
+        return [
+            (c, t, r, x, tool, dt.datetime.fromisoformat(s))
+            for c, t, r, x, tool, s in rows
+        ]
+
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(parse(rows_b1), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    spark.createDataFrame(parse(rows_b2), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(inp)
+    )
+    out = str(tmp_path / "kept")
+    q = (
+        streaming_throttle_drop(stream, rate=3, bucket="day")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {r["turn_idx"] for r in spark.read.parquet(out).collect()}
+    assert got == {0, 1, 2, 6, 7}
+    # equality with the batch operator over the full input
+    batch_kept = {
+        r["turn_idx"]
+        for r in throttle_drop(
+            spark.read.parquet(inp), rate=3, key="conv_id",
+            ts_col="ts", order_col="turn_idx", bucket="day",
+        ).collect()
+    }
+    assert got == batch_kept
+
+
 def test_pacing_bounds_batch_size(spark, tmp_path):
     """F1 retain=true (backpressure, not loss): maxFilesPerTrigger
     paces ingest — with 6 input files and a 2-file cap the stream
