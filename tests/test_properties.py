@@ -1,0 +1,146 @@
+"""Property-based tests (hypothesis): Spark operators vs independent
+pure-Python models on randomized inputs. Few examples, large batches —
+each example is one Spark job, so the strategy generates many rows per
+example instead of many examples (SURVEY.md §5 test strategy)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(max_examples=5, deadline=None)
+
+_token = st.text(alphabet="abc", min_size=1, max_size=2)
+_tokens = st.lists(_token, min_size=0, max_size=12)
+
+
+def _py_ngrams(toks: list[str], n: int) -> list[str]:
+    grams = (
+        toks if n == 1
+        else [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    )
+    seen, out = set(), []
+    for g in grams:  # array_distinct keeps first-occurrence order
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_tokens, min_size=1, max_size=40), st.integers(1, 3))
+def test_ngrams_match_python_model(spark, token_lists, n):
+    from logpipe.traindata.dedup import ngrams_of
+
+    df = spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(token_lists)],
+        "doc_id long, toks array<string>",
+    )
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", ngrams_of(F.col("toks"), n).alias("g")).collect()
+    }
+    for i, toks in enumerate(token_lists):
+        assert got[i] == _py_ngrams(toks, n), (toks, n)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),      # key
+            st.integers(0, 3),      # day offset
+            st.integers(0, 86399),  # second of day
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 4),
+)
+def test_throttle_drop_matches_python_model(spark, rows, rate):
+    """keep-first-`rate`-per-(key, day) ordered by order_col — vs a
+    dict-counter model."""
+    from logpipe.operators.throttle import throttle_drop
+
+    data = [
+        (
+            f"k{key}",
+            i,
+            dt.datetime(2024, 1, 1) + dt.timedelta(days=day, seconds=sec),
+        )
+        for i, (key, day, sec) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "conv_id string, turn_idx int, ts timestamp")
+    got = {
+        r["turn_idx"]
+        for r in throttle_drop(
+            df, rate=rate, key="conv_id", ts_col="ts",
+            order_col="turn_idx", bucket="day",
+        ).collect()
+    }
+    counts: dict[tuple, int] = {}
+    expect = set()
+    for cid, idx, ts in sorted(data, key=lambda r: r[1]):
+        b = (cid, ts.date())
+        counts[b] = counts.get(b, 0) + 1
+        if counts[b] <= rate:
+            expect.add(idx)
+    assert got == expect
+
+
+_json_value = st.one_of(
+    st.text(alphabet="xyz ", max_size=5),
+    st.integers(-1000, 1000),
+    st.booleans(),
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.one_of(
+            st.dictionaries(
+                st.text(alphabet="abcd", min_size=1, max_size=3),
+                _json_value, max_size=4,
+            ),
+            st.text(alphabet="ab{} :,", max_size=10),  # mostly invalid JSON
+            st.lists(st.integers(0, 9), max_size=3),   # valid JSON, not object
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_merge_log_matches_python_model(spark, bodies):
+    """merge_log: keys merge as log_processed_* exactly when the body is
+    a JSON object; scalars stringify like Spark's map<string,string>
+    coercion (ints/bools/strings here)."""
+    from logpipe.operators.reshape import build_map
+    from logpipe.plans.dynamic import merge_log
+
+    lines = [
+        json.dumps(b) if isinstance(b, (dict, list)) else b for b in bodies
+    ]
+    df = spark.createDataFrame(
+        [(i, line) for i, line in enumerate(lines)], "id long, log string"
+    )
+    rec = build_map({"log": F.col("log")})
+    got = {
+        r["id"]: r["rec"]
+        for r in df.select("id", merge_log(rec).alias("rec")).collect()
+    }
+    for i, (b, line) in enumerate(zip(bodies, lines)):
+        m = got[i]
+        # build_map drops empty values (fluent-bit no-empty-keys parity):
+        # an empty log line means no `log` key in the record at all
+        base = {"log"} if line != "" else set()
+        if isinstance(b, dict):
+            for k, v in b.items():
+                sv = ("true" if v else "false") if isinstance(v, bool) else str(v)
+                assert m.get(f"log_processed_{k}") == sv, (b, m)
+            assert set(m) == base | {f"log_processed_{k}" for k in b}
+        else:
+            assert set(m) == base, (b, m)
