@@ -30,6 +30,7 @@ import fnmatch
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from logpipe.operators.parse import CRI_RE
 
@@ -144,6 +145,50 @@ def read_docker_logs(
         ).alias("ts"),
         F.col("file"),
         ident["docker_id"].alias("docker_id"),
+        # Docker_Mode continuation marker: docker splits >16KB app lines
+        # into consecutive records; only the LAST fragment carries the
+        # trailing newline (docker-runtime.conf:17-19)
+        (~F.col("j.log").endswith("\n")).alias("partial"),
+    )
+
+
+def docker_mode_join(df: DataFrame, order_col: str = "turn_idx") -> DataFrame:
+    """Docker_Mode On (docker-runtime.conf:17-19): rejoin records that
+    docker split out of ONE over-long app line — a record whose `log`
+    lacks the trailing newline continues into the next record.
+
+    Fragments concatenate with NO separator (they are pieces of one
+    line, unlike the multiline filter which joins distinct lines with
+    '\\n'; Docker_Mode runs FIRST, then the firstline stitcher).
+    Group assignment is the same running-sum-over-window shape as
+    stitch_multiline: a record starts a group iff its predecessor was
+    not partial. Output keeps the first fragment's identity columns
+    and drops `partial` (a trailing unterminated fragment is flushed
+    as-is — the tail's Docker_Mode_Flush timeout analog).
+    """
+    w = Window.partitionBy("conv_id").orderBy(order_col)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_start = (~F.coalesce(F.lag("partial", 1).over(w), F.lit(False))).cast("int")
+    marked = df.withColumn("_grp", F.sum(is_start).over(wrun))
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(order_col, "text", "role", "tool", "ts", "file", "docker_id")
+        )
+    )
+    first = F.element_at("_lines", 1)
+    return (
+        marked.groupBy("conv_id", "_grp")
+        .agg(ordered.alias("_lines"))
+        .select(
+            "conv_id",
+            first[order_col].alias(order_col),
+            first["role"].alias("role"),
+            F.concat_ws("", F.transform("_lines", lambda x: x["text"])).alias("text"),
+            first["tool"].alias("tool"),
+            first["ts"].alias("ts"),
+            first["file"].alias("file"),
+            first["docker_id"].alias("docker_id"),
+        )
     )
 
 

@@ -111,6 +111,48 @@ def test_skip_long_lines_drops_not_truncates(spark, tmp_path):
     assert read_docker_logs(spark, str(f)).count() == 2
 
 
+def test_docker_mode_join_rejoins_split_records(spark, tmp_path):
+    """Docker_Mode On (docker-runtime.conf:17-19): docker splits one
+    over-long app line into consecutive records, only the last carrying
+    the trailing newline — the join must reproduce the original line
+    byte-for-byte, with no separator, keeping the first fragment's
+    timestamp; normal records pass through untouched."""
+    import json as _json
+
+    from logpipe.sources.logfiles import docker_mode_join
+
+    def rec(log, t):
+        return _json.dumps(
+            {"log": log, "stream": "stdout", "time": f"2024-01-01T00:00:0{t}.000000001Z"}
+        )
+
+    f = tmp_path / ("app-1_ns-a_main-" + "0" * 64 + ".log")
+    f.write_text(
+        "\n".join(
+            [
+                rec("whole line\n", 0),
+                rec("frag-one ", 1),   # no trailing \n -> continues
+                rec("frag-two ", 2),   # still continues
+                rec("frag-end\n", 3),  # closes the record
+                rec("tail without newline", 4),  # unterminated -> flushed
+            ]
+        )
+        + "\n"
+    )
+    raw = read_docker_logs(spark, str(f))
+    assert [r["partial"] for r in raw.orderBy("turn_idx").collect()] == [
+        False, True, True, False, True,
+    ]
+    joined = docker_mode_join(raw).orderBy("turn_idx").collect()
+    assert [(r["turn_idx"], r["text"]) for r in joined] == [
+        (0, "whole line"),
+        (1, "frag-one frag-two frag-end"),
+        (4, "tail without newline"),
+    ]
+    # first fragment's timestamp wins
+    assert joined[1]["ts"].second == 1
+
+
 def test_ignore_older(spark, transcripts):
     from datetime import datetime
 
