@@ -152,28 +152,34 @@ def read_docker_logs(
     )
 
 
-def docker_mode_join(df: DataFrame, order_col: str = "turn_idx") -> DataFrame:
-    """Docker_Mode On (docker-runtime.conf:17-19): rejoin records that
-    docker split out of ONE over-long app line — a record whose `log`
-    lacks the trailing newline continues into the next record.
+def fragment_join(
+    df: DataFrame,
+    partial_col: str = "partial",
+    order_col: str = "turn_idx",
+    carry: tuple[str, ...] = ("role", "tool", "ts", "file"),
+) -> DataFrame:
+    """Rejoin records the runtime split out of ONE over-long app line:
+    a record marked partial continues into the next record.
 
     Fragments concatenate with NO separator (they are pieces of one
     line, unlike the multiline filter which joins distinct lines with
-    '\\n'; Docker_Mode runs FIRST, then the firstline stitcher).
+    '\\n'; fragment rejoin runs FIRST, then the firstline stitcher).
     Group assignment is the same running-sum-over-window shape as
     stitch_multiline: a record starts a group iff its predecessor was
-    not partial. Output keeps the first fragment's identity columns
-    and drops `partial` (a trailing unterminated fragment is flushed
-    as-is — the tail's Docker_Mode_Flush timeout analog).
+    not partial. Output keeps the first fragment's identity columns;
+    a trailing unterminated fragment is flushed as-is (the tail's
+    Docker_Mode_Flush timeout analog).
+
+    Used for Docker_Mode On (docker-runtime.conf:17-19: `log` without
+    a trailing newline continues) and CRI logtag P/F (cri partial
+    records continue until the next F record).
     """
     w = Window.partitionBy("conv_id").orderBy(order_col)
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    is_start = (~F.coalesce(F.lag("partial", 1).over(w), F.lit(False))).cast("int")
+    is_start = (~F.coalesce(F.lag(partial_col, 1).over(w), F.lit(False))).cast("int")
     marked = df.withColumn("_grp", F.sum(is_start).over(wrun))
     ordered = F.array_sort(
-        F.collect_list(
-            F.struct(order_col, "text", "role", "tool", "ts", "file", "docker_id")
-        )
+        F.collect_list(F.struct(order_col, "text", *carry))
     )
     first = F.element_at("_lines", 1)
     return (
@@ -182,13 +188,27 @@ def docker_mode_join(df: DataFrame, order_col: str = "turn_idx") -> DataFrame:
         .select(
             "conv_id",
             first[order_col].alias(order_col),
-            first["role"].alias("role"),
             F.concat_ws("", F.transform("_lines", lambda x: x["text"])).alias("text"),
-            first["tool"].alias("tool"),
-            first["ts"].alias("ts"),
-            first["file"].alias("file"),
-            first["docker_id"].alias("docker_id"),
+            *[first[c].alias(c) for c in carry],
         )
+    )
+
+
+def docker_mode_join(df: DataFrame, order_col: str = "turn_idx") -> DataFrame:
+    """Docker_Mode On: see fragment_join (the `partial` marker comes
+    from read_docker_logs — log without the trailing newline)."""
+    return fragment_join(
+        df, "partial", order_col, carry=("role", "tool", "ts", "file", "docker_id")
+    )
+
+
+def cri_mode_join(df: DataFrame, order_col: str = "turn_idx") -> DataFrame:
+    """CRI partial-record rejoin: logtag 'P' continues into the next
+    record, 'F' closes it (conf/ds/parsers.conf:25-30 cri format;
+    cri-runtime.conf Multiline handling)."""
+    return fragment_join(
+        df.withColumn("partial", F.col("logtag") == "P"),
+        "partial", order_col, carry=("role", "tool", "ts", "file", "logtag"),
     )
 
 

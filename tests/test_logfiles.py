@@ -153,6 +153,27 @@ def test_docker_mode_join_rejoins_split_records(spark, tmp_path):
     assert joined[1]["ts"].second == 1
 
 
+def test_cri_mode_join_rejoins_partial_records(spark, tmp_path):
+    """CRI logtag semantics: 'P' records are fragments of one line,
+    closed by the next 'F' record — rejoined with no separator."""
+    from logpipe.sources.logfiles import cri_mode_join
+
+    f = tmp_path / "cri-split.log"
+    f.write_text(
+        "2024-01-01T00:00:00.000000001Z stdout F whole line\n"
+        "2024-01-01T00:00:01.000000001Z stdout P frag-one \n"
+        "2024-01-01T00:00:02.000000001Z stdout P frag-two \n"
+        "2024-01-01T00:00:03.000000001Z stdout F frag-end\n"
+    )
+    raw = read_cri_logs(spark, str(f))
+    joined = cri_mode_join(raw).orderBy("turn_idx").collect()
+    assert [(r["turn_idx"], r["text"]) for r in joined] == [
+        (0, "whole line"),
+        (1, "frag-one frag-two frag-end"),
+    ]
+    assert joined[1]["ts"].second == 1  # first fragment's timestamp
+
+
 def test_ignore_older(spark, transcripts):
     from datetime import datetime
 
