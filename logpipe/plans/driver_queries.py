@@ -660,6 +660,69 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# 11. Fact-to-fact shuffle join + anti join (SURVEY §2 'Joins' beyond
+#     broadcast lookups — the two join shapes the enrich path never uses)
+# ---------------------------------------------------------------------------
+
+_SUPPLIED_QTY_SQL = """
+SELECT r.r_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+@register("supplied_qty_per_region", _SUPPLIED_QTY_SQL)
+def supplied_qty_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side join with NO broadcast hint on supplier — AQE picks
+    the strategy from runtime sizes (broadcast at test SFs, shuffled
+    hash at scale); nation/region stay explicit broadcasts."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty"),
+        )
+    )
+
+
+_ANTI_JOIN_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+GROUP BY o_orderpriority
+"""
+
+
+@register("orders_without_lineitems", _ANTI_JOIN_SQL)
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — the incremental-processing shape (skip keys
+    already present in another table, e.g. already-emitted chunks in a
+    resume). One shuffle on the key; no row widening."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 # ===========================================================================
 # Training-data pipeline operators (dedup / similarity / text analysis)
 # ===========================================================================
