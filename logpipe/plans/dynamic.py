@@ -119,6 +119,7 @@ def run_dynamic_pipeline(
     k8s_meta: DataFrame,
     tool_meta: DataFrame,
     cluster_name: str = DEFAULT_CLUSTER,
+    honor_k8s_exclude: bool = False,
 ) -> DataFrame:
     df = transcripts.filter(F.col("text").isNotNull() & (F.length("text") > 0))
 
@@ -162,6 +163,11 @@ def run_dynamic_pipeline(
     # a nested map that is LIFTED with the k8s_ prefix (F10,
     # conf/ds/fluent-bit.conf:69-75)
     df = df.join(F.broadcast(k8s_meta), "conv_id", "left")
+
+    # F2 K8S-Logging.Exclude (:55) — same drop point as the typed plan
+    if honor_k8s_exclude and "k8s_exclude" in df.columns:
+        df = df.filter(~F.coalesce(F.col("k8s_exclude"), F.lit(False)))
+
     k8s_map = build_map(
         {
             "pod_name": F.col("pod_name"),

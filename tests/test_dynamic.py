@@ -38,6 +38,19 @@ def test_merge_log_json_object(spark):
         assert set(m[rid].keys()) == {"log"}
 
 
+def test_dynamic_honors_k8s_exclude_like_typed(spark, transcripts, k8s_meta, tool_meta):
+    a = run_pipeline(transcripts, k8s_meta, tool_meta, honor_k8s_exclude=True)
+    b = run_dynamic_pipeline(transcripts, k8s_meta, tool_meta, honor_k8s_exclude=True)
+    ca = {r["sink"]: r["count"] for r in a.groupBy("sink").count().collect()}
+    cb = {r["sink"]: r["count"] for r in b.groupBy("sink").count().collect()}
+    assert ca == cb
+    assert ca != {
+        r["sink"]: r["count"]
+        for r in run_pipeline(transcripts, k8s_meta, tool_meta)
+        .groupBy("sink").count().collect()
+    }  # the exclusion actually dropped rows
+
+
 def test_dynamic_equals_typed(spark, transcripts, k8s_meta, tool_meta):
     typed = run_pipeline(transcripts, k8s_meta, tool_meta)
     dyn = run_dynamic_pipeline(transcripts, k8s_meta, tool_meta)
