@@ -857,6 +857,33 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir))
 
 
+_DEDUP_SURVIVORS_SQL = """
+WITH fp AS (
+  SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+         min(doc_id) AS keep_id
+  FROM documents GROUP BY 1
+)
+SELECT d.doc_id, d.lang, d.source,
+       CAST(length(d.text) AS BIGINT) AS text_len
+FROM documents d JOIN fp ON d.doc_id = fp.keep_id
+"""
+
+
+@register("dedup_survivors", _DEDUP_SURVIVORS_SQL)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup OUTPUT (not just the fp groups): keep the lowest
+    doc_id per content fingerprint via a LEFT SEMI join of the corpus
+    against the winners — at 100TB the winners set shuffles as ids
+    only, never the document payloads."""
+    from logpipe.traindata.dedup import exact_dedup
+
+    d = _docs(spark, sf_dir)
+    keep = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
+    return d.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", F.length("text").cast("long").alias("text_len")
+    )
+
+
 _NGRAM_JACCARD_SQL = f"""
 WITH w AS (
   SELECT doc_id, lang, source, {_WORDS_SQL} AS words FROM documents
@@ -987,6 +1014,52 @@ def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGISTRY["near_dup_clusters"] = (
     _REGISTRY["near_dup_clusters"][0],
     _near_dup_clusters_sql(),
+)
+
+
+def _near_dup_survivors_sql(threshold: float = 0.1) -> str:
+    """Survivors per lang after near-dup clustering: keep one doc (the
+    cluster_id = min id) per connected component."""
+    mh = _minhash_sql(threshold=threshold).strip()
+    return f"""
+WITH RECURSIVE mh AS ({mh}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mh
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM mh
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_survivors
+FROM documents d JOIN cl ON d.doc_id = cl.doc_id AND cl.doc_id = cl.cluster_id
+GROUP BY d.lang
+"""
+
+
+@register("near_dup_survivors", None)  # SQL attached below (needs builder)
+def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dedup OUTPUT: keep one doc per duplicate cluster (the
+    min-id winner), reported per lang. Non-vacuous on this data (the
+    corpus has near-dup pairs but no exact dups)."""
+    from logpipe.traindata.dedup import near_dup_clusters
+
+    d = _docs(spark, sf_dir)
+    cl = near_dup_clusters(d, n=2, k=32, bands=8, threshold=0.1)
+    keep = cl.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return (
+        d.join(keep, "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_survivors"))
+    )
+
+
+_REGISTRY["near_dup_survivors"] = (
+    _REGISTRY["near_dup_survivors"][0],
+    _near_dup_survivors_sql(),
 )
 
 
