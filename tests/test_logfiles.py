@@ -183,3 +183,18 @@ def test_ignore_older(spark, transcripts):
     kept = ignore_older(transcripts, cutoff)
     assert kept.count() == transcripts.filter(F.col("ts") >= F.lit(cutoff)).count()
     assert kept.filter(F.col("ts") < F.lit(cutoff)).count() == 0
+
+
+def test_ignore_older_pushes_down_to_scan(spark, transcripts, tmp_path):
+    """The ignore_older predicate must reach the parquet scan
+    (PushedFilters) — at scale this is row-group/partition pruning,
+    the batch analog of the tail skipping stale files."""
+    from datetime import datetime
+
+    from logpipe.sources.logfiles import ignore_older
+
+    path = str(tmp_path / "t")
+    transcripts.write.parquet(path)
+    kept = ignore_older(spark.read.parquet(path), datetime(2024, 1, 1, 12, 0, 0))
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
