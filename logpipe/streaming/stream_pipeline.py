@@ -60,6 +60,36 @@ def start_stream_pipeline(
     )
 
 
+def streaming_sink_counts(
+    routed: DataFrame, watermark: str = "10 minutes", window: str = "1 minute"
+) -> DataFrame:
+    """Event-time windowed per-sink counts over the routed LogEvent
+    stream — the incremental form of plans.pipeline.sink_counts (the
+    reference's per-flush metrics). Watermark bounds state: windows
+    older than max(event time) - watermark are finalized and their
+    state dropped, so late rows inside the bound still count and the
+    state store stays O(active windows), not O(stream length).
+
+    LogEvent carries `timestamp` as UnixNano; converted back to a
+    timestamp column for the window (micros precision, same as O4's
+    projection input).
+    """
+    ts = F.timestamp_micros((F.col("timestamp") / 1000).cast("long"))
+    return (
+        routed.withColumn("_ts", ts)
+        .withWatermark("_ts", watermark)
+        .groupBy(F.window("_ts", window), "sink")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.length("content")).alias("content_bytes"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "sink", "rows", "content_bytes",
+        )
+    )
+
+
 THROTTLE_STATE_SCHEMA = "buckets array<long>, counts array<long>"
 
 

@@ -153,6 +153,46 @@ def test_streaming_stitch_multi_chunk_batch(spark, tmp_path):
     assert got.get(5) == "2024-01-01 00:00:05 ERROR later"
 
 
+def test_streaming_windowed_sink_counts(spark, transcripts, k8s_meta, tool_meta, tmp_path):
+    """Watermarked windowed aggregation over the routed stream: window
+    totals must equal the batch sink_counts on the same input, and
+    every (window, sink) cell must equal the batch windowed aggregate."""
+    from logpipe.streaming.stream_pipeline import streaming_sink_counts
+
+    inp = str(tmp_path / "in")
+    src = transcripts  # full fixture: ts spans a day -> many windows
+    src.repartition(3).write.parquet(inp)
+
+    stream = spark.readStream.schema(src.schema).option("maxFilesPerTrigger", "1").parquet(inp)
+    routed = run_pipeline(stream, k8s_meta, tool_meta)
+    q = (
+        streaming_sink_counts(routed, watermark="10 minutes", window="1 hour")
+        .writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["window_start"], r["sink"]): (r["rows"], r["content_bytes"])
+        for r in spark.sql("select * from wincounts").collect()
+    }
+    batch = run_pipeline(spark.read.parquet(inp), k8s_meta, tool_meta)
+    ts = F.timestamp_micros((F.col("timestamp") / 1000).cast("long"))
+    exp = {
+        (r["window_start"], r["sink"]): (r["rows"], r["content_bytes"])
+        for r in batch.withColumn("_ts", ts)
+        .groupBy(F.window("_ts", "1 hour"), "sink")
+        .agg(F.count(F.lit(1)).alias("rows"), F.sum(F.length("content")).alias("content_bytes"))
+        .select(F.col("window.start").alias("window_start"), "sink", "rows", "content_bytes")
+        .collect()
+    }
+    assert got == exp
+    assert len({k[0] for k in got}) > 1  # multiple event-time windows exercised
+
+
 def test_streaming_throttle_drop_across_batches(spark, tmp_path):
     """F1 retain=false, stateful: bucket counts carry across
     micro-batches (rows over rate in a LATER batch still drop), and the
