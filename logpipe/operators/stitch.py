@@ -74,6 +74,60 @@ def stitch_multiline(
     )
 
 
+def sessionize_by_gap(
+    df: DataFrame,
+    gap_sec: int = 1800,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Time-gap sessionization: a new session starts when the gap to
+    the previous turn exceeds ``gap_sec`` (the time-based complement of
+    the marker-based stitcher; the reference's flush timers —
+    Docker_Mode_Flush / Multiline_Flush — are the same idea applied to
+    record closure). Adds a per-key ``session_id`` (1-based) via the
+    stitcher's running-sum window shape: one shuffle on `key`.
+    """
+    w = Window.partitionBy(key).orderBy(order_col)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # compare in MICROS: a seconds cast truncates and moves session
+    # boundaries by up to 1s (TIMESTAMP_NTZ goes via a timestamp cast —
+    # identity under the UTC session TZ, same as project_log_event)
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(epoch).over(w)
+    is_start = F.when(
+        prev.isNull() | (epoch - prev > gap_sec * 1_000_000), 1
+    ).otherwise(0)
+    return df.withColumn("session_id", F.sum(is_start).over(wrun))
+
+
+def session_stats(
+    df: DataFrame,
+    gap_sec: int = 1800,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Per-session aggregate over sessionize_by_gap: turn count, span,
+    first turn — the partial-agg-friendly rollup (map-side combine on
+    (key, session_id))."""
+    s = sessionize_by_gap(df, gap_sec, key, ts_col, order_col)
+    return s.groupBy(key, "session_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min(order_col).alias("first_turn"),
+        F.min(ts_col).alias("start_ts"),
+        F.floor(
+            (
+                F.max(F.unix_micros(F.col(ts_col).cast("timestamp")))
+                - F.min(F.unix_micros(F.col(ts_col).cast("timestamp")))
+            )
+            / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("span_sec"),
+    )
+
+
 def stitch_multiline_pandas(
     df: DataFrame, firstline_re: str = FIRSTLINE_RE
 ) -> DataFrame:

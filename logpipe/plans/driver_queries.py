@@ -723,6 +723,54 @@ def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# 12. Time-gap sessionization (F3's time-based complement)
+# ---------------------------------------------------------------------------
+
+_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+), sess AS (
+  SELECT user_id, event_id, ts,
+         CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(min(event_id) AS BIGINT) AS first_turn,
+       min(ts) AS start_ts,
+       CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS BIGINT) AS span_sec
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+@register("session_gap_stats", _SESSION_SQL)
+def session_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over events (30-min gap): per-session
+    turn count, first turn, start, span."""
+    from logpipe.operators.stitch import session_stats
+
+    ev = load_events(spark, sf_dir).select(
+        F.col("user_id"), F.col("event_id"), F.col("ts")
+    )
+    out = session_stats(
+        ev, gap_sec=1800, key="user_id", ts_col="ts", order_col="event_id"
+    )
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "n_turns",
+        F.col("first_turn").cast("long").alias("first_turn"),
+        "start_ts",
+        "span_sec",
+    )
+
+
 # ===========================================================================
 # Training-data pipeline operators (dedup / similarity / text analysis)
 # ===========================================================================

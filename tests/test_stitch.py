@@ -41,6 +41,37 @@ def test_group_count_equals_firstlines(spark, transcripts):
     assert out.agg(F.sum("n_lines")).first()[0] == src.count()
 
 
+def test_sessionize_by_gap(spark):
+    """Sessions split exactly where the inter-turn gap exceeds the
+    threshold; sub-second gaps count (micros comparison, no truncation)."""
+    import datetime as dt
+
+    from logpipe.operators.stitch import session_stats, sessionize_by_gap
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", 1, t0),
+        ("c1", 2, t0 + dt.timedelta(seconds=10)),
+        ("c1", 3, t0 + dt.timedelta(seconds=10, microseconds=1) + dt.timedelta(seconds=30)),  # gap 30.000001s > 30
+        ("c1", 4, t0 + dt.timedelta(seconds=70)),
+        ("c2", 5, t0),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    got = {
+        r["turn_idx"]: r["session_id"]
+        for r in sessionize_by_gap(df, gap_sec=30).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+    stats = {
+        (r["conv_id"], r["session_id"]): (r["n_turns"], r["first_turn"], r["span_sec"])
+        for r in session_stats(df, gap_sec=30).collect()
+    }
+    assert stats[("c1", 1)] == (2, 1, 10)
+    assert stats[("c1", 2)][0] == 2 and stats[("c1", 2)][1] == 3
+    assert stats[("c2", 1)] == (1, 5, 0)
+
+
 def test_pandas_variant_parity(spark, transcripts):
     src = transcripts.filter(F.length("text") < 1000)
     a = stitch_multiline(src)
