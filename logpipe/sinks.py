@@ -74,3 +74,84 @@ def write_sinks(
 def read_sink(spark, base_path: str, sink: str) -> DataFrame:
     """Partition-pruned reader for one sink (F13 Match dispatch)."""
     return spark.read.parquet(base_path).filter(F.col("sink") == sink)
+
+
+PAYLOAD_SCHEMA = (
+    "collector string, chunk_idx int, url string, content_type string, "
+    "content_encoding string, n_events int, body binary"
+)
+
+
+def build_export_payloads(
+    log_events: DataFrame,
+    chunk_rows: int = 1000,
+    gzip_level: int = 3,
+    url_label: str = "monitor_log_collector",
+) -> DataFrame:
+    """O3 wire payloads (out_erda/sender.go:13-24,66-82,
+    remote.go:116-141): chunk export rows per collector, serialize each
+    chunk as the JSON array of LogEvents — field order = the Go struct
+    tags (source, id, stream, content, offset, timestamp, tags, labels),
+    map keys sorted, compact separators (jsoniter
+    ConfigCompatibleWithStandardLibrary) — then gzip (GzipLevel 3,
+    main.go:32) with mtime=0 so output bytes are DETERMINISTIC across
+    retries. The chunk's URL comes from its first record's label
+    (URLFromLogLabel, sender.go:74-77); every chunk carries exactly one
+    collector (the fluent-bit same-target-same-chunk invariant).
+
+    DEFLATE bitstreams are implementation-specific, so Go-vs-Python
+    byte equality is not meaningful; tests verify gunzip->JSON
+    roundtrip equality, header values, and run-to-run determinism.
+
+    Scale shape: one shuffle on collector (applyInPandas grouping);
+    chunking and compression happen inside Arrow batches per group.
+    """
+    import gzip as _gzip
+    import io
+    import json as _json
+
+    import pandas as pd
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["timestamp", "id", "content"], kind="mergesort")
+        out = []
+        for start in range(0, len(pdf), chunk_rows):
+            chunk = pdf.iloc[start : start + chunk_rows]
+            first_labels = chunk.iloc[0]["labels"] or {}
+            events = [
+                {
+                    "source": r["source"],
+                    "id": r["id"],
+                    "stream": r["stream"],
+                    "content": r["content"],
+                    "offset": int(r["offset"]),
+                    "timestamp": int(r["timestamp"]),
+                    "tags": dict(sorted((r["tags"] or {}).items())),
+                    "labels": dict(sorted((r["labels"] or {}).items())),
+                }
+                for _, r in chunk.iterrows()
+            ]
+            body = _json.dumps(events, separators=(",", ":")).encode("utf-8")
+            buf = io.BytesIO()
+            with _gzip.GzipFile(
+                fileobj=buf, mode="wb", compresslevel=gzip_level, mtime=0
+            ) as gz:
+                gz.write(body)
+            out.append(
+                {
+                    "collector": chunk.iloc[0]["collector"],
+                    "chunk_idx": start // chunk_rows,
+                    "url": first_labels.get(url_label, ""),
+                    "content_type": "application/json; charset=UTF-8",
+                    "content_encoding": "gzip",
+                    "n_events": len(chunk),
+                    "body": buf.getvalue(),
+                }
+            )
+        return pd.DataFrame(out)
+
+    export = log_events.filter(F.col("sink") == "export").withColumn(
+        "collector",
+        F.coalesce(F.col("labels")[url_label], F.lit("unknown")),
+    )
+    return export.groupBy("collector").applyInPandas(build, schema=PAYLOAD_SCHEMA)

@@ -36,6 +36,54 @@ def test_write_read_roundtrip(spark, transcripts, k8s_meta, tool_meta, tmp_path)
     assert back.select(cols).exceptAll(out.select(cols)).count() == 0
 
 
+def test_export_payloads_roundtrip(spark, transcripts, k8s_meta, tool_meta):
+    """O3 wire payloads: gunzip+JSON roundtrip reproduces every export
+    row exactly; chunks bounded, single-collector, dynamic URL from the
+    first record's label; bytes deterministic across builds."""
+    import gzip
+    import hashlib
+    import json
+
+    from logpipe.sinks import build_export_payloads
+
+    out = run_pipeline(transcripts, k8s_meta, tool_meta)
+    payloads = build_export_payloads(out, chunk_rows=50).collect()
+    assert payloads
+
+    decoded = []
+    for p in payloads:
+        assert p["content_encoding"] == "gzip"
+        assert p["content_type"] == "application/json; charset=UTF-8"
+        assert 0 < p["n_events"] <= 50
+        events = json.loads(gzip.decompress(bytes(p["body"])))
+        assert len(events) == p["n_events"]
+        for e in events:
+            # single-collector chunk + dynamic URL (sender.go:74-77)
+            assert e["labels"]["monitor_log_collector"] == p["collector"] == p["url"]
+            assert list(e.keys()) == [
+                "source", "id", "stream", "content",
+                "offset", "timestamp", "tags", "labels",
+            ]  # Go struct tag order (sender.go:13-24)
+        decoded.extend(events)
+
+    exp = out.filter("sink = 'export'")
+    assert len(decoded) == exp.count()
+    a = sorted((e["content"], e["id"], e["timestamp"]) for e in decoded)
+    b = sorted(
+        (r["content"], r["id"], r["timestamp"])
+        for r in exp.select("content", "id", "timestamp").collect()
+    )
+    assert a == b
+
+    # determinism: same input -> byte-identical payloads (retry-safe)
+    h1 = sorted(hashlib.md5(bytes(p["body"])).hexdigest() for p in payloads)
+    h2 = sorted(
+        hashlib.md5(bytes(p["body"])).hexdigest()
+        for p in build_export_payloads(out, chunk_rows=50).collect()
+    )
+    assert h1 == h2
+
+
 def test_salting_spreads_hot_key(spark, transcripts, k8s_meta, tool_meta):
     """The hot conv (synth puts ~15% of rows on one conv) must not land
     in a single task partition after the salted write repartition."""
