@@ -28,10 +28,20 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--buckets", type=int, default=8)
     p.add_argument("--synth", type=int, default=0, help="synthesize N input rows")
     p.add_argument("--master", default=None)
+    p.add_argument(
+        "--plan", choices=["ds", "dynamic"], default="ds",
+        help="ds = typed flagship; dynamic = map-record pipeline",
+    )
     args = p.parse_args(argv)
 
     from logpipe.manifest import run_resumable
     from logpipe.session import get_spark
+
+    pipeline_fn = None
+    if args.plan == "dynamic":
+        from logpipe.plans.dynamic import run_dynamic_pipeline
+
+        pipeline_fn = run_dynamic_pipeline
 
     spark = get_spark(app_name="logpipe-cli", master=args.master)
     if args.synth:
@@ -48,7 +58,8 @@ def main(argv: list[str] | None = None) -> None:
         tools = spark.read.parquet(args.tool_meta)
 
     manifest = run_resumable(
-        spark, transcripts, k8s, tools, args.out, args.manifest, n_buckets=args.buckets
+        spark, transcripts, k8s, tools, args.out, args.manifest,
+        n_buckets=args.buckets, pipeline_fn=pipeline_fn,
     )
     print(json.dumps(manifest.totals()))
     spark.stop()

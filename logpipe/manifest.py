@@ -96,11 +96,15 @@ def run_resumable(
     manifest_dir: str,
     n_buckets: int = 8,
     max_buckets: int | None = None,
+    pipeline_fn=None,
 ) -> Manifest:
     """Bucket-wise pipeline run with manifest resume.
 
     ``max_buckets`` limits how many incomplete buckets to process this
     invocation (used by tests to simulate a mid-job crash).
+    ``pipeline_fn``: alternative plan with run_pipeline's signature
+    (e.g. plans.dynamic.run_dynamic_pipeline); default = the typed
+    flagship.
     """
     from logpipe.plans.pipeline import run_pipeline
 
@@ -148,7 +152,9 @@ def run_resumable(
     # leaving completed buckets' directories untouched (crash-safe:
     # a partially written bucket has no manifest entry and is rewritten
     # wholesale when its wave re-runs)
-    out = run_pipeline(part, k8s_meta, tool_meta, passthrough=("bucket",))
+    out = (pipeline_fn or run_pipeline)(
+        part, k8s_meta, tool_meta, passthrough=("bucket",)
+    )
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

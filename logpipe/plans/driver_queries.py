@@ -191,6 +191,57 @@ def eci_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ECI with the stitcher ON: props lines never match the java firstline
+# regex, so each conv folds into ONE group (grp=0 orphan) whose
+# identity comes from the FIRST turn (the stitcher keeps the firstline
+# record's tool -> cpuset lookup -> container id)
+_ECI_STITCHED_SQL = """
+WITH t AS (
+  SELECT user_id, event_id, event_type, substring(props, 1, 51200) AS txt
+  FROM events
+  WHERE props IS NOT NULL AND length(props) > 0
+), g AS (
+  SELECT user_id,
+         string_agg(txt, chr(10) ORDER BY event_id) AS content,
+         arg_min(event_type, event_id) AS first_role
+  FROM t GROUP BY user_id
+), r AS (
+  SELECT content,
+         CASE WHEN first_role = 'purchase' AND (user_id % 16) % 4 <> 3
+              THEN md5('cid-tool-' || CAST(user_id % 16 AS VARCHAR))
+              ELSE '' END AS id
+  FROM g
+), s AS (
+  SELECT 'export' AS sink, content, id FROM r
+  UNION ALL
+  SELECT 'container' AS sink, content, id FROM r
+)
+SELECT sink,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(length(content)) AS BIGINT) AS content_bytes,
+       CAST(sum(length(id)) AS BIGINT) AS id_bytes
+FROM s GROUP BY sink
+"""
+
+
+@register("eci_stitched_route_counts", _ECI_STITCHED_SQL)
+def eci_stitched_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """run_eci_pipeline with stitch=True: the stitch -> first-line
+    identity -> cpuset lookup -> route composition in one gate."""
+    from logpipe.plans.eci import run_eci_pipeline
+
+    ev = load_events(spark, sf_dir)
+    out = run_eci_pipeline(
+        events_as_transcripts(ev), events_tool_meta(ev),
+        collector="collector-9", stitch=True,
+    )
+    return out.groupBy("sink").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("content")).alias("content_bytes"),
+        F.sum(F.length("id")).alias("id_bytes"),
+    )
+
+
 _MERGE_LOG_SQL = """
 WITH lines AS (
   SELECT event_id,

@@ -120,6 +120,7 @@ def run_dynamic_pipeline(
     tool_meta: DataFrame,
     cluster_name: str = DEFAULT_CLUSTER,
     honor_k8s_exclude: bool = False,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     df = transcripts.filter(F.col("text").isNotNull() & (F.length("text") > 0))
 
@@ -128,6 +129,7 @@ def run_dynamic_pipeline(
     df = df.select(
         "conv_id", "turn_idx", "tool", "ts",
         build_map({"log": F.col("text"), "stream": stream}).alias("rec"),
+        *passthrough,
     )
 
     # P2 truncate-log on the record's log key
@@ -294,4 +296,4 @@ def run_dynamic_pipeline(
         .withColumn("stream", F.col("rec").getItem("stream"))
     )
     df = route(df)
-    return project_log_event(df)
+    return project_log_event(df, passthrough=passthrough)
