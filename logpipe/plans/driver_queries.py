@@ -751,6 +751,51 @@ def supplied_qty_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROMO_SQL = """
+SELECT CAST(100.0 * CAST(sum(CASE WHEN p.p_type = 'ECONOMY'
+             THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+             ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS DOUBLE) AS economy_revenue_pct,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+"""
+
+
+@register("promo_revenue_ratio", _PROMO_SQL)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape over part x lineitem: revenue share of one part
+    type inside a date window — exact decimal accumulation, one final
+    double division (deterministic: both operands are exact)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    econ = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(
+        F.lit(0.00).cast("decimal(18,2)")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(econ).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("economy_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 _ANTI_JOIN_SQL = """
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders
