@@ -129,7 +129,7 @@ def build_export_payloads(
                     "tags": dict(sorted((r["tags"] or {}).items())),
                     "labels": dict(sorted((r["labels"] or {}).items())),
                 }
-                for _, r in chunk.iterrows()
+                for r in chunk.to_dict("records")
             ]
             body = _json.dumps(events, separators=(",", ":")).encode("utf-8")
             buf = io.BytesIO()
