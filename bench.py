@@ -33,6 +33,7 @@ HEADLINE = [
     ("minhash_lsh_dups_10x", "noop"),
     ("embedding_cosine_topk", "collect"),
     ("cosine_lsh_near_dups", "noop"),
+    ("session_gap_stats", "noop"),
 ]
 
 
@@ -75,6 +76,18 @@ def main() -> None:
 
     # warm the JVM + parquet footer caches with one cheap pass
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # warm the Python UDF worker pool (pandas/numpy imports happen once
+    # per worker; steady-state queries shouldn't be charged the spawn)
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(x):
+        return x
+
+    spark.range(256).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
+        _warm(F.col("id"))
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, mode in HEADLINE:
