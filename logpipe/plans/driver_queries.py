@@ -932,7 +932,9 @@ def _lang_score_sql(lang_words: list[str]) -> str:
 _LANG_ID_SQL = None  # built below from textstats.STOPWORDS
 
 
-def _build_lang_id_sql() -> str:
+def _lang_id_parts() -> tuple[str, str]:
+    """(scores select-list, CASE expression) — reused by the curated
+    corpus oracle over a filtered CTE."""
     from logpipe.traindata.textstats import LANG_ORDER, STOPWORDS
 
     scores = ", ".join(
@@ -955,6 +957,11 @@ def _build_lang_id_sql() -> str:
         cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
     # evaluate in reverse so earlier langs override (mirrors the Spark fold)
     case_sql = "CASE " + " ".join(cases) + " ELSE 'unk' END"
+    return scores, case_sql
+
+
+def _build_lang_id_sql() -> str:
+    scores, case_sql = _lang_id_parts()
     return f"WITH t AS (SELECT doc_id, text, {scores} FROM documents)\nSELECT doc_id, {case_sql} AS pred_lang FROM t"
 
 
@@ -1056,7 +1063,9 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=2, threshold=0.1)
 
 
-def _minhash_sql(k: int = 32, bands: int = 8, threshold: float = 0.1) -> str:
+def _minhash_sql(
+    k: int = 32, bands: int = 8, threshold: float = 0.1, src: str = "documents"
+) -> str:
     """Full MinHash-LSH pipeline in DuckDB: same Carter-Wegman hashes
     (md5-derived, mod 2^48), same banding, same exact-jaccard verify —
     the Spark LSH path is checked END-TO-END, not just sampled."""
@@ -1074,7 +1083,7 @@ def _minhash_sql(k: int = 32, bands: int = 8, threshold: float = 0.1) -> str:
     )
     return f"""
 WITH w AS (
-  SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+  SELECT doc_id, {_WORDS_SQL} AS words FROM {src}
 ), g AS (
   SELECT doc_id,
          list_distinct(CASE WHEN len(words) >= 2
@@ -1204,6 +1213,96 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGISTRY["near_dup_survivors"] = (
     _REGISTRY["near_dup_survivors"][0],
     _near_dup_survivors_sql(),
+)
+
+
+def _curated_corpus_sql(quality_min: float = 0.6, near_threshold: float = 0.1) -> str:
+    """The full curation pipeline in ONE oracle: lang filter -> quality
+    gate -> exact-dedup winners -> near-dup cluster winners -> per-source
+    doc/token counts. Every stage reuses the already-gated builders
+    (lang CASE, quality formula, minhash pipeline parameterized on the
+    kept CTE, recursive closure)."""
+    scores, case_sql = _lang_id_parts()
+    words_lower = _WORDS_SQL.replace("trim(text)", "trim(lower(text))")
+    mh = _minhash_sql(threshold=near_threshold, src="kept2").strip()
+    # the minhash builder emits its own WITH — splice its CTEs into ours
+    assert mh.startswith("WITH ")
+    mh_body = mh[len("WITH "):]
+    mh_ctes, mh_select = mh_body.rsplit("SELECT doc_a, doc_b", 1)
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, source, text, {scores},
+         CAST(len({_WORDS_SQL}) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter({words_lower},
+              w -> list_contains(['the','a','and','of','to','is','in'], w))) AS DOUBLE) AS sw,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS alpha_ratio
+  FROM documents
+), kept AS (
+  SELECT doc_id, source, text FROM t
+  WHERE ({case_sql}) = 'en'
+    AND round(0.4 * least(1.0, n_tok / 50.0) + 0.3 * alpha_ratio
+            + 0.3 * least(1.0, (sw / greatest(n_tok, 1.0)) * 5.0), 4) >= {quality_min}
+), fpw AS (
+  SELECT min(doc_id) AS doc_id
+  FROM kept GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+), kept2 AS (
+  SELECT k.doc_id, k.source, k.text FROM kept k JOIN fpw ON k.doc_id = fpw.doc_id
+), {mh_ctes.rstrip()}, mh AS (
+  SELECT doc_a, doc_b{mh_select}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mh
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM mh
+), reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM kept2
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+), cl AS (
+  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+)
+SELECT k.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({_WORDS_SQL.replace("trim(text)", "trim(k.text)")})) AS BIGINT) AS total_tokens
+FROM kept2 k JOIN cl ON k.doc_id = cl.doc_id AND cl.doc_id = cl.cluster_id
+GROUP BY k.source
+"""
+
+
+@register("curated_corpus", None)  # SQL attached below (needs builder)
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data curation: language filter -> quality
+    gate -> exact-dedup winners -> near-dup cluster winners ->
+    per-source corpus stats. Composes the individually-gated operators
+    into the pipeline a 100TB curation job actually runs; every stage
+    shuffles ids/scalars only (semi-joins), payloads stay columnar."""
+    from logpipe.traindata.dedup import exact_dedup, near_dup_clusters
+    from logpipe.traindata.textstats import lang_id, quality_score, token_count
+
+    d = _docs(spark, sf_dir)
+    kept = (
+        d.withColumn("_lang", lang_id(F.col("text")))
+        .withColumn("_q", quality_score(F.col("text")))
+        .filter((F.col("_lang") == "en") & (F.col("_q") >= 0.6))
+        .select("doc_id", "source", "text")
+    )
+    exact_winners = exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
+    kept2 = kept.join(exact_winners, "doc_id", "left_semi")
+    cl = near_dup_clusters(kept2, n=2, k=32, bands=8, threshold=0.1)
+    winners = cl.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return (
+        kept2.join(winners, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        )
+    )
+
+
+_REGISTRY["curated_corpus"] = (
+    _REGISTRY["curated_corpus"][0],
+    _curated_corpus_sql(),
 )
 
 
