@@ -147,11 +147,23 @@ def run_resumable(
         for r in part.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
     }
 
+    # remove UNCOMMITTED bucket directories left by a crashed wave
+    # BEFORE writing: dynamic partition overwrite replaces only the
+    # (bucket, sink) partitions this wave produces, so a stale sink
+    # partition from a crash would survive if the re-run's input no
+    # longer routes any row there for that bucket. Committed buckets
+    # are never in `pending`, so their directories are never touched.
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for b in pending:
+        hp = jvm.org.apache.hadoop.fs.Path(f"{out_base}/bucket={b}")
+        hfs = hp.getFileSystem(hconf)
+        if hfs.exists(hp):
+            hfs.delete(hp, True)
+
     # ONE write pass for the whole wave; dynamic partition overwrite
     # replaces exactly the bucket/sink partitions this wave produces,
-    # leaving completed buckets' directories untouched (crash-safe:
-    # a partially written bucket has no manifest entry and is rewritten
-    # wholesale when its wave re-runs)
+    # leaving completed buckets' directories untouched
     out = (pipeline_fn or run_pipeline)(
         part, k8s_meta, tool_meta, passthrough=("bucket",)
     )
@@ -164,7 +176,13 @@ def run_resumable(
 
     # per-bucket/per-sink metrics: one scan of the NEWLY written bucket
     # directories only (verifies what physically landed on disk)
-    written = [b for b in pending if os.path.isdir(f"{out_base}/bucket={b}")]
+    written = [
+        b
+        for b in pending
+        if jvm.org.apache.hadoop.fs.Path(f"{out_base}/bucket={b}")
+        .getFileSystem(hconf)
+        .exists(jvm.org.apache.hadoop.fs.Path(f"{out_base}/bucket={b}"))
+    ]
     counts: dict[int, dict[str, dict[str, int]]] = {b: {} for b in pending}
     if written:
         for r in (

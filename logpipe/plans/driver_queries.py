@@ -1131,27 +1131,37 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGISTRY["minhash_lsh_dups"] = (_REGISTRY["minhash_lsh_dups"][0], _minhash_sql())
 
 
+def _closure_ctes(pairs_cte: str = "mh", seed_cte: str = "documents") -> str:
+    """The connected-components closure block shared by every clustering
+    oracle (near_dup_clusters / near_dup_survivors / curated_corpus —
+    ONE definition so a fix cannot drift between them): symmetrized
+    edges, recursive reachability (UNION, not UNION ALL, dedupes
+    (node, label) pairs so the recursion terminates at the transitive
+    closure), min-label per node."""
+    return f"""
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM {pairs_cte}
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM {pairs_cte}
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM {seed_cte}
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+"""
+
+
 def _near_dup_clusters_sql(threshold: float = 0.1) -> str:
     """Connected components replayed in DuckDB: the full MinHash-LSH
-    pair pipeline as a CTE, then a recursive reachability closure —
-    cluster_id = min doc_id reachable through near-dup edges. The
-    UNION (not UNION ALL) dedupes (node, label) pairs, so the
-    recursion terminates at the transitive closure."""
+    pair pipeline as a CTE, then the shared recursive closure —
+    cluster_id = min doc_id reachable through near-dup edges."""
     mh = _minhash_sql(threshold=threshold).strip()
     return f"""
 WITH RECURSIVE mh AS ({mh}),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM mh
-  UNION
-  SELECT doc_b AS src, doc_a AS dst FROM mh
-),
-reach(node, lab) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
-)
-SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
-FROM reach GROUP BY node
+{_closure_ctes()}
+SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM cl
 """
 
 
@@ -1176,17 +1186,7 @@ def _near_dup_survivors_sql(threshold: float = 0.1) -> str:
     mh = _minhash_sql(threshold=threshold).strip()
     return f"""
 WITH RECURSIVE mh AS ({mh}),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM mh
-  UNION
-  SELECT doc_b AS src, doc_a AS dst FROM mh
-),
-reach(node, lab) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
-),
-cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+{_closure_ctes()}
 SELECT d.lang, CAST(count(*) AS BIGINT) AS n_survivors
 FROM documents d JOIN cl ON d.doc_id = cl.doc_id AND cl.doc_id = cl.cluster_id
 GROUP BY d.lang
@@ -1250,17 +1250,7 @@ WITH RECURSIVE t AS (
   SELECT k.doc_id, k.source, k.text FROM kept k JOIN fpw ON k.doc_id = fpw.doc_id
 ), {mh_ctes.rstrip()}, mh AS (
   SELECT doc_a, doc_b{mh_select}
-), edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM mh
-  UNION
-  SELECT doc_b AS src, doc_a AS dst FROM mh
-), reach(node, lab) AS (
-  SELECT doc_id, doc_id FROM kept2
-  UNION
-  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
-), cl AS (
-  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
-)
+), {_closure_ctes(seed_cte="kept2")}
 SELECT k.source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(len({_WORDS_SQL.replace("trim(text)", "trim(k.text)")})) AS BIGINT) AS total_tokens

@@ -113,7 +113,12 @@ def build_export_payloads(
     import pandas as pd
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["timestamp", "id", "content"], kind="mergesort")
+        # null timestamps (unparseable record time) serialize as 0 — the
+        # deterministic stand-in for the reference's collection-time
+        # fallback (outerda.go:91-96); na_position keeps the sort stable
+        pdf = pdf.sort_values(
+            ["timestamp", "id", "content"], kind="mergesort", na_position="first"
+        )
         out = []
         for start in range(0, len(pdf), chunk_rows):
             chunk = pdf.iloc[start : start + chunk_rows]
@@ -124,8 +129,8 @@ def build_export_payloads(
                     "id": r["id"],
                     "stream": r["stream"],
                     "content": r["content"],
-                    "offset": int(r["offset"]),
-                    "timestamp": int(r["timestamp"]),
+                    "offset": int(r["offset"]) if pd.notna(r["offset"]) else 0,
+                    "timestamp": int(r["timestamp"]) if pd.notna(r["timestamp"]) else 0,
                     "tags": dict(sorted((r["tags"] or {}).items())),
                     "labels": dict(sorted((r["labels"] or {}).items())),
                 }

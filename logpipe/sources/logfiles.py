@@ -64,9 +64,17 @@ def _resolve_paths(
         return [path]  # let the reader raise its usual path-not-found
     kept = []
     for st in statuses:
-        p = st.getPath().toUri().getPath()  # scheme-less path for globbing
-        if not any(fnmatch.fnmatch(p, pat) for pat in exclude_path):
-            kept.append(st.getPath().toString())
+        # a directory input (or a glob matching directories) must be
+        # expanded so exclusion tests FILE paths — matching the glob
+        # against the directory itself would silently keep everything
+        # inside it (the self-ingestion loop Exclude_Path exists to stop)
+        children = fs.listStatus(st.getPath()) if st.isDirectory() else [st]
+        for c in children:
+            if c.isDirectory():
+                continue  # tail does not recurse
+            p = c.getPath().toUri().getPath()  # scheme-less path for globbing
+            if not any(fnmatch.fnmatch(p, pat) for pat in exclude_path):
+                kept.append(c.getPath().toString())
     return kept
 
 

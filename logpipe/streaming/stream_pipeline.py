@@ -74,7 +74,10 @@ def streaming_sink_counts(
     timestamp column for the window (micros precision, same as O4's
     projection input).
     """
-    ts = F.timestamp_micros((F.col("timestamp") / 1000).cast("long"))
+    # integer division: a double roundtrip (ts/1000).cast(long) loses
+    # precision above 2^53 ns and can shift boundary-aligned events one
+    # window back
+    ts = F.timestamp_micros(F.expr("timestamp div 1000"))
     return (
         routed.withColumn("_ts", ts)
         .withWatermark("_ts", watermark)

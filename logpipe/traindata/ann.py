@@ -212,11 +212,16 @@ def cosine_lsh_near_dups(
     eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     from logpipe.traindata._lsh_udf import cosine_prefilter_udf
 
+    # guard band must cover the OUTPUT rounding quantum: the exact
+    # filter is round(cos, 4) >= threshold, which admits true cosines
+    # down to threshold - 5e-5 (HALF_UP), plus a hair for numpy
+    # summation-order error — a tighter band would silently drop pairs
+    # the all-pairs path and the DuckDB oracle emit
     pre = (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
         .withColumn("_approx", cosine_prefilter_udf(F.col("ea"), F.col("eb")))
-        .filter(F.col("_approx") >= threshold - 1e-9)
+        .filter(F.col("_approx") >= threshold - 5e-5 - 1e-9)
     )
     exact = F.round(
         dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb"))), 4

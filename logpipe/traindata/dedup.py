@@ -330,6 +330,15 @@ def near_dup_clusters(
         labels = new
         if changed == 0:
             break
+    else:
+        # deterministic failure beats silently-wrong clusters: a
+        # component with diameter > max_iter (e.g. a long chain of
+        # versioned docs) has not converged — raise, don't return
+        raise RuntimeError(
+            f"near_dup_clusters: min-label propagation did not converge "
+            f"in {max_iter} rounds ({changed} labels still moving); "
+            f"raise max_iter or switch to alternating large/small star"
+        )
     return (
         docs.select("doc_id")
         .join(labels, "doc_id", "left")

@@ -97,6 +97,11 @@ def test_exclude_path_prunes_at_listing(spark, tmp_path):
     assert read_docker_logs(spark, glob).select("file").distinct().count() == 2
     # everything excluded -> empty frame, not an error
     assert read_docker_logs(spark, glob, exclude_path=("*.log",)).count() == 0
+    # DIRECTORY input: exclusion must test the files inside, not the
+    # directory path itself (the natural call shape for a tail path)
+    ddf = read_docker_logs(spark, str(tmp_path), exclude_path=("*fluent-bit*.log",))
+    dfiles = [r["file"] for r in ddf.select("file").distinct().collect()]
+    assert len(dfiles) == 1 and "fluent-bit" not in dfiles[0]
 
 
 def test_skip_long_lines_drops_not_truncates(spark, tmp_path):

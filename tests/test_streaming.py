@@ -180,7 +180,7 @@ def test_streaming_windowed_sink_counts(spark, transcripts, k8s_meta, tool_meta,
         for r in spark.sql("select * from wincounts").collect()
     }
     batch = run_pipeline(spark.read.parquet(inp), k8s_meta, tool_meta)
-    ts = F.timestamp_micros((F.col("timestamp") / 1000).cast("long"))
+    ts = F.timestamp_micros(F.expr("timestamp div 1000"))
     exp = {
         (r["window_start"], r["sink"]): (r["rows"], r["content_bytes"])
         for r in batch.withColumn("_ts", ts)
