@@ -92,6 +92,54 @@ def test_throttle_drop_matches_python_model(spark, rows, rate):
     assert got == expect
 
 
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="xy", min_size=1, max_size=3), st.booleans()),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_fragment_join_matches_python_model(spark, rows):
+    """fragment_join: a partial record continues into the next one;
+    fragments concatenate with no separator; the first fragment's
+    identity wins; a trailing partial flushes as-is."""
+    import datetime as dt
+
+    from logpipe.sources.logfiles import fragment_join
+
+    data = [
+        ("c1", i, txt, partial, "stdout", None,
+         dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i))
+        for i, (txt, partial) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "conv_id string, turn_idx int, text string, partial boolean, "
+        "role string, tool string, ts timestamp",
+    )
+    got = {
+        r["turn_idx"]: (r["text"], r["ts"].second + r["ts"].minute * 60)
+        for r in fragment_join(df, carry=("role", "tool", "ts")).collect()
+    }
+
+    expect = {}
+    cur_idx, cur_txt = None, None
+    prev_partial = False
+    for i, (txt, partial) in enumerate(rows):
+        if not prev_partial:
+            if cur_idx is not None:
+                expect[cur_idx] = cur_txt
+            cur_idx, cur_txt = i, txt
+        else:
+            cur_txt += txt
+        prev_partial = partial
+    expect[cur_idx] = cur_txt
+    assert {k: v[0] for k, v in got.items()} == expect
+    for k, (_, sec) in got.items():
+        assert sec == k % 3600  # first fragment's timestamp
+
+
 _json_value = st.one_of(
     st.text(alphabet="xyz ", max_size=5),
     st.integers(-1000, 1000),
