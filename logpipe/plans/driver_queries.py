@@ -991,6 +991,78 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", ts.fingerprint(F.col("text")).alias("fp"))
 
 
+# --- dataset assembly -------------------------------------------------------
+
+_HASH_FRAC_SQL = (
+    "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    " / 4294967296.0)"
+)
+
+_HASH_SPLIT_SQL = f"""
+WITH s AS (
+  SELECT doc_id, {_WORDS_SQL} AS words,
+         CASE WHEN {_HASH_FRAC_SQL} < 0.9 THEN 'train'
+              WHEN {_HASH_FRAC_SQL} < 0.95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(words)) AS BIGINT) AS total_tokens
+FROM s GROUP BY split
+"""
+
+
+@register("dataset_hash_split", _HASH_SPLIT_SQL)
+def dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by md5-hash fraction of
+    doc_id — reproducible across runs and engines; zero shuffle for the
+    assignment itself."""
+    from logpipe.traindata.sampling import hash_split
+    from logpipe.traindata.textstats import token_count
+
+    d = hash_split(_docs(spark, sf_dir))
+    return d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+    )
+
+
+_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8) AS bucket,
+         CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+), p AS (
+  SELECT bucket, doc_id, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+              AS BIGINT) AS chunk
+  FROM t
+)
+SELECT bucket, chunk,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM p GROUP BY bucket, chunk
+"""
+
+
+@register("pack_chunks", _PACK_SQL)
+def pack_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (512-token chunks, 8 buckets):
+    per-(bucket, chunk) doc/token counts."""
+    from logpipe.traindata.sampling import pack_chunks
+
+    d = pack_chunks(_docs(spark, sf_dir), budget=512, n_buckets=8)
+    return d.groupBy("bucket", "chunk").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("chunk_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 # --- dedup ----------------------------------------------------------------
 
 _DEDUP_EXACT_SQL = """

@@ -1,0 +1,90 @@
+"""Dataset assembly ops: deterministic splits and sequence packing.
+
+The last mile of a training-data pipeline once documents are filtered
+and deduplicated:
+
+- hash_split: stable train/val/test assignment from a hash of the
+  document id — reproducible across runs/engines (md5-derived fraction,
+  so the DuckDB oracle replays it bit-for-bit), no shuffle at all
+  (a per-row projection; at 100TB the split is free).
+- pack_chunks: concat-and-chunk sequence packing (the standard LLM
+  pretraining shape: stream documents in a deterministic order, cut
+  every `budget` tokens; a document belongs to the chunk its first
+  token lands in). Packing is per-BUCKET so the running sum never
+  funnels the corpus through one task: each of n_buckets packs
+  independently under a window, trading a bucket-boundary partial
+  chunk (bounded waste: < budget tokens per bucket) for full
+  parallelism — the same salting idea as the sink writer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from logpipe.traindata.textstats import token_count
+
+
+def _hash_frac(key: Column) -> Column:
+    """md5-derived uniform fraction in [0, 1) — engine-portable."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(1 << 32))
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Add a `split` column by deterministic hash bucket.
+
+    Default 90/5/5 train/val/test. Assignment depends only on the key,
+    so re-runs, added partitions, and other engines agree — the
+    property that matters when the corpus is rebuilt incrementally.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    frac = _hash_frac(F.col(key))
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        expr = (
+            F.when(frac < acc, name) if expr is None else expr.when(frac < acc, name)
+        )
+    expr = expr.otherwise(items[-1][0])
+    return docs.withColumn("split", expr)
+
+
+def pack_chunks(
+    docs: DataFrame,
+    budget: int = 2048,
+    n_buckets: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each doc to a (bucket, chunk) of ~`budget` tokens.
+
+    bucket = md5-hash of doc_id mod n_buckets (portable); within a
+    bucket, docs stream in doc_id order and chunk = floor(cumulative
+    tokens before this doc / budget) — concat-and-chunk, where a doc
+    straddling a boundary belongs to the chunk its first token lands
+    in. One shuffle on bucket; the window runs per bucket.
+    """
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(n_buckets),
+    )
+    d = docs.withColumn("bucket", b).withColumn(
+        "n_tokens", token_count(F.col(text_col))
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return d.withColumn("chunk", F.floor(start / F.lit(budget)).cast("long"))
