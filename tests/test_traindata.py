@@ -140,6 +140,42 @@ def test_ann_lsh_recall(spark, emb):
             assert ec[key] == r["cosine"]
 
 
+def test_hash_split_deterministic_and_proportional(spark, docs):
+    from logpipe.traindata.sampling import hash_split
+
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    assert a == b  # stable across runs
+    assert set(a.values()) == {"train", "val", "test"}
+    n = len(a)
+    train = sum(1 for v in a.values() if v == "train")
+    assert 0.8 * n <= train <= 0.97 * n  # ~90% within sampling noise
+    # assignment is a pure function of doc_id: a subset agrees
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.filter(F.col("doc_id") % 3 == 0)).collect()
+    }
+    assert all(a[k] == v for k, v in sub.items())
+
+
+def test_pack_chunks_matches_prefix_sums(spark, docs):
+    """chunk = floor(tokens-before-this-doc / budget) within each
+    bucket's doc_id order — recomputed independently in Python."""
+    from logpipe.traindata.sampling import pack_chunks
+
+    rows = pack_chunks(docs, budget=256, n_buckets=4).collect()
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert len(by_bucket) == 4
+    for _, rs in by_bucket.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        acc = 0
+        for r in rs:
+            assert r["chunk"] == acc // 256, r
+            acc += r["n_tokens"]
+
+
 def test_multimodal_plumbing(spark):
     from logpipe.traindata.multimodal import (
         decode_features,
