@@ -1028,6 +1028,43 @@ def dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# mixture rates chosen so every branch is exercised: downsample (0.5),
+# upsample with repetition (2.25), keep (default 1.0)
+_MIXTURE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, {_HASH_FRAC_SQL} AS frac,
+         CASE WHEN source IN ('src0','src1','src2','src3') THEN 0.5
+              WHEN source IN ('src4','src5') THEN 2.25
+              ELSE 1.0 END AS rate
+  FROM documents
+), n AS (
+  SELECT doc_id, source,
+         CAST(floor(rate) AS INT)
+           + CASE WHEN frac < rate - floor(rate) THEN 1 ELSE 0 END AS n_copies
+  FROM t
+)
+SELECT source,
+       CAST(sum(n_copies) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (n_copies > 0) AS BIGINT) AS n_unique_docs
+FROM n GROUP BY source
+"""
+
+
+@register("mixture_sample_counts", _MIXTURE_SQL)
+def mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing: downsample src0-3 at 0.5x, upsample
+    src4-5 at 2.25x (integer repetition + fractional hash keep), keep
+    the rest — per-source emitted rows + unique docs."""
+    from logpipe.traindata.sampling import mixture_sample
+
+    rates = {f"src{i}": 0.5 for i in range(4)} | {"src4": 2.25, "src5": 2.25}
+    out = mixture_sample(_docs(spark, sf_dir), rates)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_unique_docs"),
+    )
+
+
 _PACK_SQL = f"""
 WITH t AS (
   SELECT doc_id,

@@ -58,6 +58,44 @@ def hash_split(
     return docs.withColumn("split", expr)
 
 
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    key: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-source re-weighting (data mixing): a doc with
+    rate r is kept floor(r) times plus once more iff its hash fraction
+    < frac(r). Downsampling (r<1) keeps a stable subset; upsampling
+    (r>1) emits repeated copies with a `copy` index (0-based) so
+    downstream shuffles still have a unique (key, copy) identity.
+
+    Pure function of (key, source) — rebuilding the corpus reproduces
+    the exact same mixture; no shuffle (projection + generator).
+    """
+    rate = None
+    for s, r in rates.items():
+        rate = (
+            F.when(F.col(source_col) == s, float(r))
+            if rate is None
+            else rate.when(F.col(source_col) == s, float(r))
+        )
+    rate = rate.otherwise(float(default_rate)) if rate is not None else F.lit(
+        float(default_rate)
+    )
+    frac = _hash_frac(F.col(key))
+    n_copies = F.floor(rate).cast("int") + F.when(
+        frac < rate - F.floor(rate), 1
+    ).otherwise(0)
+    return (
+        docs.withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_n")
+    )
+
+
 def pack_chunks(
     docs: DataFrame,
     budget: int = 2048,
