@@ -976,6 +976,53 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGISTRY["lang_id"] = (_REGISTRY["lang_id"][0], _build_lang_id_sql())
 
 
+_REPETITION_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+), g AS (
+  SELECT doc_id, words,
+         CASE WHEN len(words) >= 2
+           THEN [words[i] || ' ' || words[i+1] for i in generate_series(1, len(words)-1)]
+           ELSE [] END AS grams
+  FROM w
+), dupf AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 2
+           THEN round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                      / len(grams), 4)
+           ELSE 0.0 END AS dup_bigram_frac
+  FROM g
+), tok AS (
+  SELECT doc_id, unnest(words) AS tok FROM w
+), per_tok AS (
+  SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+), per_doc AS (
+  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_token_frac
+  FROM per_tok GROUP BY doc_id
+)
+SELECT d.doc_id, dupf.dup_bigram_frac,
+       coalesce(per_doc.top_token_frac, 0.0) AS top_token_frac
+FROM documents d
+JOIN dupf ON d.doc_id = dupf.doc_id
+LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+"""
+
+
+@register("repetition_signals", _REPETITION_SQL)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters: duplicate-bigram
+    position fraction (columnar) + top-token coverage (explode +
+    partial-agg groupBys)."""
+    from logpipe.traindata import textstats as ts
+
+    d = _docs(spark, sf_dir)
+    dup = d.select(
+        "doc_id", ts.dup_ngram_fraction(F.col("text"), n=2).alias("dup_bigram_frac")
+    )
+    top = ts.top_token_stats(d)
+    return dup.join(top, "doc_id")
+
+
 _FINGERPRINT_SQL = """
 SELECT doc_id,
        md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp

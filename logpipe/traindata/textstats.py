@@ -82,6 +82,45 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def dup_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Gopher-style repetition signal: fraction of n-gram POSITIONS that
+    repeat an earlier n-gram ((total - distinct) / total). High values
+    flag machine-generated / boilerplate-heavy documents. Columnar:
+    zip_with over shifted token slices (no per-position indexing), no
+    shuffle. Docs with < n tokens score 0.0.
+    """
+    toks = tokens(text)
+    cnt = F.size(toks) - (n - 1)
+    acc = F.slice(toks, 1, cnt)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, j + 1, cnt), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    distinct = F.size(F.array_distinct(acc))
+    frac = (cnt - distinct).cast("double") / cnt.cast("double")
+    return F.when(F.size(toks) >= n, F.round(frac, 4)).otherwise(F.lit(0.0))
+
+
+def top_token_stats(docs, text_col: str = "text"):
+    """(doc_id, top_token_frac): share of the document covered by its
+    single most frequent token (Gopher top-1 coverage filter). Explode +
+    two partial-aggregating groupBys on doc_id — shuffle key is the doc
+    id, token fan-out collapses map-side. Token-less docs score 0.0.
+    """
+    tok = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
+    per_tok = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.max("c").alias("top"), F.sum("c").alias("total")
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(
+            F.round(F.col("top").cast("double") / F.col("total").cast("double"), 4),
+            F.lit(0.0),
+        ).alias("top_token_frac"),
+    )
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, whitespace-collapsed."""
     return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
