@@ -1040,16 +1040,19 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- dataset assembly -------------------------------------------------------
 
-_HASH_FRAC_SQL = (
-    "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
-    " / 4294967296.0)"
-)
+# per-op salted hashes (mirrors sampling._hash_u32: unsalted hashes
+# would correlate split/mixture/pack decisions when ops compose)
+def _hash_frac_sql(salt: str) -> str:
+    return (
+        f"(('0x' || substring(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+        " / 4294967296.0)"
+    )
 
 _HASH_SPLIT_SQL = f"""
 WITH s AS (
   SELECT doc_id, {_WORDS_SQL} AS words,
-         CASE WHEN {_HASH_FRAC_SQL} < 0.9 THEN 'train'
-              WHEN {_HASH_FRAC_SQL} < 0.95 THEN 'val'
+         CASE WHEN {_hash_frac_sql('split')} < 0.9 THEN 'train'
+              WHEN {_hash_frac_sql('split')} < 0.95 THEN 'val'
               ELSE 'test' END AS split
   FROM documents
 )
@@ -1079,7 +1082,7 @@ def dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # upsample with repetition (2.25), keep (default 1.0)
 _MIXTURE_SQL = f"""
 WITH t AS (
-  SELECT doc_id, source, {_HASH_FRAC_SQL} AS frac,
+  SELECT doc_id, source, {_hash_frac_sql('mix')} AS frac,
          CASE WHEN source IN ('src0','src1','src2','src3') THEN 0.5
               WHEN source IN ('src4','src5') THEN 2.25
               ELSE 1.0 END AS rate
@@ -1115,7 +1118,7 @@ def mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_SQL = f"""
 WITH t AS (
   SELECT doc_id,
-         (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8) AS bucket,
+         (('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8) AS bucket,
          CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
   FROM documents
 ), p AS (

@@ -26,11 +26,24 @@ from pyspark.sql.window import Window
 from logpipe.traindata.textstats import token_count
 
 
-def _hash_frac(key: Column) -> Column:
-    """md5-derived uniform fraction in [0, 1) — engine-portable."""
-    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
-        "double"
-    ) / F.lit(float(1 << 32))
+def _hash_u32(key: Column, salt: str) -> Column:
+    """md5-derived uniform 32-bit integer — engine-portable.
+
+    Every operation SALTS its hash: unsalted md5(key) everywhere would
+    perfectly correlate decisions when ops compose (e.g. a 0.5x
+    downsample keeping exactly frac < 0.5 would then delete the entire
+    frac >= 0.9 test split for that source).
+    """
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def _hash_frac(key: Column, salt: str) -> Column:
+    """md5-derived uniform fraction in [0, 1), salted per operation."""
+    return _hash_u32(key, salt).cast("double") / F.lit(float(1 << 32))
 
 
 def hash_split(
@@ -40,15 +53,23 @@ def hash_split(
 ) -> DataFrame:
     """Add a `split` column by deterministic hash bucket.
 
-    Default 90/5/5 train/val/test. Assignment depends only on the key,
-    so re-runs, added partitions, and other engines agree — the
-    property that matters when the corpus is rebuilt incrementally.
+    Default 90/5/5 train/val/test. Assignment depends only on the key
+    (salted independently of the other sampling ops), so re-runs, added
+    partitions, and other engines agree — the property that matters
+    when the corpus is rebuilt incrementally. Weights must sum to 1.
     """
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
-    frac = _hash_frac(F.col(key))
+    if not weights:
+        raise ValueError("hash_split: weights must be non-empty")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"hash_split: weights must sum to 1, got {total}")
+    items = list(weights.items())
+    if len(items) == 1:
+        return docs.withColumn("split", F.lit(items[0][0]))
+    frac = _hash_frac(F.col(key), "split")
     expr = None
     acc = 0.0
-    items = list(weights.items())
     for name, w in items[:-1]:
         acc += w
         expr = (
@@ -84,7 +105,7 @@ def mixture_sample(
     rate = rate.otherwise(float(default_rate)) if rate is not None else F.lit(
         float(default_rate)
     )
-    frac = _hash_frac(F.col(key))
+    frac = _hash_frac(F.col(key), "mix")
     n_copies = F.floor(rate).cast("int") + F.when(
         frac < rate - F.floor(rate), 1
     ).otherwise(0)
@@ -105,23 +126,22 @@ def pack_chunks(
     """Assign each doc to a (bucket, chunk) of ~`budget` tokens.
 
     bucket = md5-hash of doc_id mod n_buckets (portable); within a
-    bucket, docs stream in doc_id order and chunk = floor(cumulative
-    tokens before this doc / budget) — concat-and-chunk, where a doc
-    straddling a boundary belongs to the chunk its first token lands
-    in. One shuffle on bucket; the window runs per bucket.
+    bucket, docs stream in (doc_id[, copy]) order and chunk =
+    floor(cumulative tokens before this doc / budget) —
+    concat-and-chunk, where a doc straddling a boundary belongs to the
+    chunk its first token lands in. One shuffle on bucket; the window
+    runs per bucket. When a `copy` column is present (mixture_sample
+    output), it joins the ordering key so repeated rows pack
+    deterministically.
     """
-    b = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-            "long"
-        ),
-        F.lit(n_buckets),
-    )
+    b = F.pmod(_hash_u32(F.col("doc_id"), "pack"), F.lit(n_buckets))
     d = docs.withColumn("bucket", b).withColumn(
         "n_tokens", token_count(F.col(text_col))
     )
+    order_cols = ["doc_id"] + (["copy"] if "copy" in docs.columns else [])
     w = (
         Window.partitionBy("bucket")
-        .orderBy("doc_id")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))

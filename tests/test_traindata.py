@@ -158,6 +158,35 @@ def test_hash_split_deterministic_and_proportional(spark, docs):
     assert all(a[k] == v for k, v in sub.items())
 
 
+def test_sampling_ops_compose_without_correlation(spark, docs):
+    """Each sampling op salts its hash: a 0.5x downsample must NOT wipe
+    out the val/test splits (unsalted md5(doc_id) everywhere would keep
+    exactly frac < 0.5 — all 'train' docs)."""
+    import pytest
+
+    from logpipe.traindata.sampling import hash_split, mixture_sample, pack_chunks
+
+    mixed = mixture_sample(docs, {f"src{i}": 0.5 for i in range(20)})
+    splits = {
+        r["split"]: r["count"]
+        for r in hash_split(mixed).groupBy("split").count().collect()
+    }
+    assert set(splits) == {"train", "val", "test"}
+    # packing an upsampled corpus (duplicate doc_ids) stays deterministic
+    up = mixture_sample(docs, {f"src{i}": 2.25 for i in range(20)})
+    a = sorted(
+        (r["doc_id"], r["copy"], r["chunk"]) for r in pack_chunks(up).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["copy"], r["chunk"]) for r in pack_chunks(up).collect()
+    )
+    assert a == b
+    # weights validation
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, weights={"train": 0.7, "val": 0.2, "test": 0.05})
+    assert hash_split(docs, weights={"train": 1.0}).select("split").distinct().collect()[0][0] == "train"
+
+
 def test_pack_chunks_matches_prefix_sums(spark, docs):
     """chunk = floor(tokens-before-this-doc / budget) within each
     bucket's doc_id order — recomputed independently in Python."""
