@@ -50,6 +50,13 @@ def test_resume_after_partial_run(spark, transcripts, k8s_meta, tool_meta, tmp_p
     got = _sink_totals(spark, out_base)
     assert {k: (v[0],) for k, v in got.items()} == expected
 
+    # full CONTENT equality across the crash boundary, not just counts
+    back = spark.read.option("basePath", out_base).parquet(f"{out_base}/bucket=*")
+    cols = ["sink", "source", "id", "stream", "content", "timestamp"]
+    single = run_pipeline(transcripts, k8s_meta, tool_meta).select(cols)
+    assert single.exceptAll(back.select(cols)).count() == 0
+    assert back.select(cols).exceptAll(single).count() == 0
+
     # lineage totals agree with the physical output
     totals = m2.totals()
     assert totals["units"] == 8
