@@ -29,7 +29,14 @@ equivalent here:
 At cluster scale the same protocol runs with Iceberg snapshot commits
 instead of directory writes; the manifest then stores snapshot ids.
 On 100TB, n_buckets is sized so one bucket ≈ one executor-wave of
-work (e.g. 4096), and waves are embarrassingly parallel across jobs.
+work (e.g. 4096). A manifest is SINGLE-WRITER per wave: run_resumable
+takes an exclusive lease file (`_lease`, O_EXCL-created) before
+claiming pending buckets, so a second concurrent invocation fails
+fast with ConcurrentWaveError instead of racing the pre-write deletes
+and dynamic-overwrite writes on the same bucket= paths. A lease older
+than lease_ttl_sec is presumed crashed and stolen. Parallelism across
+JOBS comes from separate manifests over disjoint inputs, not from
+concurrent waves on one manifest.
 """
 
 from __future__ import annotations
@@ -87,6 +94,32 @@ def bucket_of(col, n_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(n_buckets))
 
 
+class ConcurrentWaveError(RuntimeError):
+    """Another run_resumable wave holds this manifest's lease."""
+
+
+def _existing_bucket_dirs(spark: SparkSession, out_base: str) -> set[int]:
+    """Bucket partition directories present under out_base — ONE
+    listStatus RPC total, not one exists() per bucket (at the 100TB
+    grain of n_buckets≈4096 the per-bucket probe was ~4k sequential
+    namenode calls before the wave could start)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    base = jvm.org.apache.hadoop.fs.Path(out_base)
+    fs = base.getFileSystem(hconf)
+    if not fs.exists(base):
+        return set()
+    out: set[int] = set()
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("bucket="):
+            try:
+                out.add(int(name[len("bucket="):]))
+            except ValueError:
+                pass
+    return out
+
+
 def run_resumable(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -97,6 +130,7 @@ def run_resumable(
     n_buckets: int = 8,
     max_buckets: int | None = None,
     pipeline_fn=None,
+    lease_ttl_sec: float = 3600.0,
 ) -> Manifest:
     """Bucket-wise pipeline run with manifest resume.
 
@@ -105,10 +139,64 @@ def run_resumable(
     ``pipeline_fn``: alternative plan with run_pipeline's signature
     (e.g. plans.dynamic.run_dynamic_pipeline); default = the typed
     flagship.
+
+    Single-writer: an exclusive `_lease` file is taken for the wave;
+    a concurrent invocation raises ConcurrentWaveError unless the
+    lease is older than ``lease_ttl_sec`` (presumed crashed, stolen).
     """
+    manifest = Manifest(manifest_dir)
+    lease_path = os.path.join(manifest_dir, "_lease")
+    lease_token = uuid.uuid4().hex
+    try:
+        fd = os.open(lease_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            json.dump({"token": lease_token, "ts": time.time()}, f)
+    except FileExistsError:
+        try:
+            with open(lease_path) as f:
+                held = json.load(f)
+            age = time.time() - held.get("ts", 0)
+        except (OSError, ValueError):
+            held, age = {}, float("inf")
+        if age < lease_ttl_sec:
+            raise ConcurrentWaveError(
+                f"manifest at {manifest_dir} is leased by another wave "
+                f"(token {held.get('token', '?')[:8]}, {age:.0f}s old, "
+                f"ttl {lease_ttl_sec:.0f}s); one wave per manifest"
+            )
+        # stale lease from a crashed wave: steal it (atomic replace)
+        tmp = lease_path + f".tmp-{lease_token[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"token": lease_token, "ts": time.time()}, f)
+        os.replace(tmp, lease_path)
+    try:
+        return _run_wave(
+            spark, transcripts, k8s_meta, tool_meta, out_base, manifest,
+            manifest_dir, n_buckets, max_buckets, pipeline_fn,
+        )
+    finally:
+        try:
+            with open(lease_path) as f:
+                if json.load(f).get("token") == lease_token:
+                    os.remove(lease_path)
+        except (OSError, ValueError):
+            pass
+
+
+def _run_wave(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    k8s_meta: DataFrame,
+    tool_meta: DataFrame,
+    out_base: str,
+    manifest: Manifest,
+    manifest_dir: str,
+    n_buckets: int,
+    max_buckets: int | None,
+    pipeline_fn,
+) -> Manifest:
     from logpipe.plans.pipeline import run_pipeline
 
-    manifest = Manifest(manifest_dir)
     # the bucketing function is part of the checkpoint's identity:
     # resuming with a different n_buckets would skip units whose conv
     # sets were computed under the old modulus (rows lost + duplicated)
@@ -153,13 +241,14 @@ def run_resumable(
     # partition from a crash would survive if the re-run's input no
     # longer routes any row there for that bucket. Committed buckets
     # are never in `pending`, so their directories are never touched.
+    # ONE listStatus + set-intersect; deletes only fire for actual
+    # crash leftovers (normally zero), never n_buckets probes.
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    for b in pending:
+    stale = _existing_bucket_dirs(spark, out_base) & set(pending)
+    for b in sorted(stale):
         hp = jvm.org.apache.hadoop.fs.Path(f"{out_base}/bucket={b}")
-        hfs = hp.getFileSystem(hconf)
-        if hfs.exists(hp):
-            hfs.delete(hp, True)
+        hp.getFileSystem(hconf).delete(hp, True)
 
     # ONE write pass for the whole wave; dynamic partition overwrite
     # replaces exactly the bucket/sink partitions this wave produces,
@@ -175,14 +264,9 @@ def run_resumable(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
     # per-bucket/per-sink metrics: one scan of the NEWLY written bucket
-    # directories only (verifies what physically landed on disk)
-    written = [
-        b
-        for b in pending
-        if jvm.org.apache.hadoop.fs.Path(f"{out_base}/bucket={b}")
-        .getFileSystem(hconf)
-        .exists(jvm.org.apache.hadoop.fs.Path(f"{out_base}/bucket={b}"))
-    ]
+    # directories only (verifies what physically landed on disk);
+    # existence check is the same single listStatus, not per-bucket RPCs
+    written = sorted(_existing_bucket_dirs(spark, out_base) & set(pending))
     counts: dict[int, dict[str, dict[str, int]]] = {b: {} for b in pending}
     if written:
         for r in (

@@ -145,6 +145,85 @@ def flagship_dynamic_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# Config-driven rewrite_tag engine (operators/rewrite.py): the flagship
+# router re-DECLARED as the reference's conf text (fluent-bit.conf:181-193)
+# and run through the generic cascade — must hit the SAME oracle as the
+# hardcoded route().
+@register("flagship_rules_route_counts", _FLAGSHIP_SQL)
+def flagship_rules_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.operators.rewrite import route_with_rules
+
+    ev = load_events(spark, sf_dir)
+    out = run_pipeline(
+        events_as_transcripts(ev), events_k8s_meta(ev), events_tool_meta(ev),
+        router_fn=route_with_rules,
+    )
+    return out.groupBy("sink").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("content")).alias("content_bytes"),
+    )
+
+
+# A FOUR-stage config the hardcoded router can't express — proves the
+# engine is rule-driven, exercises first-match keep=false short-circuit
+# AND a second re-injection round (erda.log.job copies re-enter the
+# cascade and may emit job.audited, the in_emitter loop of
+# plugins/filter_rewrite_tag).
+_REWRITE_ENGINE_CONF = """
+[FILTER]
+    name rewrite_tag
+    match kube.*
+    Rule $collector .+ erda.log.export true
+[FILTER]
+    name rewrite_tag
+    match kube.*
+    Rule $define_tag .+ erda.log.job false
+[FILTER]
+    name rewrite_tag
+    match kube.*
+    Rule $etype ^purch erda.log.audit true
+[FILTER]
+    name rewrite_tag
+    match erda.log.job
+    Rule $etype ^purch job.audited true
+"""
+
+_REWRITE_ENGINE_SQL = """
+WITH t AS (
+  SELECT user_id % 5 = 0 AS has_export,
+         (user_id % 10) IN (3, 7) AS has_job,
+         event_type LIKE 'purch%' AS is_purch
+  FROM events
+), s AS (
+  SELECT 'container' AS route FROM t WHERE NOT has_job
+  UNION ALL SELECT 'erda.log.export' FROM t WHERE has_export
+  UNION ALL SELECT 'erda.log.job' FROM t WHERE has_job
+  UNION ALL SELECT 'erda.log.audit' FROM t WHERE NOT has_job AND is_purch
+  UNION ALL SELECT 'job.audited' FROM t WHERE has_job AND is_purch
+)
+SELECT route, CAST(count(*) AS BIGINT) AS n_rows FROM s GROUP BY route
+"""
+
+
+@register("rewrite_engine_route_counts", _REWRITE_ENGINE_SQL)
+def rewrite_engine_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.operators.rewrite import apply_rewrite_tags, parse_rewrite_tag_conf
+
+    ev = load_events(spark, sf_dir)
+    df = ev.select(
+        F.concat(F.lit("kube."), F.col("event_type")).alias("tag"),
+        F.when(F.col("user_id") % 5 == 0, F.lit("coll")).alias("collector"),
+        F.when((F.col("user_id") % 10).isin(3, 7), F.lit("job")).alias("define_tag"),
+        F.col("event_type").alias("etype"),
+    )
+    out = apply_rewrite_tags(df, parse_rewrite_tag_conf(_REWRITE_ENGINE_CONF))
+    return out.select(
+        F.when(F.col("tag").startswith("kube."), F.lit("container"))
+        .otherwise(F.col("tag"))
+        .alias("route")
+    ).groupBy("route").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
 # ECI sidecar chain (plans/eci.py, conf/eci/fluent-bit.conf): truncate ->
 # (no stitch here: stitch is oracle-gated separately via
 # multiline_stitch_operator) -> path identity -> cpuset lookup -> erda
@@ -1576,9 +1655,11 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- deterministic DuckDB replays of the hyperplane/IVF ANN paths ---------
-# The planes and the centroid rule are pure functions (math.sin of
-# (seed, plane, coord); lowest-md5(vec_id) sample), so the "approximate"
-# queries are exactly reproducible: the oracle re-runs the SAME banding /
+# The planes and the centroid rule are pure functions — planes are
+# md5-derived Box-Muller Gaussians of (seed, plane, coord) (see
+# ann._hyperplanes); centroids are the lowest-md5(vec_id) sample — so the
+# "approximate" queries are exactly reproducible: the oracle re-runs the
+# SAME banding /
 # probing pipeline in SQL with the planes inlined as double literals
 # (repr() round-trips IEEE doubles bit-exactly through DuckDB's parser).
 

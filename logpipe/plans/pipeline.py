@@ -49,6 +49,7 @@ def run_pipeline(
     passthrough: tuple[str, ...] = (),
     honor_k8s_exclude: bool = False,
     broadcast_dims: bool = True,
+    router_fn=None,
 ) -> DataFrame:
     """transcripts + dims -> routed LogEvent rows (schema.LOG_EVENT).
 
@@ -62,6 +63,10 @@ def run_pipeline(
     ``broadcast_dims``: False drops the hard broadcast hints so AQE
     sizes the dim joins at runtime (see operators.enrich.enrich_k8s) —
     set this when dim cardinality is unbounded.
+    ``router_fn``: alternative F12/F13 router with route()'s contract
+    (df in, df + `sink` out) — e.g. the config-driven
+    operators.rewrite.route_with_rules engine. Default: the typed
+    two-rule route().
     """
     df = transcripts
 
@@ -141,7 +146,7 @@ def run_pipeline(
     )
 
     # F12/F13 routing (export keep=true duplication; job keep=false)
-    df = route(df)
+    df = (router_fn or route)(df)
 
     # O4 LogEvent projection; __pri_* (define_tag et al) die here (F9)
     return project_log_event(df, passthrough=passthrough)

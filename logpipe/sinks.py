@@ -77,7 +77,7 @@ def read_sink(spark, base_path: str, sink: str) -> DataFrame:
 
 
 PAYLOAD_SCHEMA = (
-    "collector string, chunk_idx int, url string, content_type string, "
+    "collector string, bucket int, chunk_idx int, url string, content_type string, "
     "content_encoding string, n_events int, body binary"
 )
 
@@ -87,6 +87,7 @@ def build_export_payloads(
     chunk_rows: int = 1000,
     gzip_level: int = 3,
     url_label: str = "monitor_log_collector",
+    n_buckets: int = 8,
 ) -> DataFrame:
     """O3 wire payloads (out_erda/sender.go:13-24,66-82,
     remote.go:116-141): chunk export rows per collector, serialize each
@@ -103,8 +104,15 @@ def build_export_payloads(
     byte equality is not meaningful; tests verify gunzip->JSON
     roundtrip equality, header values, and run-to-run determinism.
 
-    Scale shape: one shuffle on collector (applyInPandas grouping);
-    chunking and compression happen inside Arrow batches per group.
+    Scale shape: one shuffle on (collector, bucket) where bucket is a
+    content-hash mod n_buckets — a hot collector is split across
+    n_buckets tasks instead of materializing as ONE pandas frame in one
+    task, so per-task memory is bounded by |collector| / n_buckets. A
+    chunk is identified by (collector, bucket, chunk_idx); every chunk
+    still carries exactly one collector (the fluent-bit invariant) and
+    bytes stay deterministic (the bucket hash is content-derived, not
+    rand()). Size n_buckets ~ ceil(hottest-collector-bytes /
+    executor-task-budget) at the target scale.
     """
     import gzip as _gzip
     import io
@@ -145,6 +153,7 @@ def build_export_payloads(
             out.append(
                 {
                     "collector": chunk.iloc[0]["collector"],
+                    "bucket": int(chunk.iloc[0]["bucket"]),
                     "chunk_idx": start // chunk_rows,
                     "url": first_labels.get(url_label, ""),
                     "content_type": "application/json; charset=UTF-8",
@@ -155,8 +164,17 @@ def build_export_payloads(
             )
         return pd.DataFrame(out)
 
-    export = log_events.filter(F.col("sink") == "export").withColumn(
-        "collector",
-        F.coalesce(F.col("labels")[url_label], F.lit("unknown")),
+    export = (
+        log_events.filter(F.col("sink") == "export")
+        .withColumn(
+            "collector",
+            F.coalesce(F.col("labels")[url_label], F.lit("unknown")),
+        )
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("id", "content"), F.lit(n_buckets)).cast("int"),
+        )
     )
-    return export.groupBy("collector").applyInPandas(build, schema=PAYLOAD_SCHEMA)
+    return export.groupBy("collector", "bucket").applyInPandas(
+        build, schema=PAYLOAD_SCHEMA
+    )

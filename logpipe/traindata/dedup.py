@@ -291,6 +291,8 @@ def near_dup_clusters(
     (Kiveris et al.) is the drop-in upgrade if components ever get
     deep chains.
     """
+    if max_iter < 1:
+        raise ValueError(f"near_dup_clusters: max_iter must be >= 1, got {max_iter}")
     pairs = minhash_lsh_pairs(docs, n=n, k=k, bands=bands, threshold=threshold)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))

@@ -95,6 +95,13 @@ def mixture_sample(
     Pure function of (key, source) — rebuilding the corpus reproduces
     the exact same mixture; no shuffle (projection + generator).
     """
+    import math
+
+    for s, r in list(rates.items()) + [("<default>", default_rate)]:
+        if not (isinstance(r, (int, float)) and math.isfinite(r) and r >= 0):
+            raise ValueError(
+                f"mixture_sample: rate for {s!r} must be a finite number >= 0, got {r!r}"
+            )
     rate = None
     for s, r in rates.items():
         rate = (

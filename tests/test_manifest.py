@@ -119,3 +119,37 @@ def test_resume_refuses_bucket_count_change(
         run_resumable(
             spark, transcripts, k8s_meta, tool_meta, out_base, mdir, n_buckets=16
         )
+
+
+def test_concurrent_wave_lease(spark, transcripts, k8s_meta, tool_meta, tmp_path):
+    """One wave per manifest: a held lease rejects a second invocation;
+    a stale lease (crashed holder) is stolen and the wave proceeds."""
+    import json
+    import os
+    import time
+
+    import pytest
+
+    from logpipe.manifest import ConcurrentWaveError
+
+    out_base = str(tmp_path / "out")
+    mdir = str(tmp_path / "manifest")
+    os.makedirs(mdir, exist_ok=True)
+
+    # simulate a live concurrent wave holding the lease
+    with open(os.path.join(mdir, "_lease"), "w") as f:
+        json.dump({"token": "deadbeef", "ts": time.time()}, f)
+    with pytest.raises(ConcurrentWaveError, match="leased"):
+        run_resumable(
+            spark, transcripts, k8s_meta, tool_meta, out_base, mdir, n_buckets=4
+        )
+
+    # a stale lease is presumed crashed: stolen, wave runs, lease freed
+    with open(os.path.join(mdir, "_lease"), "w") as f:
+        json.dump({"token": "deadbeef", "ts": time.time() - 9999}, f)
+    m = run_resumable(
+        spark, transcripts, k8s_meta, tool_meta, out_base, mdir,
+        n_buckets=4, lease_ttl_sec=60.0,
+    )
+    assert len(m.entries()) == 4
+    assert not os.path.exists(os.path.join(mdir, "_lease"))

@@ -293,3 +293,19 @@ def test_ivf_topk_recall(spark, emb):
         key = (r["query_id"], r["neighbor_id"])
         if key in ec:
             assert ec[key] == r["cosine"]
+
+
+def test_input_validation(spark, docs):
+    """Bad knobs fail loudly, not silently: max_iter<1 and bad rates."""
+    import pytest
+
+    from logpipe.traindata.dedup import near_dup_clusters
+    from logpipe.traindata.sampling import mixture_sample
+
+    with pytest.raises(ValueError, match="max_iter"):
+        near_dup_clusters(docs, max_iter=0)
+    for bad in (-0.5, float("nan"), float("inf")):
+        with pytest.raises(ValueError, match="rate"):
+            mixture_sample(docs, {"web": bad})
+    with pytest.raises(ValueError, match="rate"):
+        mixture_sample(docs, {"web": 1.0}, default_rate=float("nan"))
