@@ -41,6 +41,22 @@ ERDA_INFO_RE = (
 # (conf/ds/parsers.conf:18-23, :32-36).
 FIRSTLINE_RE = r"^\d{4}[/\-]\d{1,2}[/\-]\d{1,2}[ T]\d{2}:\d{2}:\d{2}"
 
+# F3 java multiline grammar: the ECI chain stitches with fluent-bit's
+# BUILT-IN `java` multiline parser (conf/eci/fluent-bit.conf:41-45,
+# flb_ml_parser_java.c), which recognizes stack-trace continuation
+# forms — frame lines, cause/suppressed chains, elided-frame markers,
+# nested-exception glue — independent of any datetime prefix. A line
+# matching NONE of these starts a new group (so a trace whose first
+# line is a datetime-less marker like 'Exception in thread' still
+# anchors its own group, where the datetime-only grammar would not).
+JAVA_CONT_RE = (
+    r"^[\t ]+at[\t ]+"
+    r"|^[\t ]*Caused by:"
+    r"|^[\t ]*Suppressed:"
+    r"|^[\t ]*\.\.\. \d+ (more|common frames omitted)"
+    r"|^[\t ]*nested exception is"
+)
+
 # P5 CRI line format (conf/ds/parsers.conf:25-30).
 CRI_RE = r"^([^ ]+) (stdout|stderr) ([^ ]*) (.*)$"
 

@@ -41,14 +41,22 @@ STITCHED_SCHEMA = (
 
 
 def stitch_multiline(
-    df: DataFrame, firstline_re: str = FIRSTLINE_RE, text_col: str = "text"
+    df: DataFrame,
+    firstline_re: str = FIRSTLINE_RE,
+    text_col: str = "text",
+    is_start=None,
 ) -> DataFrame:
     """Window-function stitcher: one row per stitched group.
 
     Output keeps the firstline's (turn_idx, role, tool, ts) — the
     reference record is the firstline record with `log` extended.
+    ``is_start``: optional boolean Column overriding the group-start
+    rule (default: text matches ``firstline_re``) — e.g. the java
+    grammar's NOT-a-continuation rule (java_group_start).
     """
-    is_first = F.col(text_col).rlike(firstline_re).cast("int")
+    if is_start is None:
+        is_start = F.col(text_col).rlike(firstline_re)
+    is_first = is_start.cast("int")
     w = (
         Window.partitionBy("conv_id")
         .orderBy("turn_idx")
@@ -72,6 +80,25 @@ def stitch_multiline(
             F.size("_lines").alias("n_lines"),
         )
     )
+
+
+def java_group_start(text_col: str = "text") -> F.Column:
+    """Group-start rule of fluent-bit's built-in `java` multiline
+    parser (conf/eci/fluent-bit.conf:45, flb_ml_parser_java.c): a line
+    starts a group iff it is NOT a stack-trace continuation form
+    (frame / Caused by / Suppressed / '... N more' / nested exception).
+    Null text is a start (it can't continue anything)."""
+    from logpipe.operators.parse import JAVA_CONT_RE
+
+    return ~F.coalesce(F.col(text_col).rlike(JAVA_CONT_RE), F.lit(False))
+
+
+def stitch_multiline_java(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """F3 with the java grammar: `at ...` / `Caused by:` lines glue to
+    the preceding record even when the trace's first line carries no
+    datetime — the case the datetime-firstline grammar mis-splits.
+    Same single-shuffle window shape as stitch_multiline."""
+    return stitch_multiline(df, text_col=text_col, is_start=java_group_start(text_col))
 
 
 def sessionize_by_gap(

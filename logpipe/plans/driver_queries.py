@@ -634,6 +634,88 @@ def multiline_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# F3 with the java multiline grammar (conf/eci/fluent-bit.conf:41-45,
+# flb_ml_parser_java.c): synthetic lines cycle through datetime
+# firstlines, frame lines, Caused by, a DATETIME-LESS exception header
+# ('Exception in thread', which must anchor its own group — the case
+# the datetime grammar mis-splits), and '... N more' markers. The
+# oracle replays the continuation regex in DuckDB (RE2 and Java regex
+# agree on this alternation) over the same window.
+_JAVA_CONT_RE_SQL = (
+    "^[\\t ]+at[\\t ]+|^[\\t ]*Caused by:|^[\\t ]*Suppressed:"
+    "|^[\\t ]*\\.\\.\\. \\d+ (more|common frames omitted)"
+    "|^[\\t ]*nested exception is"
+)
+
+_JAVA_LINE_SQL = """
+  SELECT user_id, event_id,
+         CASE event_id % 5
+           WHEN 0 THEN '2024-01-02 03:04:05 INFO ok ' || props
+           WHEN 1 THEN chr(9) || 'at com.example.Svc.run(Svc.java:'
+                       || CAST(event_id % 100 AS VARCHAR) || ')'
+           WHEN 2 THEN 'Caused by: java.io.IOException: ' || substring(props, 1, 20)
+           WHEN 3 THEN 'Exception in thread "main" ' || substring(props, 1, 16)
+           ELSE chr(9) || '... ' || CAST(event_id % 7 AS VARCHAR) || ' more'
+         END AS line
+  FROM events
+"""
+
+_JAVA_STITCH_SQL = f"""
+WITH lines AS ({_JAVA_LINE_SQL}), marked AS (
+  SELECT user_id, event_id, line,
+         CAST(sum(CASE WHEN NOT regexp_matches(line, '{_JAVA_CONT_RE_SQL}')
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+  FROM lines
+)
+SELECT user_id, grp,
+       string_agg(line, chr(10) ORDER BY event_id) AS stitched,
+       CAST(min(event_id) AS BIGINT) AS first_event,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM marked GROUP BY user_id, grp
+"""
+
+
+@register("java_multiline_stitch", _JAVA_STITCH_SQL)
+def java_multiline_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.operators.stitch import java_group_start
+
+    ev = load_events(spark, sf_dir)
+    m = F.col("event_id") % 5
+    line = (
+        F.when(m == 0, F.concat(F.lit("2024-01-02 03:04:05 INFO ok "), F.col("props")))
+        .when(m == 1, F.concat(
+            F.lit("\tat com.example.Svc.run(Svc.java:"),
+            (F.col("event_id") % 100).cast("string"), F.lit(")")))
+        .when(m == 2, F.concat(
+            F.lit("Caused by: java.io.IOException: "),
+            F.substring("props", 1, 20)))
+        .when(m == 3, F.concat(
+            F.lit('Exception in thread "main" '), F.substring("props", 1, 16)))
+        .otherwise(F.concat(
+            F.lit("\t... "), (F.col("event_id") % 7).cast("string"), F.lit(" more")))
+    )
+    lines = ev.select("user_id", "event_id", line.alias("line"))
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    marked = lines.withColumn(
+        "grp", F.sum(java_group_start("line").cast("int")).over(w).cast("long")
+    )
+    return marked.groupBy("user_id", "grp").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_id", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("stitched"),
+        F.min("event_id").alias("first_event"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 7. F1 throttle: drop variant + audit aggregate (throttle.c:98-107)
 # ---------------------------------------------------------------------------

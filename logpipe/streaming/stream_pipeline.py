@@ -195,33 +195,52 @@ def streaming_stitch(stream: DataFrame, firstline_re: str):
                 )
             return
 
-        open_turn, open_lines = (state.get if state.exists else (None, []))
-        open_lines = list(open_lines)
-        out = []
         # one sort over the WHOLE micro-batch group: Arrow may deliver a
         # group as several chunks, and per-chunk sorting would stitch
         # later-chunk turns into whatever group the last chunk left open
         batch = pd.concat(list(pdfs)) if pdfs is not None else pd.DataFrame()
-        if len(batch):
-            for _, row in batch.sort_values("turn_idx").iterrows():
-                text = row["text"] or ""
-                if pat.match(text) and open_lines:
-                    out.append(
-                        {
-                            "conv_id": conv_id,
-                            "turn_idx": int(open_turn),
-                            "text": "\n".join(open_lines),
-                            "n_lines": len(open_lines),
-                        }
-                    )
-                    open_turn, open_lines = None, []
-                if not open_lines:
-                    open_turn = int(row["turn_idx"])
-                open_lines.append(text)
-        state.update((open_turn, open_lines))
+        if not len(batch):
+            return
+        # vectorized segmentation, same shape as the batch stitcher
+        # (operators/stitch.py): a group starts at each firstline, so
+        # segment id = cumsum(is_firstline); seg 0 = leading
+        # continuation rows, which extend the carried open group
+        batch = batch.sort_values("turn_idx", kind="mergesort")
+        texts = batch["text"].fillna("").astype(str)
+        seg = texts.str.match(pat).cumsum()
+        agg = (
+            pd.DataFrame(
+                {
+                    "turn_idx": batch["turn_idx"].astype("int64"),
+                    "text": texts,
+                    "seg": seg,
+                }
+            )
+            .groupby("seg", sort=True)
+            .agg(turn_idx=("turn_idx", "first"), lines=("text", list))
+        )
+        groups = [(int(t), list(l)) for t, l in zip(agg["turn_idx"], agg["lines"])]
+        # the only imperative bit: splice the carried open group onto
+        # the batch's leading continuation segment (or ahead of the
+        # first firstline segment if there is none)
+        if state.exists:
+            open_turn, open_lines = state.get
+            if agg.index[0] == 0:
+                groups[0] = (int(open_turn), list(open_lines) + groups[0][1])
+            else:
+                groups.insert(0, (int(open_turn), list(open_lines)))
+        closed, (open_turn, open_lines) = groups[:-1], groups[-1]
+        state.update((int(open_turn), [str(x) for x in open_lines]))
         state.setTimeoutDuration(3000)  # Multiline_Flush 3s
-        if out:
-            yield pd.DataFrame(out)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": [t for t, _ in closed],
+                    "text": ["\n".join(l) for _, l in closed],
+                    "n_lines": [len(l) for _, l in closed],
+                }
+            )
 
     return stream.groupBy("conv_id").applyInPandasWithState(
         stitch,

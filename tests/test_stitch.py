@@ -79,3 +79,38 @@ def test_pandas_variant_parity(spark, transcripts):
     cols = ["conv_id", "grp", "turn_idx", "role", "text", "n_lines"]
     assert a.select(cols).exceptAll(b.select(cols)).count() == 0
     assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+
+
+def test_java_grammar_stitches_datetime_less_trace(spark):
+    """The ECI chain uses fluent-bit's built-in `java` multiline parser
+    (conf/eci/fluent-bit.conf:41-45): a trace whose first line has NO
+    datetime ('Exception in thread ...') must still anchor its frames
+    and Caused-by chain — the datetime-firstline grammar mis-splits
+    this (every frame line becomes its own group)."""
+    from logpipe.operators.stitch import stitch_multiline, stitch_multiline_java
+
+    rows = [
+        ("c1", 1, "user", "2024-01-02 03:04:05 INFO boot", None, None),
+        ("c1", 2, "tool", 'Exception in thread "main" java.lang.RuntimeException: boom',
+         None, None),
+        ("c1", 3, "tool", "\tat com.example.App.main(App.java:10)", None, None),
+        ("c1", 4, "tool", "Caused by: java.io.IOException: disk", None, None),
+        ("c1", 5, "tool", "\tat com.example.IO.read(IO.java:7)", None, None),
+        ("c1", 6, "tool", "\t... 3 more", None, None),
+        ("c1", 7, "user", "2024-01-02 03:04:09 INFO recovered", None, None),
+    ]
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    df = spark.createDataFrame(rows, schema)
+
+    j = {r["turn_idx"]: r for r in stitch_multiline_java(df).collect()}
+    # three groups: boot line, the whole trace (5 lines), recovered line
+    assert sorted(j) == [1, 2, 7]
+    assert j[2]["n_lines"] == 5
+    assert j[2]["text"].startswith('Exception in thread "main"')
+    assert "Caused by: java.io.IOException: disk" in j[2]["text"]
+    assert j[2]["text"].endswith("\t... 3 more")
+
+    # the datetime grammar glues the datetime-less trace onto group 1
+    d = {r["turn_idx"]: r for r in stitch_multiline(df).collect()}
+    assert d[1]["n_lines"] == 6  # boot + the whole trace, mis-attributed
