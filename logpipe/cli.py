@@ -28,20 +28,65 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--buckets", type=int, default=8)
     p.add_argument("--synth", type=int, default=0, help="synthesize N input rows")
     p.add_argument("--master", default=None)
+    # deploy knobs, mirroring entrypoint.sh's env templating: every
+    # flag falls back to its LOGPIPE_* env var, then to the reference
+    # default (see logpipe/config.py for the mapping table)
     p.add_argument(
-        "--plan", choices=["ds", "dynamic"], default="ds",
-        help="ds = typed flagship; dynamic = map-record pipeline",
+        "--plan", choices=["ds", "dynamic"], default=None,
+        help="ds = typed flagship; dynamic = map-record pipeline "
+             "(env LOGPIPE_PLAN)",
+    )
+    p.add_argument(
+        "--throttle-rate", type=int, default=None,
+        help="F1 rate, records per (conv, second) "
+             "(env LOGPIPE_THROTTLE_RATE, default 1000)",
+    )
+    p.add_argument(
+        "--throttle-retain", choices=["true", "false"], default=None,
+        help="true = audit over-rate buckets (backpressure analog); "
+             "false = drop over-rate rows (env LOGPIPE_THROTTLE_RETAIN)",
+    )
+    p.add_argument(
+        "--throttle-bucket", choices=["second", "minute", "hour", "day"],
+        default=None,
+        help="F1 window granularity (env LOGPIPE_THROTTLE_BUCKET)",
+    )
+    p.add_argument(
+        "--cluster-name", default=None,
+        help="static cluster tag (env LOGPIPE_CLUSTER_NAME)",
     )
     args = p.parse_args(argv)
 
+    from logpipe import config as C
     from logpipe.manifest import run_resumable
     from logpipe.session import get_spark
 
-    pipeline_fn = None
-    if args.plan == "dynamic":
-        from logpipe.plans.dynamic import run_dynamic_pipeline
+    cfg = C.from_env(
+        plan=args.plan,
+        throttle_rate=args.throttle_rate,
+        throttle_retain=(
+            None if args.throttle_retain is None else args.throttle_retain == "true"
+        ),
+        throttle_bucket=args.throttle_bucket,
+        cluster_name=args.cluster_name,
+    )
 
-        pipeline_fn = run_dynamic_pipeline
+    if cfg.plan == "dynamic":
+        from logpipe.plans.dynamic import run_dynamic_pipeline as base_fn
+    else:
+        from logpipe.plans.pipeline import run_pipeline as base_fn
+
+    def pipeline_fn(transcripts, k8s, tools, **kw):
+        df = transcripts
+        if not cfg.throttle_retain:
+            # retain=false: enforce the rate by dropping over-rate rows
+            # BEFORE the pipeline, like the reference's input-side filter
+            from logpipe.operators.throttle import throttle_drop
+
+            df = throttle_drop(df, rate=cfg.throttle_rate, bucket=cfg.throttle_bucket)
+        if cfg.plan == "ds":
+            kw.setdefault("cluster_name", cfg.cluster_name)
+        return base_fn(df, k8s, tools, **kw)
 
     spark = get_spark(app_name="logpipe-cli", master=args.master)
     if args.synth:
@@ -61,7 +106,16 @@ def main(argv: list[str] | None = None) -> None:
         spark, transcripts, k8s, tools, args.out, args.manifest,
         n_buckets=args.buckets, pipeline_fn=pipeline_fn,
     )
-    print(json.dumps(manifest.totals()))
+    totals = manifest.totals()
+    if cfg.throttle_retain:
+        # retain=true (the reference's patched sleep-and-keep): batch
+        # jobs self-pace, so REPORT the over-rate buckets instead
+        from logpipe.operators.throttle import throttle_audit
+
+        totals["throttle_over_rate_buckets"] = throttle_audit(
+            transcripts, rate=cfg.throttle_rate, bucket=cfg.throttle_bucket
+        ).count()
+    print(json.dumps(totals))
     spark.stop()
 
 

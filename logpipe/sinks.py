@@ -81,6 +81,115 @@ PAYLOAD_SCHEMA = (
     "content_encoding string, n_events int, body binary"
 )
 
+HTTP_PAYLOAD_SCHEMA = (
+    "sink string, bucket int, chunk_idx int, uri string, content_type string, "
+    "content_encoding string, retry_limit int, n_events int, body binary"
+)
+
+#: O1/O2 output blocks (conf/ds/fluent-bit.conf:207-237): Match glob ->
+#: (uri, Retry_Limit). json_date_key=false in both blocks, so fluent-bit
+#: injects NO date field — the body is exactly the JSON array of records.
+HTTP_SINKS: dict[str, tuple[str, int]] = {
+    "container": ("/collect/logs/container", 1000),
+    "job": ("/collect/logs/job", 100),
+}
+
+
+def _event_dicts(chunk) -> list[dict]:
+    """LogEvent rows -> JSON-ready dicts, field order = the collector's
+    Go struct tags (sender.go:13-24), map keys sorted, null timestamps
+    as 0 (the deterministic stand-in for the reference's
+    collection-time fallback, outerda.go:91-96)."""
+    import pandas as pd
+
+    return [
+        {
+            "source": r["source"],
+            "id": r["id"],
+            "stream": r["stream"],
+            "content": r["content"],
+            "offset": int(r["offset"]) if pd.notna(r["offset"]) else 0,
+            "timestamp": int(r["timestamp"]) if pd.notna(r["timestamp"]) else 0,
+            "tags": dict(sorted((r["tags"] or {}).items())),
+            "labels": dict(sorted((r["labels"] or {}).items())),
+        }
+        for r in chunk.to_dict("records")
+    ]
+
+
+def _chunk_bodies(pdf, chunk_rows: int, gzip_level: int):
+    """Sort a payload group deterministically, chunk it, and yield
+    (start, chunk, gzip_body) with mtime=0 (retry-safe bytes)."""
+    import gzip as _gzip
+    import io
+    import json as _json
+
+    pdf = pdf.sort_values(
+        ["timestamp", "id", "content"], kind="mergesort", na_position="first"
+    )
+    for start in range(0, len(pdf), chunk_rows):
+        chunk = pdf.iloc[start : start + chunk_rows]
+        body = _json.dumps(_event_dicts(chunk), separators=(",", ":")).encode("utf-8")
+        buf = io.BytesIO()
+        with _gzip.GzipFile(
+            fileobj=buf, mode="wb", compresslevel=gzip_level, mtime=0
+        ) as gz:
+            gz.write(body)
+        yield start, chunk, buf.getvalue()
+
+
+def build_http_payloads(
+    log_events: DataFrame,
+    sinks: dict[str, tuple[str, int]] | None = None,
+    chunk_rows: int = 1000,
+    gzip_level: int = 3,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """O1/O2 wire payloads — the http outputs
+    (conf/ds/fluent-bit.conf:207-237): per sink, chunked JSON-array
+    bodies (`format json`; `json_date_key false` means NO injected date
+    field, so `json_date_format iso8601` never materializes a key),
+    gzip-compressed (`compress gzip`, mtime=0 for retry-stable bytes),
+    POSTed to the block's fixed `uri`. Retry_Limit rides along as chunk
+    metadata (container 1000, job 100) for the sender's backoff loop —
+    Spark task retry covers the build; delivery retry is the sender's.
+
+    Same scale shape as build_export_payloads: one shuffle on
+    (sink, content-hash bucket), per-task memory bounded by
+    |sink| / n_buckets, bytes deterministic across retries.
+    """
+    import pandas as pd
+
+    sinks = HTTP_SINKS if sinks is None else sinks
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        sink = pdf.iloc[0]["sink"]
+        uri, retry_limit = sinks[sink]
+        for start, chunk, body in _chunk_bodies(pdf, chunk_rows, gzip_level):
+            out.append(
+                {
+                    "sink": sink,
+                    "bucket": int(chunk.iloc[0]["bucket"]),
+                    "chunk_idx": start // chunk_rows,
+                    "uri": uri,
+                    "content_type": "application/json; charset=UTF-8",
+                    "content_encoding": "gzip",
+                    "retry_limit": retry_limit,
+                    "n_events": len(chunk),
+                    "body": body,
+                }
+            )
+        return pd.DataFrame(out)
+
+    tagged = log_events.filter(F.col("sink").isin(list(sinks))).withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("id", "content"), F.lit(n_buckets)).cast("int"),
+    )
+    return tagged.groupBy("sink", "bucket").applyInPandas(
+        build, schema=HTTP_PAYLOAD_SCHEMA
+    )
+
 
 def build_export_payloads(
     log_events: DataFrame,
@@ -114,42 +223,12 @@ def build_export_payloads(
     rand()). Size n_buckets ~ ceil(hottest-collector-bytes /
     executor-task-budget) at the target scale.
     """
-    import gzip as _gzip
-    import io
-    import json as _json
-
     import pandas as pd
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        # null timestamps (unparseable record time) serialize as 0 — the
-        # deterministic stand-in for the reference's collection-time
-        # fallback (outerda.go:91-96); na_position keeps the sort stable
-        pdf = pdf.sort_values(
-            ["timestamp", "id", "content"], kind="mergesort", na_position="first"
-        )
         out = []
-        for start in range(0, len(pdf), chunk_rows):
-            chunk = pdf.iloc[start : start + chunk_rows]
+        for start, chunk, body in _chunk_bodies(pdf, chunk_rows, gzip_level):
             first_labels = chunk.iloc[0]["labels"] or {}
-            events = [
-                {
-                    "source": r["source"],
-                    "id": r["id"],
-                    "stream": r["stream"],
-                    "content": r["content"],
-                    "offset": int(r["offset"]) if pd.notna(r["offset"]) else 0,
-                    "timestamp": int(r["timestamp"]) if pd.notna(r["timestamp"]) else 0,
-                    "tags": dict(sorted((r["tags"] or {}).items())),
-                    "labels": dict(sorted((r["labels"] or {}).items())),
-                }
-                for r in chunk.to_dict("records")
-            ]
-            body = _json.dumps(events, separators=(",", ":")).encode("utf-8")
-            buf = io.BytesIO()
-            with _gzip.GzipFile(
-                fileobj=buf, mode="wb", compresslevel=gzip_level, mtime=0
-            ) as gz:
-                gz.write(body)
             out.append(
                 {
                     "collector": chunk.iloc[0]["collector"],
@@ -159,7 +238,7 @@ def build_export_payloads(
                     "content_type": "application/json; charset=UTF-8",
                     "content_encoding": "gzip",
                     "n_events": len(chunk),
-                    "body": buf.getvalue(),
+                    "body": body,
                 }
             )
         return pd.DataFrame(out)

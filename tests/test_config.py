@@ -1,0 +1,85 @@
+"""Env-var config surface (logpipe/config.py vs entrypoint.sh:19-61):
+precedence flag > env > reference default, validation, CLI throttle
+wiring."""
+
+from __future__ import annotations
+
+import pytest
+
+from logpipe.config import DEFAULT_EXCLUDE_PATH, PipelineConfig, from_env
+
+
+def test_defaults_match_entrypoint():
+    c = from_env(env={})
+    assert c.throttle_rate == 1000          # entrypoint.sh:42-44
+    assert c.throttle_retain is True        # entrypoint.sh:45-47
+    assert c.exclude_path == DEFAULT_EXCLUDE_PATH  # entrypoint.sh:19-21
+    assert c.plan == "ds"
+
+
+def test_env_then_override_precedence():
+    env = {
+        "LOGPIPE_THROTTLE_RATE": "50",
+        "LOGPIPE_THROTTLE_RETAIN": "false",
+        "LOGPIPE_PLAN": "dynamic",
+        "LOGPIPE_CLUSTER_NAME": "edge-1",
+    }
+    c = from_env(env=env)
+    assert (c.throttle_rate, c.throttle_retain, c.plan, c.cluster_name) == (
+        50, False, "dynamic", "edge-1",
+    )
+    # explicit (CLI) overrides beat env; None means "not given"
+    c2 = from_env(env=env, throttle_rate=7, plan=None)
+    assert (c2.throttle_rate, c2.plan) == (7, "dynamic")
+
+
+def test_validation():
+    with pytest.raises(ValueError, match="throttle_rate"):
+        PipelineConfig(throttle_rate=0)
+    with pytest.raises(ValueError, match="plan"):
+        PipelineConfig(plan="nope")
+    with pytest.raises(ValueError, match="boolean"):
+        from_env(env={"LOGPIPE_THROTTLE_RETAIN": "maybe"})
+
+
+def test_cli_throttle_drop_wiring(spark, tmp_path, monkeypatch):
+    """--throttle-retain false --throttle-rate N drops over-rate rows
+    before the pipeline; retain=true (default) keeps all rows and
+    reports over-rate buckets in the totals JSON."""
+    import json
+
+    from logpipe import cli
+
+    def run(argv):
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            cli.main(argv)
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    # monkeypatch get_spark so cli reuses the test session (no stop())
+    monkeypatch.setattr(
+        "logpipe.session.get_spark", lambda **kw: spark
+    )
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    base = ["--synth", "2000", "--buckets", "2"]
+    t1 = run(base + ["--out", str(tmp_path / "o1"), "--manifest", str(tmp_path / "m1")])
+    assert "throttle_over_rate_buckets" in t1  # retain=true default
+
+    # synth ts spreads rows across seconds, so force collisions with a
+    # day-granularity window (the reference's Window/Interval knob)
+    t2 = run(
+        base
+        + ["--out", str(tmp_path / "o2"), "--manifest", str(tmp_path / "m2"),
+           "--throttle-retain", "false", "--throttle-rate", "1",
+           "--throttle-bucket", "day"]
+    )
+    assert "throttle_over_rate_buckets" not in t2
+    # rows_in is the manifest's INPUT lineage (pre-throttle, unchanged);
+    # the drop shows up in what reaches the sinks
+    out_rows = lambda t: sum(m["rows"] for m in t["sinks"].values())  # noqa: E731
+    assert t2["rows_in"] == t1["rows_in"]
+    assert out_rows(t2) < out_rows(t1)

@@ -102,3 +102,54 @@ def test_salting_spreads_hot_key(spark, transcripts, k8s_meta, tool_meta):
     # single-key data (sink='container') still spreads across partitions
     assert len(counts) > 1
     assert max(counts) < sum(counts) * 0.8
+
+
+def test_http_payloads_roundtrip(spark, transcripts, k8s_meta, tool_meta):
+    """O1/O2 wire bodies (conf/ds/fluent-bit.conf:207-237): per-sink
+    gzip JSON arrays with NO injected date key (json_date_key false),
+    fixed uri + Retry_Limit per block, deterministic bytes."""
+    import gzip
+    import hashlib
+    import json
+
+    from logpipe.sinks import build_http_payloads
+
+    out = run_pipeline(transcripts, k8s_meta, tool_meta)
+    payloads = build_http_payloads(out, chunk_rows=50).collect()
+    assert payloads
+
+    decoded = {"container": [], "job": []}
+    for p in payloads:
+        assert p["content_encoding"] == "gzip"
+        assert 0 < p["n_events"] <= 50
+        assert (p["uri"], p["retry_limit"]) == (
+            ("/collect/logs/container", 1000)
+            if p["sink"] == "container"
+            else ("/collect/logs/job", 100)
+        )
+        events = json.loads(gzip.decompress(bytes(p["body"])))
+        assert len(events) == p["n_events"]
+        for e in events:
+            # Go struct tag order; no fluent-bit-injected date key
+            assert list(e.keys()) == [
+                "source", "id", "stream", "content",
+                "offset", "timestamp", "tags", "labels",
+            ]
+        decoded[p["sink"]].extend(events)
+
+    for sink in ("container", "job"):
+        exp = out.filter(F.col("sink") == sink)
+        assert len(decoded[sink]) == exp.count()
+        a = sorted((e["content"], e["id"], e["timestamp"]) for e in decoded[sink])
+        b = sorted(
+            (r["content"], r["id"], r["timestamp"])
+            for r in exp.select("content", "id", "timestamp").collect()
+        )
+        assert a == b
+
+    h1 = sorted(hashlib.md5(bytes(p["body"])).hexdigest() for p in payloads)
+    h2 = sorted(
+        hashlib.md5(bytes(p["body"])).hexdigest()
+        for p in build_http_payloads(out, chunk_rows=50).collect()
+    )
+    assert h1 == h2
