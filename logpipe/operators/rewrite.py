@@ -21,18 +21,23 @@ plugins/filter_rewrite_tag):
   their new tag (the in_emitter), where they traverse the stages
   again — matched by the new tag this time.
 
-Spark-first shape: the per-round cascade is a fold over stages
-producing two pure columns — `_alive` (bool) and `_emitted`
-(array<string> of new tags) — then `filter(_alive)` keeps originals and
-`explode(_emitted)` materializes the copies. No UDF, no shuffle: one
-projection + one generator per round, exactly like operators.route.
+Spark-first shape: the WHOLE cascade — including fluent-bit's
+re-injection loop — compiles to ONE pure array<string> expression of
+final tags per input row, then one `explode`. This is possible because
+new_tags are literals (no $0 captures): an emitted copy's entire
+subsequent trajectory through the stages depends only on (its literal
+tag, the row's fields), so the re-injection recursion expands at PLAN
+time instead of requiring union-of-rounds branches. One scan, one
+generator, no Union, no UDF, no shuffle — identical plan shape to the
+hardcoded operators.route (a union formulation would re-read the input
+and re-run the upstream joins once per re-injection round; at 100TB
+that's k extra full passes).
 
-Re-injection is unrolled STATICALLY: new_tags here are literals (no $0
-captures), so the tag->stage reachability graph is known at plan time.
-We walk it driver-side, emit one round per graph level, and raise on a
-cycle — the plan stays a fixed DAG with no data-dependent driver loop,
-which is what you want at 100TB (capture-group tags would force a
-fixpoint loop with a count() per round; unsupported, loudly).
+The literal-tag reachability graph is still walked driver-side first
+(_reentry_rounds) to REJECT cyclic configs loudly — a tag cycle would
+loop forever in fluent-bit too; here it's a plan-time error.
+(Capture-group tags would force a data-dependent fixpoint loop with a
+count() per round; unsupported, loudly.)
 """
 
 from __future__ import annotations
@@ -172,28 +177,60 @@ def _reentry_rounds(stages: list[Stage], max_rounds: int = 8) -> int:
     return rounds
 
 
-def _cascade(stages: list[Stage], tag: Column) -> tuple[Column, Column]:
-    """Fold the stage list into (_alive, _emitted) pure columns."""
+def _empty_tags() -> Column:
+    return F.array().cast("array<string>")
+
+
+def _final_tags_expr(
+    stages: list[Stage], tag: Column | None, tag_literal: str | None, depth: int
+) -> Column:
+    """Array of FINAL tags a record ends up under, cascade + re-injection
+    fully expanded. ``tag_literal`` set = we're expanding the trajectory
+    of an emitted copy whose tag is known at plan time (stage Match
+    tests collapse to plan-time booleans); otherwise ``tag`` is the
+    input tag column."""
+    if depth < 0:  # _reentry_rounds bounds recursion; this is a backstop
+        raise RuntimeError("rewrite_tag: re-emission recursion exceeded bound")
     alive: Column = F.lit(True)
-    emitted: Column = F.array().cast("array<string>")
+    parts: list[Column] = []
     for stage in stages:
-        applicable = alive & tag.rlike(glob_to_regex(stage.match))
-        # first-match-wins across the stage's rules
-        fired: Column | None = None
+        glob_re = glob_to_regex(stage.match)
+        if tag_literal is not None:
+            if not re.match(glob_re, tag_literal):
+                continue
+            applicable = alive
+        else:
+            applicable = alive & tag.rlike(glob_re)
+        # first-match-wins: rule i fires iff applicable and rules <i missed
+        prev_miss: Column = F.lit(True)
+        consumed: Column | None = None
         for r in stage.rules:
-            cond = parse_accessor(r.key).cast("string").rlike(r.regex)
-            branch = F.struct(
-                F.lit(r.new_tag).alias("tag"), F.lit(r.keep).alias("keep")
+            cond = F.coalesce(
+                parse_accessor(r.key).cast("string").rlike(r.regex), F.lit(False)
             )
-            fired = (
-                F.when(cond, branch) if fired is None else fired.when(cond, branch)
+            fire = applicable & prev_miss & cond
+            parts.append(
+                F.when(fire, _literal_finals(stages, r.new_tag, depth)).otherwise(
+                    _empty_tags()
+                )
             )
-        hit = applicable & fired.isNotNull()
-        emitted = F.when(
-            hit, F.concat(emitted, F.array(fired["tag"]))
-        ).otherwise(emitted)
-        alive = alive & ~(hit & ~fired["keep"])
-    return alive, emitted
+            if not r.keep:
+                consumed = fire if consumed is None else (consumed | fire)
+            prev_miss = prev_miss & ~cond
+        if consumed is not None:
+            alive = alive & ~consumed
+    survivor_tag = F.lit(tag_literal) if tag_literal is not None else tag
+    survivor = F.when(alive, F.array(survivor_tag)).otherwise(_empty_tags())
+    return F.concat(*parts, survivor) if parts else survivor
+
+
+def _literal_finals(stages: list[Stage], new_tag: str, depth: int) -> Column:
+    """Final tags of an emitted copy with literal tag ``new_tag``: if no
+    stage's Match glob covers it, it is terminal; otherwise expand its
+    pass through the cascade (one recursion level per re-injection)."""
+    if not any(re.match(glob_to_regex(s.match), new_tag) for s in stages):
+        return F.array(F.lit(new_tag))
+    return _final_tags_expr(stages, None, new_tag, depth - 1)
 
 
 def apply_rewrite_tags(
@@ -201,37 +238,18 @@ def apply_rewrite_tags(
 ) -> DataFrame:
     """Run the full rewrite_tag cascade; returns one row per FINAL record
     (surviving originals keep their tag; emitted copies carry new_tag),
-    all other columns passed through verbatim.
+    all other columns passed through verbatim. One projection + one
+    generator — the input is scanned once regardless of how many
+    re-injection rounds the config implies.
     """
-    rounds = _reentry_rounds(stages)
+    rounds = _reentry_rounds(stages)  # also rejects cyclic configs
     others = [c for c in df.columns if c != tag_col]
-
-    def one_round(d: DataFrame) -> tuple[DataFrame, DataFrame]:
-        alive, emitted = _cascade(stages, F.col(tag_col))
-        d2 = d.withColumn("_alive", alive).withColumn("_emitted", emitted)
-        survivors = d2.filter(F.col("_alive")).drop("_alive", "_emitted")
-        copies = (
-            d2.filter(F.size("_emitted") > 0)
-            .select(F.explode("_emitted").alias(tag_col), *others)
-            .select(*d.columns)  # restore original column order
-        )
-        return survivors, copies
-
-    # static unroll: round k processes only records whose tag can still
-    # match a stage (copies from round k-1 plus, in round 1, the input)
-    final_parts: list[DataFrame] = []
-    current = df
-    for i in range(rounds):
-        survivors, copies = one_round(current)
-        final_parts.append(survivors)
-        if i == rounds - 1:
-            # reachability proved no copy from the last round re-matches
-            final_parts.append(copies)
-        current = copies
-    out = final_parts[0]
-    for p in final_parts[1:]:
-        out = out.unionByName(p)
-    return out
+    finals = _final_tags_expr(stages, F.col(tag_col), None, rounds)
+    return (
+        df.withColumn("_finals", finals)
+        .select(F.explode("_finals").alias(tag_col), *others)
+        .select(*df.columns)  # restore original column order
+    )
 
 
 # --- the reference's shipped router, declared as conf -----------------------

@@ -153,3 +153,7 @@ def test_engine_plan_stays_narrow(spark):
     out = apply_rewrite_tags(df, parse_rewrite_tag_conf(conf))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+    # re-injection compiles into the finals expression, not a Union of
+    # per-round branches (a Union would re-scan the input per round)
+    assert "Union" not in plan
+    assert plan.count("Range") == 1
