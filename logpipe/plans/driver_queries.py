@@ -1500,6 +1500,25 @@ _REGISTRY["near_dup_clusters"] = (
 )
 
 
+@register("near_dup_clusters_star", None)  # same closure oracle, attached below
+def near_dup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al.) — the diameter-independent engine; must produce
+    EXACTLY the same clusters as the propagation variant, so it is
+    gated by the same recursive-CTE oracle."""
+    from logpipe.traindata.dedup import near_dup_clusters_star
+
+    return near_dup_clusters_star(
+        _docs(spark, sf_dir), n=2, k=32, bands=8, threshold=0.1
+    )
+
+
+_REGISTRY["near_dup_clusters_star"] = (
+    _REGISTRY["near_dup_clusters_star"][0],
+    _near_dup_clusters_sql(),
+)
+
+
 def _near_dup_survivors_sql(threshold: float = 0.1) -> str:
     """Survivors per lang after near-dup clustering: keep one doc (the
     cluster_id = min id) per connected component."""

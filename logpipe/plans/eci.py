@@ -27,7 +27,7 @@ from logpipe.operators.enrich import add_static_fields
 from logpipe.operators.project import project_log_event
 from logpipe.operators.reshape import build_map
 from logpipe.operators.route import route
-from logpipe.operators.stitch import stitch_multiline
+from logpipe.operators.stitch import stitch_multiline, stitch_multiline_java
 
 ECI_STATIC_FIELDS = {
     # record_modifier block (conf/eci/fluent-bit.conf:77-99): static
@@ -52,8 +52,16 @@ def run_eci_pipeline(
     static_fields: dict[str, str] = ECI_STATIC_FIELDS,
     collector: str | None = None,
     stitch: bool = True,
+    stitch_grammar: str = "datetime",
 ) -> DataFrame:
-    """transcripts (+ tool dim) -> routed LogEvent rows, ECI flavor."""
+    """transcripts (+ tool dim) -> routed LogEvent rows, ECI flavor.
+
+    ``stitch_grammar``: 'datetime' (firstline regex) or 'java' —
+    fluent-bit's built-in java multiline parser, the grammar the
+    reference's ECI conf actually declares (conf/eci/fluent-bit.conf:45);
+    they agree on traces whose first line carries a datetime and
+    diverge on datetime-less markers (see stitch.stitch_multiline_java).
+    """
     df = transcripts.filter(F.col("text").isNotNull() & (F.length("text") > 0))
 
     # P2 truncate before everything else (conf/eci/fluent-bit.conf:33-39)
@@ -61,7 +69,14 @@ def run_eci_pipeline(
 
     # F3 multiline stitch (java traces; conf/eci/fluent-bit.conf:41-45)
     if stitch:
-        df = stitch_multiline(df)
+        if stitch_grammar == "java":
+            df = stitch_multiline_java(df)
+        elif stitch_grammar == "datetime":
+            df = stitch_multiline(df)
+        else:
+            raise ValueError(
+                f"stitch_grammar must be datetime|java, got {stitch_grammar!r}"
+            )
 
     # S3 Path_Key: the tail records its source path; synthesize it the
     # way the sidecar lays files out (/stdlog/<container>/0.log).

@@ -75,3 +75,29 @@ def test_eci_stitch_path(spark, transcripts, tool_meta):
     out = run_eci_pipeline(src, tool_meta, stitch=True)
     assert out.count() == expected_groups
     assert out.filter(F.col("content").contains("\n")).count() > 0
+
+
+def test_eci_java_grammar_option(spark, transcripts, tool_meta):
+    """stitch_grammar='java' routes the ECI plan through the java
+    multiline grammar (the grammar conf/eci/fluent-bit.conf:45 actually
+    declares); equals composing stitch_multiline_java manually."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from logpipe.operators.stitch import stitch_multiline_java
+    from logpipe.operators.parse import truncate_log
+    from logpipe.plans.eci import run_eci_pipeline
+
+    got = run_eci_pipeline(transcripts, tool_meta, stitch_grammar="java")
+    pre = transcripts.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).withColumn("text", truncate_log(F.col("text")))
+    groups = stitch_multiline_java(pre)
+    # collector=None -> no export copies, define_tag null -> all rows
+    # land exactly one sink, so routed rows == java-stitched groups
+    assert got.count() == groups.count()
+    # grammar divergence on a datetime-less trace is pinned in
+    # tests/test_stitch.py::test_java_grammar_stitches_datetime_less_trace
+
+    with pytest.raises(ValueError, match="stitch_grammar"):
+        run_eci_pipeline(transcripts, tool_meta, stitch_grammar="nope")

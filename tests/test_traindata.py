@@ -309,3 +309,36 @@ def test_input_validation(spark, docs):
             mixture_sample(docs, {"web": bad})
     with pytest.raises(ValueError, match="rate"):
         mixture_sample(docs, {"web": 1.0}, default_rate=float("nan"))
+
+
+def test_star_components_diameter_independent(spark):
+    """Large-star/small-star must converge on a 100-node PATH (diameter
+    99) within 8 rounds — min-label propagation would need ~99; this is
+    the property that makes it the deep-component scale path."""
+    from logpipe.traindata.dedup import star_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(99)], "u long, v long")
+    labels = star_components(edges, max_rounds=8).collect()
+    assert len(labels) == 100
+    assert {r["cluster_id"] for r in labels} == {0}
+
+    # multiple components: each labeled by its minimum node
+    e2 = spark.createDataFrame([(5, 3), (3, 9), (20, 21), (21, 22)], "u long, v long")
+    got = {r["doc_id"]: r["cluster_id"] for r in star_components(e2).collect()}
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 22: 20}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_rounds"):
+        star_components(e2, max_rounds=0)
+
+
+def test_star_clusters_equal_propagation_clusters(spark, docs):
+    """near_dup_clusters_star must reproduce near_dup_clusters exactly
+    (same minhash pair graph, same min-id cluster contract)."""
+    from logpipe.traindata.dedup import near_dup_clusters, near_dup_clusters_star
+
+    a = near_dup_clusters(docs, n=2, k=32, bands=8, threshold=0.3)
+    b = near_dup_clusters_star(docs, n=2, k=32, bands=8, threshold=0.3)
+    assert a.exceptAll(b).isEmpty()
+    assert b.exceptAll(a).isEmpty()
