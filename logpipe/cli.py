@@ -23,6 +23,16 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--transcripts")
     p.add_argument("--k8s-meta")
     p.add_argument("--tool-meta")
+    p.add_argument(
+        "--logs-dir",
+        help="read docker-runtime JSON log files (S1 tail) as the input "
+             "instead of a transcripts parquet; Exclude_Path applies",
+    )
+    p.add_argument(
+        "--exclude-path", action="append", default=None,
+        help="Exclude_Path glob, repeatable (env LOGPIPE_EXCLUDE_PATH; "
+             "default */*fluent-bit*.log per entrypoint.sh:19-21)",
+    )
     p.add_argument("--out", required=True)
     p.add_argument("--manifest", required=True)
     p.add_argument("--buckets", type=int, default=8)
@@ -95,9 +105,34 @@ def main(argv: list[str] | None = None) -> None:
         transcripts = synth_transcripts(spark, n_rows=args.synth)
         k8s = synth_k8s_meta(spark)
         tools = synth_tool_meta(spark)
+    elif args.logs_dir:
+        from logpipe.sources.logfiles import docker_mode_join, read_docker_logs
+
+        exclude = tuple(args.exclude_path) if args.exclude_path else (cfg.exclude_path,)
+        raw = read_docker_logs(spark, args.logs_dir, exclude_path=exclude)
+        # rejoin Docker_Mode split records, then project to the
+        # transcripts shape (drop source-internal file/docker_id cols —
+        # identity re-enters through the k8s dim join)
+        transcripts = docker_mode_join(raw).select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts"
+        )
+        if args.k8s_meta and args.tool_meta:
+            k8s = spark.read.parquet(args.k8s_meta)
+            tools = spark.read.parquet(args.tool_meta)
+        else:
+            # dims optional in logs mode: un-enriched rows pass through
+            # (fluent-bit's missing-key behavior); synth dims keep the
+            # join columns present
+            from logpipe.synth import synth_k8s_meta, synth_tool_meta
+
+            k8s = synth_k8s_meta(spark)
+            tools = synth_tool_meta(spark)
     else:
         if not (args.transcripts and args.k8s_meta and args.tool_meta):
-            p.error("--transcripts/--k8s-meta/--tool-meta required without --synth")
+            p.error(
+                "--transcripts/--k8s-meta/--tool-meta required without "
+                "--synth/--logs-dir"
+            )
         transcripts = spark.read.parquet(args.transcripts)
         k8s = spark.read.parquet(args.k8s_meta)
         tools = spark.read.parquet(args.tool_meta)

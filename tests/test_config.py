@@ -83,3 +83,44 @@ def test_cli_throttle_drop_wiring(spark, tmp_path, monkeypatch):
     out_rows = lambda t: sum(m["rows"] for m in t["sinks"].values())  # noqa: E731
     assert t2["rows_in"] == t1["rows_in"]
     assert out_rows(t2) < out_rows(t1)
+
+
+def test_cli_logs_dir_mode_excludes_self(spark, tmp_path, monkeypatch):
+    """--logs-dir reads docker-runtime JSON logs through the S1 source;
+    the default Exclude_Path (entrypoint.sh:19-21) drops the
+    collector's own log file from the listing."""
+    import json
+
+    from logpipe import cli
+
+    line = (
+        '{"log": "%s\\n", "stream": "stdout", '
+        '"time": "2024-01-01T00:00:00.000000001Z"}'
+    )
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "app-pod_ns_main-abc.log").write_text((line % "hello") + "\n")
+    (logs / "oops-fluent-bit-xyz.log").write_text((line % "self") + "\n")
+
+    monkeypatch.setattr("logpipe.session.get_spark", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    monkeypatch.setenv("LOGPIPE_EXCLUDE_PATH", "*fluent-bit*.log")
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cli.main(
+            ["--logs-dir", str(logs / "*.log"),
+             "--out", str(tmp_path / "out"),
+             "--manifest", str(tmp_path / "mf"), "--buckets", "1"]
+        )
+    totals = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert totals["rows_in"] == 1  # the fluent-bit file never ingested
+
+    back = spark.read.option("basePath", str(tmp_path / "out")).parquet(
+        str(tmp_path / "out") + "/bucket=*"
+    )
+    contents = [r["content"] for r in back.select("content").collect()]
+    assert contents and all(c == "hello" for c in contents)
