@@ -127,6 +127,17 @@ def main() -> None:
     print(json.dumps(result))
 
     os.makedirs("BENCH", exist_ok=True)
+    # preserve the hand-written per-round notes below the marker: the
+    # scaling table is machine-generated, the notes are not
+    marker = "<!-- NOTES (preserved across bench_scaling.py reruns) -->"
+    notes = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        if marker in old:
+            notes = old.split(marker, 1)[1]
+    except OSError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH baseline — two-parallelism scaling (north rule)\n\n"
@@ -154,7 +165,9 @@ def main() -> None:
             "memory bandwidth, which is the regime this stands in for.\n\n"
             "Reference envelope: the fluent-bit instance throttles at 1000\n"
             "records/s/node (BASELINE.md); the Spark job exceeds that per *core*\n"
-            "by orders of magnitude.\n"
+            "by orders of magnitude.\n\n"
+            + marker + "\n"
+            + notes
         )
 
 

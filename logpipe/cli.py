@@ -30,8 +30,9 @@ def main(argv: list[str] | None = None) -> None:
     )
     p.add_argument(
         "--exclude-path", action="append", default=None,
-        help="Exclude_Path glob, repeatable (env LOGPIPE_EXCLUDE_PATH; "
-             "default */*fluent-bit*.log per entrypoint.sh:19-21)",
+        help="Exclude_Path glob, repeatable (env LOGPIPE_EXCLUDE_PATH, "
+             "comma-separated; default excludes *fluent-bit*.log — "
+             "entrypoint.sh:19-21 plus its path-agnostic complement)",
     )
     p.add_argument("--out", required=True)
     p.add_argument("--manifest", required=True)
@@ -106,10 +107,22 @@ def main(argv: list[str] | None = None) -> None:
         k8s = synth_k8s_meta(spark)
         tools = synth_tool_meta(spark)
     elif args.logs_dir:
+        from pyspark.sql import functions as F
+
         from logpipe.sources.logfiles import docker_mode_join, read_docker_logs
 
-        exclude = tuple(args.exclude_path) if args.exclude_path else (cfg.exclude_path,)
+        exclude = tuple(args.exclude_path) if args.exclude_path else cfg.exclude_path
         raw = read_docker_logs(spark, args.logs_dir, exclude_path=exclude)
+        # one tailed FILE is the reference's conv unit: suffix the
+        # kube-derived conv_id with a file hash so two files that
+        # extract to the same (pod, ns, container) — restarts, rotation,
+        # non-kube filenames — never interleave in the rejoin/stitch
+        # windows (duplicate (conv_id, turn_idx) sort keys would make
+        # fragment joins nondeterministic across runs)
+        raw = raw.withColumn(
+            "conv_id",
+            F.concat_ws("_", F.col("conv_id"), F.substring(F.md5("file"), 1, 8)),
+        )
         # rejoin Docker_Mode split records, then project to the
         # transcripts shape (drop source-internal file/docker_id cols —
         # identity re-enters through the k8s dim join)
@@ -142,9 +155,25 @@ def main(argv: list[str] | None = None) -> None:
         n_buckets=args.buckets, pipeline_fn=pipeline_fn,
     )
     totals = manifest.totals()
-    if cfg.throttle_retain:
-        # retain=true (the reference's patched sleep-and-keep): batch
-        # jobs self-pace, so REPORT the over-rate buckets instead
+    # retain=true (the reference's patched sleep-and-keep): batch jobs
+    # self-pace, so REPORT the over-rate buckets — but only when a
+    # throttle knob was actually configured: the audit is an extra
+    # full-input aggregation, which an un-throttled 100TB run should
+    # not pay for a metric nobody asked for
+    import os as _os
+
+    throttle_configured = any(
+        x is not None
+        for x in (args.throttle_rate, args.throttle_retain, args.throttle_bucket)
+    ) or any(
+        k in _os.environ
+        for k in (
+            "LOGPIPE_THROTTLE_RATE",
+            "LOGPIPE_THROTTLE_RETAIN",
+            "LOGPIPE_THROTTLE_BUCKET",
+        )
+    )
+    if cfg.throttle_retain and throttle_configured:
         from logpipe.operators.throttle import throttle_audit
 
         totals["throttle_over_rate_buckets"] = throttle_audit(

@@ -13,7 +13,8 @@ the same precedence the entrypoint's `if [ -z ... ]` blocks encode).
 | LOGPIPE_THROTTLE_RATE    | FLUENTBIT_THROTTLE_RATE (1000)       |
 | LOGPIPE_THROTTLE_RETAIN  | FLUENTBIT_THROTTLE_RETAIN (true)     |
 | LOGPIPE_EXCLUDE_PATH     | FLUENTBIT_INPUT_TAIL_EXCLUDE_PATH    |
-|                          | ('/var/log/containers/*fluent-bit*') |
+|                          | (comma-separated globs; default      |
+|                          | DEFAULT_EXCLUDE_PATHS below)         |
 | LOGPIPE_CLUSTER_NAME     | DICE_CLUSTER_NAME ('erda-cluster')   |
 | LOGPIPE_PLAN             | CONFIG_FILE select (ds)              |
 | LOGPIPE_THROTTLE_BUCKET  | throttle Interval/Window             |
@@ -25,7 +26,16 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-DEFAULT_EXCLUDE_PATH = "/var/log/containers/*fluent-bit*.log"
+# The reference default (entrypoint.sh:19-21) plus a path-agnostic
+# complement: fnmatch of the full-path glob only fires under
+# /var/log/containers, so a logs dir anywhere else would silently
+# re-ingest the collector's own logs without the second pattern. Both
+# still exclude ONLY *fluent-bit* logs. LOGPIPE_EXCLUDE_PATH accepts a
+# comma-separated list, like FLUENTBIT_INPUT_TAIL_EXCLUDE_PATH.
+DEFAULT_EXCLUDE_PATHS: tuple[str, ...] = (
+    "/var/log/containers/*fluent-bit*.log",
+    "*fluent-bit*.log",
+)
 
 
 def _parse_bool(v: str, name: str) -> bool:
@@ -42,7 +52,7 @@ class PipelineConfig:
     throttle_rate: int = 1000          # entrypoint.sh:42-44
     throttle_retain: bool = True       # entrypoint.sh:45-47
     throttle_bucket: str = "second"    # conf/ds/fluent-bit.conf:18-19
-    exclude_path: str = DEFAULT_EXCLUDE_PATH  # entrypoint.sh:19-21
+    exclude_path: tuple[str, ...] = DEFAULT_EXCLUDE_PATHS  # entrypoint.sh:19-21
     cluster_name: str = "erda-cluster"
     plan: str = "ds"                   # ds | dynamic (CONFIG_FILE select)
 
@@ -57,6 +67,11 @@ class PipelineConfig:
             raise ValueError(
                 f"throttle_bucket must be second|minute|hour|day, "
                 f"got {self.throttle_bucket!r}"
+            )
+        if not all(isinstance(g, str) and g for g in self.exclude_path):
+            raise ValueError(
+                f"exclude_path must be non-empty glob strings, "
+                f"got {self.exclude_path!r}"
             )
 
 
@@ -73,7 +88,15 @@ def from_env(env: dict | None = None, **overrides) -> PipelineConfig:
             else base.throttle_retain
         ),
         "throttle_bucket": env.get("LOGPIPE_THROTTLE_BUCKET", base.throttle_bucket),
-        "exclude_path": env.get("LOGPIPE_EXCLUDE_PATH", base.exclude_path),
+        "exclude_path": (
+            tuple(
+                g.strip()
+                for g in env["LOGPIPE_EXCLUDE_PATH"].split(",")
+                if g.strip()
+            )
+            if "LOGPIPE_EXCLUDE_PATH" in env
+            else base.exclude_path
+        ),
         "cluster_name": env.get("LOGPIPE_CLUSTER_NAME", base.cluster_name),
         "plan": env.get("LOGPIPE_PLAN", base.plan),
     }

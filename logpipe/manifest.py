@@ -34,9 +34,15 @@ takes an exclusive lease file (`_lease`, O_EXCL-created) before
 claiming pending buckets, so a second concurrent invocation fails
 fast with ConcurrentWaveError instead of racing the pre-write deletes
 and dynamic-overwrite writes on the same bucket= paths. A lease older
-than lease_ttl_sec is presumed crashed and stolen. Parallelism across
-JOBS comes from separate manifests over disjoint inputs, not from
-concurrent waves on one manifest.
+than lease_ttl_sec is presumed crashed and stolen; a healthy wave
+HEARTBEATS the lease at each phase boundary (input agg -> write ->
+commit) so long waves are not mistaken for crashes, and the commit of
+manifest entries is gated on still holding the token — a wave whose
+lease was stolen aborts loudly without claiming success. Residual
+race: two stealers replacing a genuinely stale lease in the same
+instant can both start, but the token gate stops the loser before any
+entry commits. Parallelism across JOBS comes from separate manifests
+over disjoint inputs, not from concurrent waves on one manifest.
 """
 
 from __future__ import annotations
@@ -173,6 +179,7 @@ def run_resumable(
         return _run_wave(
             spark, transcripts, k8s_meta, tool_meta, out_base, manifest,
             manifest_dir, n_buckets, max_buckets, pipeline_fn,
+            lease_path, lease_token,
         )
     finally:
         try:
@@ -181,6 +188,27 @@ def run_resumable(
                     os.remove(lease_path)
         except (OSError, ValueError):
             pass
+
+
+def _touch_lease(lease_path: str, token: str) -> None:
+    """Heartbeat: refresh the lease timestamp so a long-running healthy
+    wave is not 'presumed crashed' and stolen at lease_ttl_sec. Raises
+    ConcurrentWaveError if the lease was stolen (token mismatch) —
+    better to abort before (further) writes than to race the thief."""
+    try:
+        with open(lease_path) as f:
+            held = json.load(f)
+    except (OSError, ValueError):
+        held = {}
+    if held.get("token") != token:
+        raise ConcurrentWaveError(
+            f"lease at {lease_path} was taken over by another wave "
+            f"(token {str(held.get('token', '?'))[:8]}); aborting this wave"
+        )
+    tmp = lease_path + f".tmp-{token[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"token": token, "ts": time.time()}, f)
+    os.replace(tmp, lease_path)
 
 
 def _run_wave(
@@ -194,6 +222,8 @@ def _run_wave(
     n_buckets: int,
     max_buckets: int | None,
     pipeline_fn,
+    lease_path: str,
+    lease_token: str,
 ) -> Manifest:
     from logpipe.plans.pipeline import run_pipeline
 
@@ -250,6 +280,10 @@ def _run_wave(
         hp = jvm.org.apache.hadoop.fs.Path(f"{out_base}/bucket={b}")
         hp.getFileSystem(hconf).delete(hp, True)
 
+    # heartbeat before the write phase (input agg above may have taken
+    # a while on a big wave) and verify we still hold the lease
+    _touch_lease(lease_path, lease_token)
+
     # ONE write pass for the whole wave; dynamic partition overwrite
     # replaces exactly the bucket/sink partitions this wave produces,
     # leaving completed buckets' directories untouched
@@ -283,6 +317,11 @@ def _run_wave(
                 "rows": r["rows"],
                 "content_bytes": r["content_bytes"],
             }
+
+    # commit gate: entries are only recorded while we still hold the
+    # lease — a wave whose lease was stolen mid-run aborts HERE, before
+    # claiming success for partitions another wave may have clobbered
+    _touch_lease(lease_path, lease_token)
 
     wall = round(time.perf_counter() - t0, 3)
     for b in pending:

@@ -309,7 +309,12 @@ def route_with_rules(
     """
     if initial_tag is None:
         base = F.col("conv_id") if "conv_id" in df.columns else F.lit("var.log")
-        initial_tag = F.concat(F.lit("kube."), base.cast("string"))
+        # null-safe: a NULL conv_id must not produce a NULL tag (NULL
+        # poisons every rlike in the cascade and the row would vanish
+        # where route() still routes it)
+        initial_tag = F.concat(
+            F.lit("kube."), F.coalesce(base.cast("string"), F.lit(""))
+        )
     tagged = df.withColumn("tag", initial_tag)
     routed = apply_rewrite_tags(tagged, parse_rewrite_tag_conf(conf_text))
     return dispatch_sinks(routed, dispatch).drop("tag")

@@ -6,15 +6,19 @@ from __future__ import annotations
 
 import pytest
 
-from logpipe.config import DEFAULT_EXCLUDE_PATH, PipelineConfig, from_env
+from logpipe.config import DEFAULT_EXCLUDE_PATHS, PipelineConfig, from_env
 
 
 def test_defaults_match_entrypoint():
     c = from_env(env={})
     assert c.throttle_rate == 1000          # entrypoint.sh:42-44
     assert c.throttle_retain is True        # entrypoint.sh:45-47
-    assert c.exclude_path == DEFAULT_EXCLUDE_PATH  # entrypoint.sh:19-21
+    assert c.exclude_path == DEFAULT_EXCLUDE_PATHS  # entrypoint.sh:19-21
+    assert "/var/log/containers/*fluent-bit*.log" in c.exclude_path
     assert c.plan == "ds"
+    # comma-separated env list, like FLUENTBIT_INPUT_TAIL_EXCLUDE_PATH
+    c2 = from_env(env={"LOGPIPE_EXCLUDE_PATH": "*a*.log, *b*.log"})
+    assert c2.exclude_path == ("*a*.log", "*b*.log")
 
 
 def test_env_then_override_precedence():
@@ -66,8 +70,15 @@ def test_cli_throttle_drop_wiring(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(spark, "stop", lambda: None)
 
     base = ["--synth", "2000", "--buckets", "2"]
-    t1 = run(base + ["--out", str(tmp_path / "o1"), "--manifest", str(tmp_path / "m1")])
-    assert "throttle_over_rate_buckets" in t1  # retain=true default
+    # un-throttled run: no audit scan is paid (no key in the totals)
+    t0 = run(base + ["--out", str(tmp_path / "o0"), "--manifest", str(tmp_path / "m0")])
+    assert "throttle_over_rate_buckets" not in t0
+
+    t1 = run(
+        base + ["--out", str(tmp_path / "o1"), "--manifest", str(tmp_path / "m1"),
+                "--throttle-retain", "true"]
+    )
+    assert "throttle_over_rate_buckets" in t1  # retain=true, configured
 
     # synth ts spreads rows across seconds, so force collisions with a
     # day-granularity window (the reference's Window/Interval knob)
@@ -104,7 +115,8 @@ def test_cli_logs_dir_mode_excludes_self(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr("logpipe.session.get_spark", lambda **kw: spark)
     monkeypatch.setattr(spark, "stop", lambda: None)
-    monkeypatch.setenv("LOGPIPE_EXCLUDE_PATH", "*fluent-bit*.log")
+    # no env override: the DEFAULT exclusion must already cover a
+    # fluent-bit log in an arbitrary directory (path-agnostic pattern)
 
     import io
     from contextlib import redirect_stdout

@@ -153,3 +153,39 @@ def test_concurrent_wave_lease(spark, transcripts, k8s_meta, tool_meta, tmp_path
     )
     assert len(m.entries()) == 4
     assert not os.path.exists(os.path.join(mdir, "_lease"))
+
+
+def test_stolen_lease_aborts_before_commit(
+    spark, transcripts, k8s_meta, tool_meta, tmp_path, monkeypatch
+):
+    """A wave whose lease is taken over mid-run must abort at the next
+    heartbeat instead of committing entries for clobbered partitions."""
+    import json
+    import os
+
+    import pytest
+
+    from logpipe import manifest as M
+
+    mdir = str(tmp_path / "manifest")
+    os.makedirs(mdir, exist_ok=True)
+
+    real_touch = M._touch_lease
+    calls = {"n": 0}
+
+    def stealing_touch(lease_path, token):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # simulate another wave stealing the lease mid-run
+            with open(lease_path, "w") as f:
+                json.dump({"token": "thief000", "ts": 0}, f)
+        return real_touch(lease_path, token)
+
+    monkeypatch.setattr(M, "_touch_lease", stealing_touch)
+    with pytest.raises(M.ConcurrentWaveError, match="taken over"):
+        M.run_resumable(
+            spark, transcripts, k8s_meta, tool_meta,
+            str(tmp_path / "out"), mdir, n_buckets=2,
+        )
+    # nothing was committed
+    assert len(M.Manifest(mdir).entries()) == 0

@@ -116,6 +116,17 @@ def test_cyclic_config_refused():
         _reentry_rounds(parse_rewrite_tag_conf(conf))
 
 
+def test_null_conv_id_still_routes(spark):
+    """A NULL conv_id must not poison the tag cascade: the row routes
+    exactly as route() would route it (here: define_tag set -> job)."""
+    df = spark.createDataFrame(
+        [(None, {}, "job-x")],
+        "conv_id string, labels map<string,string>, define_tag string",
+    )
+    got = [r["sink"] for r in route_with_rules(df).collect()]
+    assert got == ["job"]
+
+
 def test_engine_parity_with_hardcoded_router(
     spark, transcripts, k8s_meta, tool_meta
 ):
