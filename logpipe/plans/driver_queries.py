@@ -1046,6 +1046,101 @@ FROM documents
 """
 
 
+# PII redaction (traindata/textstats.py::redact_pii): the synthetic
+# docs carry no PII, so the query embeds deterministic emails / IPv4s /
+# digit runs derived from doc_id, then redacts — the oracle replays the
+# same construction and the same RE2-compatible rules with the 'g' flag.
+_PII_TEXT_SQL = (
+    "substring(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.example.com ip 10.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)"
+    " || ' acct 123456789' || CAST(doc_id AS VARCHAR)"
+)
+
+_PII_SQL = f"""
+WITH t AS (SELECT doc_id, {_PII_TEXT_SQL} AS txt FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(txt,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+         '\\b(\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g'),
+         '\\b\\d{{9,}}\\b', '<NUM>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(txt, '\\b(\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(txt, '\\b\\d{{9,}}\\b')) AS BIGINT) AS n_longnum
+FROM t
+"""
+
+
+def _pii_text_expr() -> F.Column:
+    d = F.col("doc_id").cast("string")
+    return F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"), d,
+        F.lit("@mail"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com ip 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+        F.lit(" acct 123456789"), d,
+    )
+
+
+@register("pii_redaction", _PII_SQL)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.traindata import textstats as ts
+
+    t = _docs(spark, sf_dir).select("doc_id", _pii_text_expr().alias("txt"))
+    counts = ts.pii_counts(F.col("txt"))
+    return t.select(
+        "doc_id",
+        ts.redact_pii(F.col("txt")).alias("redacted"),
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["longnum"].alias("n_longnum"),
+    )
+
+
+# Per-domain URL stats (textstats.py::extract_domains): embedded
+# deterministic URLs, exploded to (domain, n_urls, n_docs).
+_DOMAIN_TEXT_SQL = (
+    "substring(text, 1, 30) || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.example.com/p/' || CAST(doc_id AS VARCHAR)"
+    " || ' and http://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.net/x'"
+)
+
+_DOMAIN_SQL = f"""
+WITH t AS (SELECT doc_id, {_DOMAIN_TEXT_SQL} AS txt FROM documents),
+u AS (
+  SELECT doc_id, unnest(regexp_extract_all(txt, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+  FROM t
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM u GROUP BY domain
+"""
+
+
+@register("domain_stats", _DOMAIN_SQL)
+def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.traindata import textstats as ts
+
+    txt = F.concat(
+        F.substring("text", 1, 30),
+        F.lit(" see https://site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        F.lit(" and http://cdn"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".net/x"),
+    )
+    t = _docs(spark, sf_dir).select("doc_id", txt.alias("txt"))
+    return (
+        t.select("doc_id", F.explode(ts.extract_domains(F.col("txt"))).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
 @register("token_count", _TOKEN_COUNT_SQL)
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logpipe.traindata import textstats as ts

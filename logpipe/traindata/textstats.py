@@ -31,6 +31,44 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+# PII scrubbing for training corpora: ordered (pattern, replacement)
+# rules, applied as chained regexp_replace — columnar, zero Python.
+# Patterns are RE2-compatible so the DuckDB oracle replays them
+# verbatim (no lookbehind/lookahead).
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("longnum", r"\b\d{9,}\b", "<NUM>"),  # account/phone-ish digit runs
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, IPv4 addresses, and long digit runs with typed
+    placeholders. Rule order matters (an email is redacted before its
+    digits could match longnum) and is part of the contract."""
+    out = text
+    for _, pat, repl in PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-rule match counts (for corpus auditing): {name: long col}."""
+    return {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long")
+        for name, pat, _ in PII_RULES
+    }
+
+
+URL_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_domains(text: Column) -> Column:
+    """Domains of every http(s) URL in the text (group 1 of each
+    match) — the input to per-domain corpus stats / blocklists."""
+    return F.regexp_extract_all(text, F.lit(URL_DOMAIN_RE), 1)
+
+
 def bpe_ish_token_count(text: Column) -> Column:
     """Sub-word-ish token estimate: count of BPE-flavored segments
     (letter runs, digit runs, single punctuation) — a deterministic

@@ -342,3 +342,26 @@ def test_star_clusters_equal_propagation_clusters(spark, docs):
     b = near_dup_clusters_star(docs, n=2, k=32, bands=8, threshold=0.3)
     assert a.exceptAll(b).isEmpty()
     assert b.exceptAll(a).isEmpty()
+
+
+def test_pii_redaction_and_domains(spark):
+    """Rule order (email before longnum), all-rule coverage, and URL
+    domain extraction."""
+    from logpipe.traindata.textstats import extract_domains, pii_counts, redact_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a9876543210@x.co ping 10.1.2.3 acct 987654321 see https://a.b.c/d http://e.f/g",)],
+        "txt string",
+    )
+    counts = pii_counts(F.col("txt"))
+    row = df.select(
+        redact_pii(F.col("txt")).alias("red"),
+        extract_domains(F.col("txt")).alias("doms"),
+        counts["email"].alias("e"), counts["ipv4"].alias("i"),
+        counts["longnum"].alias("n"),
+    ).first()
+    # the email's digit run is consumed by the email rule, not longnum
+    assert row["red"] == "<EMAIL> ping <IP> acct <NUM> see https://a.b.c/d http://e.f/g"
+    assert (row["e"], row["i"], row["n"]) == (1, 1, 1)
+    assert row["doms"] == ["a.b.c", "e.f"]
