@@ -36,6 +36,8 @@ HEADLINE = [
     ("topk_orders", "collect"),
     ("throttle_drop", "noop"),
     ("dedup_exact", "noop"),
+    ("simhash_near_dups", "noop"),
+    ("near_dup_clusters", "noop"),
     ("minhash_lsh_dups", "noop"),
     ("minhash_lsh_dups_10x", "noop"),
     ("embedding_cosine_topk", "collect"),

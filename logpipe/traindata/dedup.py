@@ -370,6 +370,14 @@ def star_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     monotonically non-increasing after the first round). Raises after
     ``max_rounds`` like the propagation loop: deterministic failure
     beats silently-wrong clusters.
+
+    When to use which: near-dup components are usually SHALLOW (many
+    copies of one source), where propagation converges in ~2 rounds and
+    this variant's fixed per-round cost makes it ~2-3x slower (measured
+    at sf0.1: 17.5s vs 6.6s). Star is the right engine when components
+    can be deep chains (versioned docs, crawl re-publications) — its
+    round count is bounded by log n, not diameter (100-node path: <=8
+    rounds, pinned in tests).
     """
     if max_rounds < 1:
         raise ValueError(f"star_components: max_rounds must be >= 1, got {max_rounds}")
