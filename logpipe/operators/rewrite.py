@@ -182,37 +182,46 @@ def _empty_tags() -> Column:
 
 
 def _final_tags_expr(
-    stages: list[Stage], tag: Column | None, tag_literal: str | None, depth: int
+    stages: list[Stage],
+    tag: Column | None,
+    tag_literal: str | None,
+    depth: int,
+    conds: dict[tuple[int, int], Column],
+    matches: dict[int, Column],
 ) -> Column:
     """Array of FINAL tags a record ends up under, cascade + re-injection
     fully expanded. ``tag_literal`` set = we're expanding the trajectory
     of an emitted copy whose tag is known at plan time (stage Match
     tests collapse to plan-time booleans); otherwise ``tag`` is the
-    input tag column."""
+    input tag column. ``conds``/``matches`` are PRE-MATERIALIZED boolean
+    columns (one per rule regex / stage glob) — the expression here is
+    pure boolean algebra over them, so referencing a rule's condition
+    several times (fire, first-match mask, consumed) never duplicates
+    the underlying accessor expression (which in the dynamic map plan
+    is an enormous tree; inlining it per reference blew the driver heap
+    at plan time)."""
     if depth < 0:  # _reentry_rounds bounds recursion; this is a backstop
         raise RuntimeError("rewrite_tag: re-emission recursion exceeded bound")
     alive: Column = F.lit(True)
     parts: list[Column] = []
-    for stage in stages:
+    for si, stage in enumerate(stages):
         glob_re = glob_to_regex(stage.match)
         if tag_literal is not None:
             if not re.match(glob_re, tag_literal):
                 continue
             applicable = alive
         else:
-            applicable = alive & tag.rlike(glob_re)
+            applicable = alive & matches[si]
         # first-match-wins: rule i fires iff applicable and rules <i missed
         prev_miss: Column = F.lit(True)
         consumed: Column | None = None
-        for r in stage.rules:
-            cond = F.coalesce(
-                parse_accessor(r.key).cast("string").rlike(r.regex), F.lit(False)
-            )
+        for ri, r in enumerate(stage.rules):
+            cond = conds[(si, ri)]
             fire = applicable & prev_miss & cond
             parts.append(
-                F.when(fire, _literal_finals(stages, r.new_tag, depth)).otherwise(
-                    _empty_tags()
-                )
+                F.when(
+                    fire, _literal_finals(stages, r.new_tag, depth, conds, matches)
+                ).otherwise(_empty_tags())
             )
             if not r.keep:
                 consumed = fire if consumed is None else (consumed | fire)
@@ -224,13 +233,19 @@ def _final_tags_expr(
     return F.concat(*parts, survivor) if parts else survivor
 
 
-def _literal_finals(stages: list[Stage], new_tag: str, depth: int) -> Column:
+def _literal_finals(
+    stages: list[Stage],
+    new_tag: str,
+    depth: int,
+    conds: dict[tuple[int, int], Column],
+    matches: dict[int, Column],
+) -> Column:
     """Final tags of an emitted copy with literal tag ``new_tag``: if no
     stage's Match glob covers it, it is terminal; otherwise expand its
     pass through the cascade (one recursion level per re-injection)."""
     if not any(re.match(glob_to_regex(s.match), new_tag) for s in stages):
         return F.array(F.lit(new_tag))
-    return _final_tags_expr(stages, None, new_tag, depth - 1)
+    return _final_tags_expr(stages, None, new_tag, depth - 1, conds, matches)
 
 
 def apply_rewrite_tags(
@@ -238,16 +253,59 @@ def apply_rewrite_tags(
 ) -> DataFrame:
     """Run the full rewrite_tag cascade; returns one row per FINAL record
     (surviving originals keep their tag; emitted copies carry new_tag),
-    all other columns passed through verbatim. One projection + one
+    all other columns passed through verbatim. Two projections + one
     generator — the input is scanned once regardless of how many
     re-injection rounds the config implies.
+
+    The first projection materializes every rule condition and stage
+    Match test ONCE as a boolean column; the finals expression is
+    boolean algebra over those. This matters beyond tidiness: Catalyst's
+    CollapseProject declines to inline non-cheap expressions referenced
+    more than once, so upstream plans whose accessor columns are huge
+    expression trees (the dynamic map-record pipeline) are evaluated
+    once per row instead of once per reference — without the split, the
+    inlined tree grew multiplicatively and planning OOMed the driver.
     """
     rounds = _reentry_rounds(stages)  # also rejects cyclic configs
-    others = [c for c in df.columns if c != tag_col]
-    finals = _final_tags_expr(stages, F.col(tag_col), None, rounds)
+
+    cond_cols: dict[tuple[int, int], str] = {}
+    match_cols: dict[int, str] = {}
+    staged = df
+    for si, stage in enumerate(stages):
+        mc = f"_rw_m{si}"
+        match_cols[si] = mc
+        staged = staged.withColumn(
+            mc, F.col(tag_col).rlike(glob_to_regex(stage.match))
+        )
+        for ri, r in enumerate(stage.rules):
+            cc = f"_rw_c{si}_{ri}"
+            cond_cols[(si, ri)] = cc
+            staged = staged.withColumn(
+                cc,
+                F.coalesce(
+                    parse_accessor(r.key).cast("string").rlike(r.regex), F.lit(False)
+                ),
+            )
+
+    finals = _final_tags_expr(
+        stages,
+        F.col(tag_col),
+        None,
+        rounds,
+        {k: F.col(v) for k, v in cond_cols.items()},
+        {k: F.col(v) for k, v in match_cols.items()},
+    )
+    # withColumn + explode + drop, NOT select(explode, *others): the
+    # select form asked the optimizer to rebuild every passthrough
+    # column inside the Generate's child projection, which on plans
+    # whose columns are deep expression trees (the dynamic map-record
+    # pipeline) exploded optimization memory; this shape is the same
+    # one operators.route uses and plans in constant space
+    helper = list(cond_cols.values()) + list(match_cols.values())
     return (
-        df.withColumn("_finals", finals)
-        .select(F.explode("_finals").alias(tag_col), *others)
+        staged.withColumn("_rw_final_tag", F.explode(finals))
+        .drop(tag_col, *helper)
+        .withColumnRenamed("_rw_final_tag", tag_col)
         .select(*df.columns)  # restore original column order
     )
 

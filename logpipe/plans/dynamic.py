@@ -121,6 +121,7 @@ def run_dynamic_pipeline(
     cluster_name: str = DEFAULT_CLUSTER,
     honor_k8s_exclude: bool = False,
     passthrough: tuple[str, ...] = (),
+    router_fn=None,
 ) -> DataFrame:
     df = transcripts.filter(F.col("text").isNotNull() & (F.length("text") > 0))
 
@@ -295,5 +296,7 @@ def run_dynamic_pipeline(
         .withColumn("id", F.coalesce(F.col("rec").getItem("id"), F.lit("")))
         .withColumn("stream", F.col("rec").getItem("stream"))
     )
-    df = route(df)
+    # router pluggable like the typed flagship (e.g. the config-driven
+    # operators.rewrite.route_with_rules engine)
+    df = (router_fn or route)(df)
     return project_log_event(df, passthrough=passthrough)

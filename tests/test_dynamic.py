@@ -61,3 +61,36 @@ def test_dynamic_equals_typed(spark, transcripts, k8s_meta, tool_meta):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         assert x == y, f"dynamic/typed divergence:\ntyped={x}\ndynamic={y}"
+
+
+def test_dynamic_rules_router_parity(spark, transcripts, k8s_meta, tool_meta):
+    """The config-driven rewrite_tag engine slots into the dynamic
+    (map-record) plan exactly like the typed flagship."""
+    from pyspark.sql import functions as F
+
+    from logpipe.operators.rewrite import route_with_rules
+
+    a = run_dynamic_pipeline(transcripts, k8s_meta, tool_meta)
+    b = run_dynamic_pipeline(
+        transcripts, k8s_meta, tool_meta, router_fn=route_with_rules
+    )
+
+    # per-sink count + content-hash signature: full-value comparison
+    # without exceptAll over two map-heavy plans in one test JVM (the
+    # double dynamic plan + anti-join OOMed the small test heap)
+    def sig(df):
+        return sorted(
+            (r["sink"], r["n"], r["h"])
+            for r in df.groupBy("sink")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                # decimal sum: long sum of xxhash64 overflows under ANSI
+                F.sum(
+                    F.xxhash64("source", "id", "stream", "content", "timestamp")
+                    .cast("decimal(38,0)")
+                ).alias("h"),
+            )
+            .collect()
+        )
+
+    assert sig(a) == sig(b)

@@ -365,3 +365,18 @@ def test_pii_redaction_and_domains(spark):
     assert row["red"] == "<EMAIL> ping <IP> acct <NUM> see https://a.b.c/d http://e.f/g"
     assert (row["e"], row["i"], row["n"]) == (1, 1, 1)
     assert row["doms"] == ["a.b.c", "e.f"]
+
+
+def test_traindata_scan_prunes_columns(spark):
+    """Column pruning reaches the parquet scan: token_count over the
+    documents table must read only (doc_id, text), not the whole row
+    (at 100TB the unread columns are most of the bytes)."""
+    from logpipe.plans.driver_queries import queries
+
+    df = queries()["token_count"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    rs = scan[0].split("ReadSchema:")[1]
+    assert "doc_id" in rs and "text" in rs
+    assert "source" not in rs and "lang" not in rs
