@@ -373,7 +373,11 @@ def test_traindata_scan_prunes_columns(spark):
     (at 100TB the unread columns are most of the bytes)."""
     from logpipe.plans.driver_queries import queries
 
-    df = queries()["token_count"](spark, "/root/testdata/sf0.001")
+    # sf0.01, NOT sf0.001: the docs fixture caches the sf0.001 read, and
+    # the cached InMemoryRelation's FileScan reads every column — which
+    # is fine (InMemoryTableScan prunes), but hides the property this
+    # test pins: an UNCACHED scan must prune at the file reader
+    df = queries()["token_count"](spark, "/root/testdata/sf0.01")
     plan = df._jdf.queryExecution().executedPlan().toString()
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan, plan
