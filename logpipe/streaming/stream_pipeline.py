@@ -161,11 +161,18 @@ STITCH_OUT_SCHEMA = (
 STITCH_STATE_SCHEMA = "turn_idx int, lines array<string>"
 
 
-def streaming_stitch(stream: DataFrame, firstline_re: str):
+def streaming_stitch(
+    stream: DataFrame, firstline_re: str, continuation_re: str | None = None
+):
     """Stateful multiline stitch: per conv_id, buffer lines until the
     next firstline arrives, then emit the closed group. A processing-
     time timeout (3s, mirroring Multiline_Flush) flushes a group that
     never sees a successor — fluent-bit's emitter timer.
+
+    ``continuation_re``: alternative grammar — a line STARTS a group
+    iff it does NOT match this regex (fluent-bit's built-in `java`
+    multiline parser shape; pass parse.JAVA_CONT_RE for parity with
+    the batch stitch_multiline_java). When set, firstline_re is ignored.
 
     Within a micro-batch, rows are ordered by turn_idx; ACROSS batches
     state carries the open group. (Late/out-of-order turns are the
@@ -175,7 +182,8 @@ def streaming_stitch(stream: DataFrame, firstline_re: str):
 
     import pandas as pd
 
-    pat = re.compile(firstline_re)
+    pat = re.compile(continuation_re if continuation_re else firstline_re)
+    invert = continuation_re is not None
 
     def stitch(key, pdfs, state: GroupState):
         (conv_id,) = key
@@ -207,7 +215,8 @@ def streaming_stitch(stream: DataFrame, firstline_re: str):
         # continuation rows, which extend the carried open group
         batch = batch.sort_values("turn_idx", kind="mergesort")
         texts = batch["text"].fillna("").astype(str)
-        seg = texts.str.match(pat).cumsum()
+        is_start = ~texts.str.match(pat) if invert else texts.str.match(pat)
+        seg = is_start.cumsum()
         agg = (
             pd.DataFrame(
                 {

@@ -342,3 +342,61 @@ def test_rule_engine_streams_too(spark, transcripts, k8s_meta, tool_meta, tmp_pa
     cols = ["sink", "source", "id", "stream", "content", "timestamp"]
     assert expected.select(cols).exceptAll(got.select(cols)).count() == 0
     assert got.select(cols).exceptAll(expected.select(cols)).count() == 0
+
+
+def test_streaming_stitch_java_grammar(spark, tmp_path):
+    """continuation_re mode: a datetime-less exception header anchors
+    its own group and its frames/Caused-by glue to it across the
+    micro-batch boundary — same grammar as stitch_multiline_java."""
+    from logpipe.operators.parse import JAVA_CONT_RE
+    from logpipe.streaming.stream_pipeline import streaming_stitch
+
+    rows_b1 = [
+        ("c1", 0, "user", 'Exception in thread "main" boom', None, None),
+        ("c1", 1, "user", "\tat Frame.one", None, None),
+    ]
+    rows_b2 = [
+        ("c1", 2, "user", "Caused by: java.io.IOException", None, None),
+        ("c1", 3, "user", "plain new record", None, None),
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(rows_b1, schema).coalesce(1).write.mode("append").parquet(inp)
+    spark.createDataFrame(rows_b2, schema).coalesce(1).write.mode("append").parquet(inp)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inp)
+    )
+    out = str(tmp_path / "stitched")
+    q = (
+        streaming_stitch(stream, "", continuation_re=JAVA_CONT_RE)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= 1:
+                break
+        except Exception:
+            pass
+        time.sleep(2)
+    q.stop()
+    q.awaitTermination(60)
+
+    got = {
+        r["turn_idx"]: (r["text"], r["n_lines"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got.get(0) == (
+        'Exception in thread "main" boom\n\tat Frame.one\nCaused by: java.io.IOException',
+        3,
+    )
