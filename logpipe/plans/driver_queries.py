@@ -1141,6 +1141,67 @@ def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# C4-style line-quality rules (textstats.c4_line_stats/c4_keep): the
+# word-soup docs carry no newlines/punctuation, so the query builds
+# multi-line text by replacing ' the ' with '.\n' and seeds lorem-ipsum
+# / brace markers from doc_id — the oracle replays the construction and
+# the rules with identical single-pass double arithmetic.
+_C4_TEXT_SQL = (
+    "CASE WHEN doc_id % 17 = 0 THEN 'lorem ipsum dolor sit. ' ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN '{\"k\": 1} ' ELSE '' END"
+    " || replace(text, ' the ', '.' || chr(10))"
+)
+
+_C4_SQL = f"""
+WITH t AS (SELECT doc_id, {_C4_TEXT_SQL} AS txt FROM documents), s AS (
+  SELECT doc_id, txt,
+         list_filter(list_transform(string_split(txt, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines
+  FROM t
+), m AS (
+  SELECT doc_id, txt, len(lines) AS n_lines,
+         len(list_filter(lines, x -> substring(x, -1, 1) IN ('.', '!', '?', '"'))) AS punct,
+         len(list_filter(lines, x -> len(string_split_regex(x, '\\s+')) < 3)) AS short
+  FROM s
+)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CASE WHEN n_lines > 0 THEN CAST(punct AS DOUBLE) / CAST(n_lines AS DOUBLE) END AS frac_lines_punct,
+       CASE WHEN n_lines > 0 THEN CAST(short AS DOUBLE) / CAST(n_lines AS DOUBLE) END AS frac_short_lines,
+       contains(lower(txt), 'lorem ipsum') AS has_lorem_ipsum,
+       contains(txt, '{{') AS has_brace,
+       (n_lines >= 1
+        AND CASE WHEN n_lines > 0 THEN CAST(punct AS DOUBLE) / CAST(n_lines AS DOUBLE) END >= 0.5
+        AND CASE WHEN n_lines > 0 THEN CAST(short AS DOUBLE) / CAST(n_lines AS DOUBLE) END <= 0.5
+        AND NOT contains(lower(txt), 'lorem ipsum')
+        AND NOT contains(txt, '{{')) AS keep
+FROM m
+"""
+
+
+@register("c4_quality_rules", _C4_SQL)
+def c4_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.traindata import textstats as ts
+
+    txt = F.concat(
+        F.when(F.col("doc_id") % 17 == 0, F.lit("lorem ipsum dolor sit. "))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit('{"k": 1} ')).otherwise(F.lit("")),
+        F.expr("replace(text, ' the ', concat('.', chr(10)))"),
+    )
+    t = _docs(spark, sf_dir).select("doc_id", txt.alias("txt"))
+    s = ts.c4_line_stats(F.col("txt"))
+    return t.select(
+        "doc_id",
+        s["n_lines"].alias("n_lines"),
+        s["frac_lines_punct"].alias("frac_lines_punct"),
+        s["frac_short_lines"].alias("frac_short_lines"),
+        s["has_lorem_ipsum"].alias("has_lorem_ipsum"),
+        s["has_brace"].alias("has_brace"),
+        ts.c4_keep(F.col("txt")).alias("keep"),
+    )
+
+
 @register("token_count", _TOKEN_COUNT_SQL)
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logpipe.traindata import textstats as ts

@@ -60,6 +60,61 @@ def pii_counts(text: Column) -> dict[str, Column]:
     }
 
 
+# C4-style line-level quality rules (Raffel et al. 2020 §2.2, public):
+# terminal-punctuation lines, short-line fraction, lorem-ipsum and
+# curly-brace markers. All columnar (split + filter + size).
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+
+
+def c4_line_stats(text: Column, short_line_tokens: int = 3) -> dict[str, Column]:
+    """Per-doc line-quality signals: {n_lines, frac_lines_punct,
+    frac_short_lines, has_lorem_ipsum, has_brace}. Fractions are
+    single-pass double divisions (oracle-bit-identical); empty lines
+    (post-trim) are excluded from the denominators."""
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    n = F.size(lines)
+    punct = F.size(
+        F.filter(
+            lines,
+            lambda x: F.substring(x, -1, 1).isin(*C4_TERMINAL_PUNCT),
+        )
+    )
+    short = F.size(
+        F.filter(
+            lines,
+            lambda x: F.size(F.split(x, r"\s+")) < short_line_tokens,
+        )
+    )
+    denom = F.when(n > 0, n.cast("double"))
+    return {
+        "n_lines": n.cast("long"),
+        "frac_lines_punct": punct.cast("double") / denom,
+        "frac_short_lines": short.cast("double") / denom,
+        "has_lorem_ipsum": F.lower(text).contains("lorem ipsum"),
+        "has_brace": text.contains("{"),
+    }
+
+
+def c4_keep(
+    text: Column,
+    min_punct_frac: float = 0.5,
+    max_short_frac: float = 0.5,
+    min_lines: int = 1,
+) -> Column:
+    """C4-flavored doc-level keep decision over c4_line_stats."""
+    s = c4_line_stats(text)
+    return (
+        (s["n_lines"] >= min_lines)
+        & (s["frac_lines_punct"] >= min_punct_frac)
+        & (s["frac_short_lines"] <= max_short_frac)
+        & ~s["has_lorem_ipsum"]
+        & ~s["has_brace"]
+    )
+
+
 URL_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
 
 

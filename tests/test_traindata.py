@@ -384,3 +384,25 @@ def test_traindata_scan_prunes_columns(spark):
     rs = scan[0].split("ReadSchema:")[1]
     assert "doc_id" in rs and "text" in rs
     assert "source" not in rs and "lang" not in rs
+
+
+def test_c4_line_rules(spark):
+    """C4-style line rules: terminal-punct fraction, short-line
+    fraction, lorem/brace markers, and the composed keep decision."""
+    from pyspark.sql import functions as F
+
+    from logpipe.traindata.textstats import c4_keep, c4_line_stats
+
+    good = 'First sentence is fine.\nSecond line also ends well!\nAnd a "quote."'
+    bad = "no punctuation here\nx y\nlorem ipsum inside\n{json}"
+    df = spark.createDataFrame([(good,), (bad,)], "txt string")
+    s = c4_line_stats(F.col("txt"))
+    rows = df.select(
+        s["n_lines"].alias("n"), s["frac_lines_punct"].alias("fp"),
+        s["frac_short_lines"].alias("fs"), s["has_lorem_ipsum"].alias("lor"),
+        s["has_brace"].alias("br"), c4_keep(F.col("txt")).alias("keep"),
+    ).collect()
+    g, b = rows
+    assert (g["n"], g["fp"], g["lor"], g["br"], g["keep"]) == (3, 1.0, False, False, True)
+    assert b["n"] == 4 and b["fp"] == 0.0 and b["lor"] and b["br"] and not b["keep"]
+    assert b["fs"] == 0.5  # 'x y' and '{json}' are short lines
