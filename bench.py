@@ -37,6 +37,7 @@ HEADLINE = [
     ("throttle_drop", "noop"),
     ("dedup_exact", "noop"),
     ("simhash_near_dups", "noop"),
+    ("simhash_near_dups_10x", "noop"),
     ("near_dup_clusters", "noop"),
     ("minhash_lsh_dups", "noop"),
     ("minhash_lsh_dups_10x", "noop"),
@@ -59,15 +60,13 @@ def _cosine_lsh_prod(spark, sf_dir):
     return cosine_lsh_near_dups(emb, threshold=0.8, n_planes=8, n_tables=16)
 
 
-def _minhash_10x(spark, sf_dir):
-    """minhash_lsh_dups over a 10x corpus: ten copies of documents with
-    every token salted per copy (disjoint shingle sets — no artificial
-    cross-copy duplicates), so wall-vs-input slope is measurable.
-    Sub-linear growth 1x->10x = the 1x number is dominated by fixed
+def _docs_10x(spark, sf_dir):
+    """10x corpus: ten copies of documents with every token salted per
+    copy (disjoint token/shingle sets — no artificial cross-copy
+    duplicates), so wall-vs-input slope is measurable. Sub-linear
+    growth 1x->10x = the 1x number is dominated by fixed
     planning/scheduling cost, not by the algorithm."""
     from pyspark.sql import functions as F
-
-    from logpipe.traindata.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     parts = [
@@ -82,7 +81,21 @@ def _minhash_10x(spark, sf_dir):
     d10 = parts[0]
     for p in parts[1:]:
         d10 = d10.union(p)
-    return minhash_lsh_pairs(d10, n=2, k=32, bands=8, threshold=0.1)
+    return d10
+
+
+def _minhash_10x(spark, sf_dir):
+    from logpipe.traindata.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs_10x(spark, sf_dir), n=2, k=32, bands=8, threshold=0.1
+    )
+
+
+def _simhash_10x(spark, sf_dir):
+    from logpipe.traindata.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs_10x(spark, sf_dir), max_hamming=6)
 
 
 def main() -> None:
@@ -95,6 +108,7 @@ def main() -> None:
     spark = get_spark(app_name="logpipe-bench")
     qs = dict(driver_queries.queries())
     qs["minhash_lsh_dups_10x"] = _minhash_10x
+    qs["simhash_near_dups_10x"] = _simhash_10x
     qs["cosine_lsh_near_dups_prod"] = _cosine_lsh_prod
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
 
