@@ -18,7 +18,8 @@ equivalent here:
   256 buckets = 256 full passes at 100TB);
 - then one manifest entry per bucket (one JSON file, atomic
   tmp+rename) records lineage + metrics: input rows, per-sink output
-  rows/bytes, wave wall time;
+  rows/bytes, the PHYSICAL files each partition landed as (count +
+  on-disk bytes, from one recursive listing), wave wall time;
 - a re-run SKIPS buckets whose manifest entry exists -> idempotent
   resume; a bucket that died mid-write is simply overwritten on the
   next wave (dynamic partition overwrite replaces exactly the
@@ -90,9 +91,13 @@ class Manifest:
         for e in self.entries():
             rows_in += e.get("rows_in", 0)
             for s, m in e.get("sinks", {}).items():
-                agg = sinks.setdefault(s, {"rows": 0, "content_bytes": 0})
-                agg["rows"] += m["rows"]
-                agg["content_bytes"] += m["content_bytes"]
+                agg = sinks.setdefault(
+                    s, {"rows": 0, "content_bytes": 0, "n_files": 0, "file_bytes": 0}
+                )
+                agg["rows"] += m.get("rows", 0)
+                agg["content_bytes"] += m.get("content_bytes", 0)
+                agg["n_files"] += m.get("n_files", 0)
+                agg["file_bytes"] += m.get("file_bytes", 0)
         return {"rows_in": rows_in, "sinks": sinks, "units": len(self.entries())}
 
 
@@ -123,6 +128,43 @@ def _existing_bucket_dirs(spark: SparkSession, out_base: str) -> set[int]:
                 out.add(int(name[len("bucket="):]))
             except ValueError:
                 pass
+    return out
+
+
+def _partition_file_stats(
+    spark: SparkSession, out_base: str, buckets: set[int]
+) -> dict[int, dict[str, dict[str, int]]]:
+    """{bucket: {sink: {n_files, file_bytes}}} from ONE recursive
+    listFiles over out_base — physical per-partition lineage for the
+    manifest (which files a partition landed as, and their size on
+    disk, alongside the logical rows/content_bytes)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    base = jvm.org.apache.hadoop.fs.Path(out_base)
+    fs = base.getFileSystem(hconf)
+    out: dict[int, dict[str, dict[str, int]]] = {}
+    if not fs.exists(base):
+        return out
+    it = fs.listFiles(base, True)
+    while it.hasNext():
+        st = it.next()
+        path = st.getPath().toString()
+        parts = dict(
+            seg.split("=", 1) for seg in path.split("/") if "=" in seg
+        )
+        if "bucket" not in parts or "sink" not in parts:
+            continue
+        try:
+            b = int(parts["bucket"])
+        except ValueError:
+            continue
+        if b not in buckets or not path.endswith(".parquet"):
+            continue
+        agg = out.setdefault(b, {}).setdefault(
+            parts["sink"], {"n_files": 0, "file_bytes": 0}
+        )
+        agg["n_files"] += 1
+        agg["file_bytes"] += int(st.getLen())
     return out
 
 
@@ -317,6 +359,14 @@ def _run_wave(
                 "rows": r["rows"],
                 "content_bytes": r["content_bytes"],
             }
+
+    # PHYSICAL lineage: the parquet files each (bucket, sink) partition
+    # landed as — one recursive listing RPC for the whole wave, grouped
+    # driver-side (never per-partition probes)
+    files = _partition_file_stats(spark, out_base, set(pending))
+    for b, per_sink in files.items():
+        for sink, st in per_sink.items():
+            counts[b].setdefault(sink, {}).update(st)
 
     # commit gate: entries are only recorded while we still hold the
     # lease — a wave whose lease was stolen mid-run aborts HERE, before

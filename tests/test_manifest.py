@@ -189,3 +189,35 @@ def test_stolen_lease_aborts_before_commit(
         )
     # nothing was committed
     assert len(M.Manifest(mdir).entries()) == 0
+
+
+def test_manifest_carries_file_lineage(
+    spark, transcripts, k8s_meta, tool_meta, tmp_path
+):
+    """Every committed bucket entry records the PHYSICAL files each
+    (bucket, sink) partition landed as — count and on-disk bytes —
+    alongside the logical rows/content_bytes."""
+    import glob
+    import os
+
+    out_base = str(tmp_path / "out")
+    m = run_resumable(
+        spark, transcripts, k8s_meta, tool_meta, out_base,
+        str(tmp_path / "manifest"), n_buckets=4,
+    )
+    entries = m.entries()
+    assert len(entries) == 4
+    for e in entries:
+        assert e["sinks"], e
+        for sink, st in e["sinks"].items():
+            assert st["n_files"] >= 1
+            assert st["file_bytes"] > 0
+            # matches the filesystem exactly
+            files = glob.glob(
+                f"{out_base}/bucket={e['bucket']}/sink={sink}/*.parquet"
+            )
+            assert st["n_files"] == len(files)
+            assert st["file_bytes"] == sum(os.path.getsize(f) for f in files)
+    t = m.totals()
+    for sink, agg in t["sinks"].items():
+        assert agg["n_files"] >= 4 and agg["file_bytes"] > 0
