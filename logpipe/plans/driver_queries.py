@@ -1141,6 +1141,58 @@ def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Benchmark decontamination (dedup.benchmark_contamination): the
+# "bench" set is a deterministic sample of the corpus (doc_id%31==0)
+# reduced to its first 12 tokens — guaranteeing real contamination hits
+# — and the oracle rebuilds both gram sets with DuckDB list
+# comprehensions and replays the overlap join + threshold.
+_TRIGRAM_SQL = (
+    "list_distinct(CASE WHEN len(words) >= 3 THEN "
+    "[words[i] || ' ' || words[i+1] || ' ' || words[i+2] "
+    "for i in generate_series(1, len(words)-2)] ELSE [] END)"
+)
+
+_CONTAM_SQL = f"""
+WITH w AS (SELECT doc_id, {{words}} AS words FROM documents),
+dg AS (SELECT doc_id, {_TRIGRAM_SQL} AS grams FROM w),
+bw AS (SELECT doc_id AS bench_id, array_to_string(words[1:12], ' ') AS text
+       FROM w WHERE doc_id % 31 = 0),
+bwords AS (
+  SELECT bench_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS words
+  FROM bw
+),
+bg AS (SELECT bench_id, {_TRIGRAM_SQL} AS grams FROM bwords),
+de AS (SELECT doc_id, len(grams) AS n_doc_grams, unnest(grams) AS gram FROM dg),
+be AS (SELECT DISTINCT bench_id, gram
+       FROM (SELECT bench_id, unnest(grams) AS gram FROM bg))
+SELECT de.doc_id, be.bench_id,
+       CAST(count(*) AS BIGINT) AS n_shared,
+       CAST(count(*) AS DOUBLE) / CAST(max(de.n_doc_grams) AS DOUBLE) AS frac_doc_grams
+FROM de JOIN be USING (gram)
+GROUP BY de.doc_id, be.bench_id
+HAVING count(*) >= 5
+"""
+
+
+@register(
+    "benchmark_contamination",
+    _CONTAM_SQL.format(
+        words="list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+    ),
+)
+def benchmark_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.traindata.dedup import benchmark_contamination
+    from logpipe.traindata.textstats import tokens
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 31 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 12)).alias("text"),
+    )
+    return benchmark_contamination(d, bench, n=3, min_overlap=5)
+
+
 # C4-style line-quality rules (textstats.c4_line_stats/c4_keep): the
 # word-soup docs carry no newlines/punctuation, so the query builds
 # multi-line text by replacing ' the ' with '.\n' and seeds lorem-ipsum

@@ -350,6 +350,62 @@ def near_dup_clusters(
     )
 
 
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Decontamination: flag training docs sharing >= ``min_overlap``
+    distinct n-grams with a benchmark/eval document (the standard
+    n-gram-overlap contamination check run before training).
+
+    Returns (doc_id, bench_id, n_shared, frac_doc_grams) per
+    contaminated (doc, bench) pair — n_shared = count of distinct
+    n-grams common to both, frac_doc_grams = that count over the doc's
+    distinct-gram total (the 'how much of this doc is the benchmark'
+    signal used for drop-vs-redact decisions).
+
+    100TB shape: eval sets are tiny (thousands of docs), so the
+    benchmark gram set is built once, deduped, and BROADCAST; the
+    corpus side explodes its grams and hash-joins with no shuffle of
+    doc payloads — the only exchange is the partial-agg groupBy on
+    (doc_id, bench_id), sized by the number of HITS, not the corpus.
+    """
+    d = with_ngrams(docs, n, text_col=text_col).select(
+        "doc_id",
+        F.size("grams").alias("n_doc_grams"),
+        F.explode("grams").alias("gram"),
+    )
+    b = (
+        with_ngrams(
+            bench.select(F.col(bench_id_col).alias("doc_id"), bench_text_col),
+            n,
+            text_col=bench_text_col,
+        )
+        .select(F.col("doc_id").alias("bench_id"), F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    return (
+        d.join(F.broadcast(b), "gram")
+        .groupBy("doc_id", "bench_id", "n_doc_grams")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+        .select(
+            "doc_id",
+            "bench_id",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            (
+                F.col("n_shared").cast("double")
+                / F.col("n_doc_grams").cast("double")
+            ).alias("frac_doc_grams"),
+        )
+    )
+
+
 def star_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al. 2014, "Connected Components in MapReduce and

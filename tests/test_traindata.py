@@ -406,3 +406,30 @@ def test_c4_line_rules(spark):
     assert (g["n"], g["fp"], g["lor"], g["br"], g["keep"]) == (3, 1.0, False, False, True)
     assert b["n"] == 4 and b["fp"] == 0.0 and b["lor"] and b["br"] and not b["keep"]
     assert b["fs"] == 0.5  # 'x y' and '{json}' are short lines
+
+
+def test_benchmark_contamination(spark):
+    """Decontamination: a doc embedding a benchmark question is
+    flagged with the right shared-gram count; clean docs are not."""
+    from logpipe.traindata.dedup import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france")], "bench_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "quiz dump: what is the capital of france answer paris"),
+            (2, "totally unrelated text about spark shuffles and joins"),
+            (3, "partial echo: the capital of france is nice"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["bench_id"]): r["n_shared"]
+        for r in benchmark_contamination(docs, bench, n=3, min_overlap=2).collect()
+    }
+    # doc 1 contains the full question: all 4 of its benchmark trigrams
+    assert got[(1, 100)] == 4
+    # doc 3 shares exactly 'the capital of' + 'capital of france'
+    assert got[(3, 100)] == 2
+    assert (2, 100) not in got
