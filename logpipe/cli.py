@@ -95,8 +95,9 @@ def main(argv: list[str] | None = None) -> None:
             from logpipe.operators.throttle import throttle_drop
 
             df = throttle_drop(df, rate=cfg.throttle_rate, bucket=cfg.throttle_bucket)
-        if cfg.plan == "ds":
-            kw.setdefault("cluster_name", cfg.cluster_name)
+        # both plans accept cluster_name (DICE_CLUSTER_NAME applies
+        # regardless of which conf is selected — entrypoint.sh templating)
+        kw.setdefault("cluster_name", cfg.cluster_name)
         return base_fn(df, k8s, tools, **kw)
 
     spark = get_spark(app_name="logpipe-cli", master=args.master)
@@ -150,11 +151,6 @@ def main(argv: list[str] | None = None) -> None:
         k8s = spark.read.parquet(args.k8s_meta)
         tools = spark.read.parquet(args.tool_meta)
 
-    manifest = run_resumable(
-        spark, transcripts, k8s, tools, args.out, args.manifest,
-        n_buckets=args.buckets, pipeline_fn=pipeline_fn,
-    )
-    totals = manifest.totals()
     # retain=true (the reference's patched sleep-and-keep): batch jobs
     # self-pace, so REPORT the over-rate buckets — but only when a
     # throttle knob was actually configured: the audit is an extra
@@ -173,12 +169,26 @@ def main(argv: list[str] | None = None) -> None:
             "LOGPIPE_THROTTLE_BUCKET",
         )
     )
-    if cfg.throttle_retain and throttle_configured:
+    audit_will_run = cfg.throttle_retain and throttle_configured
+    if audit_will_run:
+        # the audit is a SECOND evaluation of the input lineage — in
+        # --logs-dir mode that would re-list/re-read/re-parse/re-join
+        # every log file, not just re-aggregate; persist once so both
+        # the wave and the audit read the materialized frame
+        transcripts = transcripts.persist()
+
+    manifest = run_resumable(
+        spark, transcripts, k8s, tools, args.out, args.manifest,
+        n_buckets=args.buckets, pipeline_fn=pipeline_fn,
+    )
+    totals = manifest.totals()
+    if audit_will_run:
         from logpipe.operators.throttle import throttle_audit
 
         totals["throttle_over_rate_buckets"] = throttle_audit(
             transcripts, rate=cfg.throttle_rate, bucket=cfg.throttle_bucket
         ).count()
+        transcripts.unpersist()
     print(json.dumps(totals))
     spark.stop()
 

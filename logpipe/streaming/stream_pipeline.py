@@ -208,6 +208,12 @@ def streaming_stitch(
         # later-chunk turns into whatever group the last chunk left open
         batch = pd.concat(list(pdfs)) if pdfs is not None else pd.DataFrame()
         if not len(batch):
+            # processing-time timeouts must be RE-ARMED on every
+            # invocation: if Arrow delivers an empty group while a
+            # group is open, dropping the timer would leave that group
+            # un-flushed forever
+            if state.exists:
+                state.setTimeoutDuration(3000)
             return
         # vectorized segmentation, same shape as the batch stitcher
         # (operators/stitch.py): a group starts at each firstline, so

@@ -2,13 +2,14 @@
 
 Images/audio/video are carried as `binary` columns with a `kind` tag
 and a metadata struct; decode / feature-extract / resize / frame-sample
-run as Arrow-batched pandas functions over mapInPandas. The actual
-codec step is STUBBED (no image/audio libs in this container): when
+run as Arrow-batched pandas functions over mapInPandas. The CODEC step
+is substituted (no image/audio libs in this container): when
 PIL/soundfile are absent, `decode_features` falls back to a
-deterministic fake decoder (md5-derived features) so the Spark-side
-plumbing — schema, partitioning, UDF signature, Arrow batch shape —
-is fully real and tested, while `resize_image` raises
-NotImplementedError to mark the genuinely-stubbed path.
+deterministic fake decoder (payload-byte features) and `resize_image`
+treats the payload as a raw byte grid — the Spark-side plumbing
+(schema, partitioning, UDF signature, Arrow batch shape) and the
+numpy resample kernel are fully real and tested; a deployment with
+codecs swaps only the bytes->grid step.
 
 Scale notes: payload bytes never leave the executor (mapInPandas
 streams Arrow batches); feature vectors are small; repartition before
@@ -46,42 +47,32 @@ def synth_media(spark: SparkSession, n_rows: int = 256, seed: int = 42) -> DataF
     )
 
 
-def _have_codecs() -> bool:
-    try:  # pragma: no cover - env-dependent
-        import PIL  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-def decode_features(media: DataFrame, n_features: int = 8) -> DataFrame:
+def decode_features(media: DataFrame, n_features: int = 8, extractor=None) -> DataFrame:
     """mapInPandas feature extraction: binary payload -> small vector.
 
-    Real-codec path (PIL etc.) is unavailable here; the deterministic
-    fallback derives features from payload bytes (first n bytes / 255)
-    so tests can assert exact values. The Arrow plumbing (batch
-    iterator, schema, null payloads) is identical either way.
+    ``extractor``: optional ``bytes -> list[float]`` plugged in by a
+    deployment that ships real codecs (PIL decode + pooling, etc.).
+    Default is the deterministic byte-derived kernel (first n bytes /
+    255) so tests assert exact values with no codec dependency. The
+    Arrow plumbing (batch iterator, schema, null payloads) is identical
+    either way.
     """
-    use_codecs = _have_codecs()
+
+    def default_extractor(payload: bytes) -> list:
+        raw = payload[:n_features]
+        v = [b / 255.0 for b in raw]
+        return v + [0.0] * (n_features - len(v))
+
+    fn = extractor or default_extractor
 
     def extract(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            feats = []
-            for payload in pdf["payload"]:
-                if payload is None:
-                    feats.append(None)
-                    continue
-                if use_codecs:  # pragma: no cover - not in this container
-                    raise NotImplementedError(
-                        "real codec decode not wired in this environment"
-                    )
-                raw = bytes(payload)[:n_features]
-                v = [b / 255.0 for b in raw]
-                v += [0.0] * (n_features - len(v))
-                feats.append(v)
+            feats = [
+                None if payload is None else fn(bytes(payload))
+                for payload in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -134,9 +125,53 @@ def frame_sample(media: DataFrame, every_bytes: int = 16) -> DataFrame:
     return media.mapInPandas(sample, schema=FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = "media_id long, kind string, width int, height int, payload binary"
+
+
 def resize_image(media: DataFrame, w: int, h: int) -> DataFrame:
-    """STUB: requires a real image codec (PIL absent in this env)."""
-    raise NotImplementedError(
-        "resize_image needs an image codec; container ships none "
-        "(decode plumbing is tested via decode_features' fallback)"
-    )
+    """Nearest-neighbor resize over mapInPandas — pure numpy, no codec.
+
+    The payload is interpreted as a row-major single-channel byte grid
+    of the row's (height, width) metadata (the same deterministic
+    treatment as decode_features' fallback: a real deployment swaps the
+    grid for a codec decode, the resample kernel is unchanged). Payloads
+    shorter than width*height are tiled; the kernel is the standard NN
+    resample: out[i, j] = in[floor(i*H/h), floor(j*W/w)]. Non-image rows
+    and null payloads pass through as None payloads with the target
+    dims, preserving row identity for downstream joins.
+    """
+    if w <= 0 or h <= 0:
+        raise ValueError(f"resize_image: target dims must be positive, got {w}x{h}")
+
+    def resize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "image" or r["payload"] is None:
+                    out.append(None)
+                    continue
+                W, H = int(r["width"]), int(r["height"])
+                raw = np.frombuffer(bytes(r["payload"]), dtype=np.uint8)
+                reps = -(-(W * H) // max(len(raw), 1)) if len(raw) else 1
+                grid = (
+                    np.tile(raw, reps)[: W * H].reshape(H, W)
+                    if len(raw)
+                    else np.zeros((H, W), dtype=np.uint8)
+                )
+                yi = (np.arange(h) * H) // h
+                xj = (np.arange(w) * W) // w
+                out.append(grid[np.ix_(yi, xj)].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": np.int32(w),
+                    "height": np.int32(h),
+                    "payload": out,
+                }
+            )
+
+    return media.mapInPandas(resize, schema=RESIZED_SCHEMA)

@@ -153,3 +153,63 @@ def test_http_payloads_roundtrip(spark, transcripts, k8s_meta, tool_meta):
         for p in build_http_payloads(out, chunk_rows=50).collect()
     )
     assert h1 == h2
+
+
+def test_export_payload_matches_reference_golden_fixture(spark):
+    """Wire parity against the reference's OWN golden LogEvent
+    (out_erda/sender_test.go:9-26, the mockLogEvent that doubles as the
+    wire-format documentation, decoded by sender_test.go:28-43's
+    gunzip+unmarshal): feed that exact record through
+    build_export_payloads and assert field-for-field JSON equality
+    after gunzip — full dice_* tag map, UnixNano timestamp, Go struct
+    tag key order (sender.go:13-24). Red under any field rename,
+    reorder, tag drop, or timestamp-unit change."""
+    import gzip
+    import json
+
+    from logpipe.sinks import build_export_payloads
+
+    golden = {
+        "source": "container",
+        "id": "b2a9cb046a8275c57307cad907ef0a5553a78d6f4c1da7186566555d1a5383dd",
+        "stream": "stderr",
+        "content": (
+            'time="2021-10-12 16:00:14.130242184" level=info msg="finish to run '
+            'the task: executor K8S/MARATHONFORTERMINUSDEV '
+            '(id: 1120384ca1, action: 5)"\n'
+        ),
+        "offset": 0,
+        "timestamp": 1634025614130323755,  # UnixNano
+        "tags": {
+            "pod_name": "scheduler-3feb156fc4-cf6b45b89-cwh5s",
+            "pod_namespace": "project-387-dev",
+            "pod_id": "ad05d65a-b8b0-4b7c-84f3-88a2abc11bde",
+            "container_id": "b2a9cb046a8275c57307cad907ef0a5553a78d6f4c1da7186566555d1a5383dd",
+            "dice_cluster_name": "terminus-dev",
+            "dice_application_name": "scheduler",
+            "msp_env_id": "abc111",
+            "cluster_name": "terminus-dev",
+            "application_name": "scheduler",
+        },
+        "labels": {},  # mock carries no labels (nil map)
+    }
+    row = dict(golden, sink="export", labels={})
+    df = spark.createDataFrame(
+        [row],
+        schema=(
+            "source string, id string, stream string, content string, "
+            "offset long, timestamp long, tags map<string,string>, "
+            "labels map<string,string>, sink string"
+        ),
+    )
+    payloads = build_export_payloads(df).collect()
+    assert len(payloads) == 1
+    p = payloads[0]
+    assert p["n_events"] == 1
+    assert p["url"] == ""  # no monitor_log_collector label on the mock
+    events = json.loads(gzip.decompress(bytes(p["body"])))
+    assert len(events) == 1
+    # Go struct tag order on the wire...
+    assert list(events[0].keys()) == list(golden.keys())
+    # ...and field-for-field equality with the reference fixture
+    assert events[0] == golden

@@ -233,8 +233,36 @@ def test_multimodal_plumbing(spark):
     )
     assert len(frames) == expected_frames
 
-    with pytest.raises(NotImplementedError):
-        resize_image(media, 64, 64)
+    # nearest-neighbor resize: oracle the kernel in plain numpy
+    import numpy as np
+
+    resized = {r["media_id"]: r for r in resize_image(media, 5, 3).collect()}
+    assert set(resized) == set(src)
+    for mid, r in resized.items():
+        s = src[mid]
+        if s["kind"] != "image":
+            assert r["payload"] is None
+            continue
+        assert (r["width"], r["height"]) == (5, 3)
+        W, H = s["width"], s["height"]
+        raw = np.frombuffer(bytes(s["payload"]), dtype=np.uint8)
+        grid = np.tile(raw, -(-(W * H) // len(raw)))[: W * H].reshape(H, W)
+        expect = grid[
+            np.ix_((np.arange(3) * H) // 3, (np.arange(5) * W) // 5)
+        ].tobytes()
+        assert bytes(r["payload"]) == expect
+
+    # identity resize round-trips payloads whose grid is exactly W*H
+    one = media.filter("kind = 'image'").limit(1)
+    row = one.collect()[0]
+    ident = resize_image(one, row["width"], row["height"]).collect()[0]
+    raw = np.frombuffer(bytes(row["payload"]), dtype=np.uint8)
+    W, H = row["width"], row["height"]
+    tiled = np.tile(raw, -(-(W * H) // len(raw)))[: W * H].tobytes()
+    assert bytes(ident["payload"]) == tiled
+
+    with pytest.raises(ValueError):
+        resize_image(media, 0, 3)
 
 
 def test_cosine_lsh_near_dups_vs_exact(spark, emb):
