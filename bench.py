@@ -26,7 +26,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
-    # (name, force-mode): 'collect' for small aggregates, 'noop' for row streams
+    # (name, force-mode): 'collect' for small aggregates, 'noop' for row
+    # streams, 'call' for fns that materialize their own output
     ("flagship_route_counts", "collect"),
     ("log_event_projection", "noop"),
     ("erda_info_extract", "noop"),
@@ -39,13 +40,28 @@ HEADLINE = [
     ("simhash_near_dups", "noop"),
     ("simhash_near_dups_10x", "noop"),
     ("near_dup_clusters", "noop"),
+    ("near_dup_clusters_star", "noop"),
     ("minhash_lsh_dups", "noop"),
     ("minhash_lsh_dups_10x", "noop"),
+    ("benchmark_contamination", "noop"),
+    ("benchmark_contamination_10x", "noop"),
     ("embedding_cosine_topk", "collect"),
     ("cosine_lsh_near_dups", "noop"),
     ("cosine_lsh_near_dups_prod", "noop"),
     ("session_gap_stats", "noop"),
+    ("curated_corpus_v2", "collect"),
+    ("flagship_sinks_uniform", "call"),
+    ("flagship_sinks_zipf", "call"),
 ]
+
+
+def _dedup_exact(spark, sf_dir):
+    """exact_dedup fp-groups — kept as a BENCH entry for round-over-round
+    comparability after its registry slot was folded into
+    dedup_survivors (the driver's 50-row correctness window)."""
+    from logpipe.traindata.dedup import exact_dedup
+
+    return exact_dedup(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _cosine_lsh_prod(spark, sf_dir):
@@ -92,6 +108,146 @@ def _minhash_10x(spark, sf_dir):
     )
 
 
+def _contamination_10x(spark, sf_dir):
+    """benchmark_contamination scale slope: 10x corpus, same broadcast
+    bench-set shape (bench snippets drawn from the 10x table)."""
+    from pyspark.sql import functions as F
+
+    from logpipe.traindata.dedup import benchmark_contamination
+    from logpipe.traindata.textstats import tokens
+
+    d = _docs_10x(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 31 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 12)).alias("text"),
+    )
+    return benchmark_contamination(d, bench, n=3, min_overlap=5)
+
+
+def _hot_conv_transcripts(spark, sf_dir):
+    """Zipf hot key: ~10% of ALL rows remapped onto conv '0' — a conv
+    the k8s dim gives a collector (user 0: uid%5==0), so hot rows stay
+    on the export path. The hot-row pick hashes a salt DIFFERENT from
+    the payload-build bucket hash so the two don't correlate."""
+    from pyspark.sql import functions as F
+
+    from logpipe.sources.events import events_as_transcripts, load_events
+
+    t = events_as_transcripts(load_events(spark, sf_dir))
+    hot = F.pmod(F.xxhash64(F.lit("zipf"), "conv_id", "turn_idx"), F.lit(10)) == 0
+    return t.withColumn(
+        "conv_id", F.when(hot, F.lit("0")).otherwise(F.col("conv_id"))
+    )
+
+
+def _flagship_sinks(zipf: bool):
+    """flagship + export run end-to-end: pipeline -> salted sink write
+    (REAL parquet through the (sink, content-salt) exchange) -> export
+    wire payload build ((collector, bucket) shuffle). The zipf variant
+    feeds the hot-conv input; the claim under test is that NO stage
+    keys un-salted on conv identity, so wall_zipf / wall_uniform stays
+    ~1 (the skew budget is <= ~1.3x)."""
+
+    def run(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from logpipe.plans.pipeline import run_pipeline
+        from logpipe.sinks import build_export_payloads, write_sinks
+        from logpipe.sources.events import (
+            events_as_transcripts,
+            events_k8s_meta,
+            events_tool_meta,
+            load_events,
+        )
+
+        ev = load_events(spark, sf_dir)
+        t = (
+            _hot_conv_transcripts(spark, sf_dir)
+            if zipf
+            else events_as_transcripts(ev)
+        )
+        out = run_pipeline(t, events_k8s_meta(ev), events_tool_meta(ev))
+        tmp = tempfile.mkdtemp(prefix="logpipe_bench_sinks_")
+        try:
+            write_sinks(out, tmp, n_partitions=32)
+            build_export_payloads(out).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    return run
+
+
+def _skew_task_stats(spark, sf_dir) -> dict:
+    """Per-TASK evidence for the zipf run: time each (collector, bucket)
+    export payload-build group (the applyInPandas group IS the task unit)
+    with the production salting (n_buckets=8) and unsalted (n_buckets=1),
+    reporting max/median task rows and seconds. Salting bounds the max
+    task at ~hottest-collector/8; unsalted shows what it prevents."""
+    from pyspark.sql import functions as F
+
+    from logpipe.plans.pipeline import run_pipeline
+    from logpipe.sinks import _chunk_bodies
+    from logpipe.sources.events import (
+        events_k8s_meta,
+        events_tool_meta,
+        load_events,
+    )
+
+    ev = load_events(spark, sf_dir)
+    out = run_pipeline(
+        _hot_conv_transcripts(spark, sf_dir), events_k8s_meta(ev), events_tool_meta(ev)
+    )
+    export = out.filter(F.col("sink") == "export").withColumn(
+        "collector",
+        F.coalesce(F.col("labels")["monitor_log_collector"], F.lit("unknown")),
+    )
+
+    def timed(pdf):
+        import time as _t
+
+        import pandas as pd
+
+        t0 = _t.perf_counter()
+        for _ in _chunk_bodies(pdf, 1000, 3):
+            pass
+        return pd.DataFrame(
+            [
+                {
+                    "collector": pdf.iloc[0]["collector"],
+                    "bucket": int(pdf.iloc[0]["bucket"]),
+                    "rows": len(pdf),
+                    "secs": _t.perf_counter() - t0,
+                }
+            ]
+        )
+
+    res = {}
+    for label, n_buckets in (("salted_8", 8), ("unsalted_1", 1)):
+        tagged = export.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("id", "content"), F.lit(n_buckets)).cast("int"),
+        )
+        stats = sorted(
+            (r["rows"], r["secs"])
+            for r in tagged.groupBy("collector", "bucket")
+            .applyInPandas(timed, "collector string, bucket int, rows long, secs double")
+            .collect()
+        )
+        rows = [r for r, _ in stats]
+        secs = sorted(s for _, s in stats)
+        res[label] = {
+            "n_tasks": len(stats),
+            "max_task_rows": rows[-1],
+            "med_task_rows": rows[len(rows) // 2],
+            "max_task_sec": round(secs[-1], 3),
+            "med_task_sec": round(secs[len(secs) // 2], 3),
+        }
+    return res
+
+
 def _simhash_10x(spark, sf_dir):
     from logpipe.traindata.dedup import simhash_near_dups
 
@@ -107,9 +263,13 @@ def main() -> None:
 
     spark = get_spark(app_name="logpipe-bench")
     qs = dict(driver_queries.queries())
+    qs["dedup_exact"] = _dedup_exact
     qs["minhash_lsh_dups_10x"] = _minhash_10x
     qs["simhash_near_dups_10x"] = _simhash_10x
     qs["cosine_lsh_near_dups_prod"] = _cosine_lsh_prod
+    qs["benchmark_contamination_10x"] = _contamination_10x
+    qs["flagship_sinks_uniform"] = _flagship_sinks(zipf=False)
+    qs["flagship_sinks_zipf"] = _flagship_sinks(zipf=True)
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
 
     # warm the JVM + parquet footer caches with one cheap pass
@@ -134,12 +294,22 @@ def main() -> None:
         for _ in range(passes):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            if mode == "collect":
+            if mode == "call":
+                pass  # fn materialized its own output
+            elif mode == "collect":
                 df.collect()
             else:
                 df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+
+    skew = _skew_task_stats(spark, sf_dir)
+    skew["hot_frac"] = 0.1
+    skew["wall_ratio_zipf_over_uniform"] = (
+        round(timings["flagship_sinks_zipf"] / timings["flagship_sinks_uniform"], 3)
+        if timings.get("flagship_sinks_uniform")
+        else None
+    )
 
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     total = round(sum(timings.values()), 3)
@@ -159,6 +329,7 @@ def main() -> None:
                 "passes": passes,
                 "events_rows": n_events,
                 "flagship_turns_per_sec": flagship_rate,
+                "skew_export": skew,
             }
         )
     )

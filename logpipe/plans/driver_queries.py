@@ -225,51 +225,11 @@ def rewrite_engine_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ECI sidecar chain (plans/eci.py, conf/eci/fluent-bit.conf): truncate ->
-# (no stitch here: stitch is oracle-gated separately via
-# multiline_stitch_operator) -> path identity -> cpuset lookup -> erda
-# grok -> static fields -> route with a collector (export keep=true dup).
-# id = container id from the cpuset tail = md5('cid-' || tool) for
-# purchase rows whose tool is in the dim (tool-N, N%4!=3), else ''.
-_ECI_SQL = """
-WITH t AS (
-  SELECT substring(props, 1, 51200) AS content,
-         CASE WHEN event_type = 'purchase' AND (user_id % 16) % 4 <> 3
-              THEN md5('cid-tool-' || CAST(user_id % 16 AS VARCHAR))
-              ELSE '' END AS id
-  FROM events
-  WHERE props IS NOT NULL AND length(props) > 0
-), s AS (
-  SELECT 'export' AS sink, content, id FROM t
-  UNION ALL
-  SELECT 'container' AS sink, content, id FROM t
-)
-SELECT sink,
-       CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(length(content)) AS BIGINT) AS content_bytes,
-       CAST(sum(length(id)) AS BIGINT) AS id_bytes
-FROM s GROUP BY sink
-"""
-
-
-@register("eci_route_counts", _ECI_SQL)
-def eci_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """run_eci_pipeline end-to-end over events (stitch=False — the
-    stitcher has its own operator-direct oracle): per-sink counts,
-    content bytes, and id bytes (the cpuset-derived container id)."""
-    from logpipe.plans.eci import run_eci_pipeline
-
-    ev = load_events(spark, sf_dir)
-    out = run_eci_pipeline(
-        events_as_transcripts(ev), events_tool_meta(ev),
-        collector="collector-9", stitch=False,
-    )
-    return out.groupBy("sink").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.length("content")).alias("content_bytes"),
-        F.sum(F.length("id")).alias("id_bytes"),
-    )
-
-
+# stitch -> path identity -> cpuset lookup -> erda grok -> static fields
+# -> route with a collector (export keep=true dup). The stitch=False
+# variant's registry slot was folded (round-3 verdict's 50-row driver
+# window): its per-row identity path is pytest-gated in tests/test_eci.py
+# and nested inside this stitched gate.
 # ECI with the stitcher ON: props lines never match the java firstline
 # regex, so each conv folds into ONE group (grp=0 orphan) whose
 # identity comes from the FIRST turn (the stitcher keeps the firstline
@@ -368,25 +328,45 @@ WITH t AS ({_EVENTS_BASE_CTE}), r AS (
   SELECT 'export' AS sink, * FROM r WHERE has_export
   UNION ALL
   SELECT CASE WHEN has_job THEN 'job' ELSE 'container' END AS sink, * FROM r
+), proj AS (
+  SELECT CASE WHEN sink = 'job' THEN 'job' ELSE 'container' END AS source,
+         CASE WHEN sink = 'job' THEN define_tag ELSE rid END AS id,
+         'stdout' AS stream,
+         content,
+         CAST(0 AS BIGINT) AS "offset",
+         ts_nanos AS "timestamp",
+         sink
+  FROM s
 )
-SELECT CASE WHEN sink = 'job' THEN 'job' ELSE 'container' END AS source,
-       CASE WHEN sink = 'job' THEN define_tag ELSE rid END AS id,
-       'stdout' AS stream,
-       content,
-       CAST(0 AS BIGINT) AS "offset",
-       ts_nanos AS "timestamp",
-       sink
-FROM s
+SELECT proj.*,
+       CAST(strlen(content) + strlen(id) + strlen(source) + strlen(stream)
+            AS BIGINT) AS scalar_bytes
+FROM proj
 """
 
 
 @register("log_event_projection", _LOG_EVENT_SQL)
 def log_event_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 LogEvent projection + O5 Size() accounting in one gate (fold
+    per the round-3 verdict — the 50-row driver window). scalar_bytes
+    is the shipped event_size operator (out_erda/sender.go:26-32) over
+    the scalar fields; tag bytes are zeroed here because the tag map
+    carries md5/collector salts the flagship oracle reproduces instead
+    (the Σ(len(k)+len(v)) tag term is pytest-gated,
+    tests/test_reshape.py::test_event_size_accounting)."""
+    from logpipe.operators.project import event_size
+
     ev = load_events(spark, sf_dir)
     out = run_pipeline(
         events_as_transcripts(ev), events_k8s_meta(ev), events_tool_meta(ev)
     )
-    return out.select("source", "id", "stream", "content", "offset", "timestamp", "sink")
+    sized = event_size(
+        out.withColumn("tags", F.from_json(F.lit("{}"), "map<string,string>"))
+    )
+    return sized.select(
+        "source", "id", "stream", "content", "offset", "timestamp", "sink",
+        F.col("event_bytes").cast("long").alias("scalar_bytes"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -440,6 +420,33 @@ SELECT event_id,
 FROM lines
 """
 
+# erda_info_extract also gates the scalar function layer
+# (helps.go/remote.go utilities), folded in to keep queries() within the
+# driver's 50-row correctness window: basic-auth base64 (helps.go:73-76)
+# + URL host/path join with slash normalization (remote.go:164-166,
+# remote_test.go:65-91) over the same events rows.
+_ERDA_EXTRACT_SCALAR_SQL = f"""
+WITH src AS (SELECT * FROM events), lines AS (
+  SELECT event_id, user_id, event_type, props,
+         upper(event_type) || ' [svc-' || CAST(user_id % 8 AS VARCHAR) || ',' ||
+         CASE WHEN event_id % 3 = 0 THEN
+           substring(md5(props),1,8) || '-' || substring(md5(props),9,4) || '-' ||
+           substring(md5(props),13,4) || '-' || substring(md5(props),17,4) || '-' ||
+           substring(md5(props),21,12)
+         ELSE '' END || ',k=v] ' || props AS line
+  FROM src
+)
+SELECT event_id,
+       regexp_extract(line, '{_ERDA_RE_SQL}', 1) AS level,
+       regexp_extract(line, '{_ERDA_RE_SQL}', 4) AS request_id,
+       'Basic ' || to_base64(encode('user-' || CAST(user_id AS VARCHAR)
+                                    || ':' || md5(props))) AS auth,
+       regexp_replace('http://collector-' || CAST(user_id % 4 AS VARCHAR) || '///',
+                      '/+$', '') || '/' ||
+       regexp_replace('//collect/logs/' || event_type, '^/+', '') AS url
+FROM lines
+"""
+
 
 def _erda_line_expr() -> F.Column:
     m = F.md5(F.col("props"))
@@ -460,13 +467,33 @@ def _erda_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", _erda_line_expr().alias("line"))
 
 
-@register("erda_info_extract", _ERDA_EXTRACT_SQL)
+@register("erda_info_extract", _ERDA_EXTRACT_SCALAR_SQL)
 def erda_info_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lines = _erda_lines(spark, sf_dir)
+    """P1 grok extraction + the scalar function layer in one gate
+    (fold per the round-3 verdict: the driver checks at most 50
+    queries, so the scalar layer rides the same rows instead of its
+    own registry slot). Scalar assertions stay operator-direct:
+    functions.basic_auth_header / host_join_path, pytest-gated in
+    tests/test_reshape.py as well."""
+    from logpipe.functions import basic_auth_header, host_join_path
+
+    ev = load_events(spark, sf_dir)
+    lines = ev.select(
+        "event_id", "user_id", "event_type", "props",
+        _erda_line_expr().alias("line"),
+    )
     return lines.select(
         "event_id",
         parse.erda_level(F.col("line")).alias("level"),
         parse.erda_request_id(F.col("line")).alias("request_id"),
+        basic_auth_header(
+            F.concat(F.lit("user-"), F.col("user_id").cast("string")),
+            F.md5(F.col("props")),
+        ).alias("auth"),
+        host_join_path(
+            F.concat(F.lit("http://collector-"), (F.col("user_id") % 4).cast("string"), F.lit("///")),
+            F.concat(F.lit("//collect/logs/"), F.col("event_type")),
+        ).alias("url"),
     )
 
 
@@ -597,41 +624,49 @@ def cri_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 6. F3 multiline stitch (sessionization; conf/eci/fluent-bit.conf:41-45)
 # ---------------------------------------------------------------------------
 
-_STITCH_SQL = """
-WITH marked AS (
-  SELECT user_id, event_id, props, ts,
-         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
-              OVER (PARTITION BY user_id ORDER BY event_id
-                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+# half the props lines count as 'firstline' -> real group mixing
+_STITCH_OP_RE = '^\\{"k": [0-4]'
+
+_STITCH_SQL = f"""
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id AS INT) AS turn_idx,
+         props AS text
   FROM events
+), marked AS (
+  SELECT conv_id, turn_idx, text,
+         CAST(sum(CASE WHEN regexp_matches(text, '{_STITCH_OP_RE}') THEN 1 ELSE 0 END)
+              OVER (PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+  FROM t
 )
-SELECT user_id, grp,
-       string_agg(props, chr(10) ORDER BY event_id) AS stitched,
-       min(ts) AS start_ts,
-       CAST(count(*) AS BIGINT) AS n_lines
-FROM marked GROUP BY user_id, grp
+SELECT conv_id, grp,
+       CAST(min(turn_idx) AS INT) AS turn_idx,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+       CAST(count(*) AS INT) AS n_lines
+FROM marked GROUP BY conv_id, grp
 """
 
 
 @register("multiline_stitch", _STITCH_SQL)
 def multiline_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 gate, operator-direct: runs the shipped
+    operators/stitch.py::stitch_multiline end-to-end (formerly two
+    registry slots — an inline-window demo plus this operator gate —
+    merged per the round-3 verdict's 50-row driver window)."""
+    from logpipe.operators.stitch import stitch_multiline
+
     ev = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    t = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("props").alias("text"),
+        F.lit("user").alias("role"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
     )
-    is_first = F.when(F.col("event_type") == "signup", 1).otherwise(0)
-    marked = ev.withColumn("grp", F.sum(is_first).over(w).cast("long"))
-    return marked.groupBy("user_id", "grp").agg(
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("event_id", "props"))),
-                lambda x: x["props"],
-            ),
-        ).alias("stitched"),
-        F.min("ts").alias("start_ts"),
-        F.count(F.lit(1)).alias("n_lines"),
-    )
+    out = stitch_multiline(t, firstline_re=_STITCH_OP_RE)
+    return out.select("conv_id", "grp", "turn_idx", "text", "n_lines")
 
 
 # F3 with the java multiline grammar (conf/eci/fluent-bit.conf:41-45,
@@ -1521,21 +1556,6 @@ def pack_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- dedup ----------------------------------------------------------------
 
-_DEDUP_EXACT_SQL = """
-SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
-       CAST(min(doc_id) AS BIGINT) AS keep_id,
-       CAST(count(*) AS BIGINT) AS n_dups
-FROM documents GROUP BY 1
-"""
-
-
-@register("dedup_exact", _DEDUP_EXACT_SQL)
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logpipe.traindata.dedup import exact_dedup
-
-    return exact_dedup(_docs(spark, sf_dir))
-
-
 _DEDUP_SURVIVORS_SQL = """
 WITH fp AS (
   SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
@@ -1553,7 +1573,10 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup OUTPUT (not just the fp groups): keep the lowest
     doc_id per content fingerprint via a LEFT SEMI join of the corpus
     against the winners — at 100TB the winners set shuffles as ids
-    only, never the document payloads."""
+    only, never the document payloads. Also the driver gate for
+    dedup.exact_dedup itself (its fp-groups registry slot was folded —
+    round-3 verdict's 50-row driver window; the oracle recomputes the
+    fingerprint winners from scratch)."""
     from logpipe.traindata.dedup import exact_dedup
 
     d = _docs(spark, sf_dir)
@@ -1843,6 +1866,249 @@ _REGISTRY["curated_corpus"] = (
 )
 
 
+# --- curated_corpus_v2: the FULL curation DAG -----------------------------
+# C4 line-quality keep -> PII redaction -> benchmark decontamination drop
+# -> exact dedup -> near-dup cluster winners -> mixture re-weighting ->
+# sequence packing, in ONE gated query (round-3 verdict task #2: "the
+# query a 100 TB pipeline actually ships"). Input text is the same
+# deterministic construction the individual C4/PII gates use (the raw
+# word-soup corpus has no newlines or PII, so both rules would be
+# vacuous on it).
+
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.example.com ip 10.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)"
+    " || ' acct 123456789' || CAST(doc_id AS VARCHAR)"
+)
+
+
+def _pii_redact_sql(col: str) -> str:
+    """The redact_pii rule chain over an SQL expression (same order,
+    same RE2-compatible patterns as textstats.PII_RULES)."""
+    return (
+        "regexp_replace(regexp_replace(regexp_replace(" + col + ", "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+        "'\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'), "
+        "'\\b\\d{9,}\\b', '<NUM>', 'g')"
+    )
+
+
+_C4_KEEP_WHERE_SQL = """
+  len(lines) >= 1
+  AND CAST(len(list_filter(lines, x -> substring(x, -1, 1) IN ('.', '!', '?', '\"'))) AS DOUBLE)
+      / CAST(len(lines) AS DOUBLE) >= 0.5
+  AND CAST(len(list_filter(lines, x -> len(string_split_regex(x, '\\s+')) < 3)) AS DOUBLE)
+      / CAST(len(lines) AS DOUBLE) <= 0.5
+  AND NOT contains(lower(txt), 'lorem ipsum')
+  AND NOT contains(txt, '{')
+"""
+
+
+def _curated_corpus_v2_sql(
+    near_threshold: float = 0.1, min_overlap: int = 5, budget: int = 512
+) -> str:
+    mh = _minhash_sql(threshold=near_threshold, src="kept2").strip()
+    assert mh.startswith("WITH ")
+    mh_body = mh[len("WITH "):]
+    mh_ctes, mh_select = mh_body.rsplit("SELECT doc_a, doc_b", 1)
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, source, ({_C4_TEXT_SQL}) || {_PII_SUFFIX_SQL} AS txt
+  FROM documents
+), c4 AS (
+  SELECT doc_id, source, txt,
+         list_filter(list_transform(string_split(txt, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines
+  FROM base
+), keptc4 AS (
+  SELECT doc_id, source, {_pii_redact_sql("txt")} AS text
+  FROM c4 WHERE {_C4_KEEP_WHERE_SQL}
+), kw AS (
+  SELECT doc_id, source, text,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS words
+  FROM keptc4
+), dg AS (
+  SELECT doc_id, {_TRIGRAM_SQL} AS grams FROM kw
+), bwords AS (
+  SELECT doc_id AS bench_id,
+         list_filter(regexp_split_to_array(trim(array_to_string(words[1:12], ' ')), '\\s+'),
+                     x -> x <> '') AS words
+  FROM kw WHERE doc_id % 31 = 0
+), bg AS (
+  SELECT bench_id, {_TRIGRAM_SQL} AS grams FROM bwords
+), de AS (
+  SELECT doc_id, unnest(grams) AS gram FROM dg
+), be AS (
+  SELECT DISTINCT bench_id, gram
+  FROM (SELECT bench_id, unnest(grams) AS gram FROM bg)
+), hits AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT de.doc_id FROM de JOIN be USING (gram)
+    GROUP BY de.doc_id, be.bench_id HAVING count(*) >= {min_overlap}
+  )
+), clean AS (
+  SELECT k.doc_id, k.source, k.text FROM kw k
+  WHERE k.doc_id NOT IN (SELECT doc_id FROM hits)
+), fpw AS (
+  SELECT min(doc_id) AS doc_id
+  FROM clean GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+), kept2 AS (
+  SELECT c.doc_id, c.source, c.text FROM clean c JOIN fpw USING (doc_id)
+), {mh_ctes.rstrip()}, mh AS (
+  SELECT doc_a, doc_b{mh_select}
+), {_closure_ctes(seed_cte="kept2")}, final AS (
+  SELECT k.doc_id, k.source, k.text
+  FROM kept2 k JOIN cl ON k.doc_id = cl.doc_id AND cl.doc_id = cl.cluster_id
+), mr AS (
+  SELECT doc_id, source, text,
+         CAST(floor(rate) AS INT)
+           + CASE WHEN {_hash_frac_sql('mix')} < rate - floor(rate) THEN 1 ELSE 0 END AS n_copies
+  FROM (
+    SELECT *, CASE WHEN source IN ('src0','src1','src2','src3') THEN 0.5
+                   WHEN source IN ('src4','src5') THEN 2.25
+                   ELSE 1.0 END AS rate
+    FROM final
+  )
+), mexp AS (
+  SELECT doc_id, source, text, unnest(generate_series(0, n_copies - 1)) AS copy
+  FROM mr WHERE n_copies > 0
+), pk AS (
+  SELECT doc_id, copy,
+         (('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8) AS bucket,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM mexp
+), pc AS (
+  SELECT bucket, doc_id, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id, copy
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {budget}.0)
+              AS BIGINT) AS chunk
+  FROM pk
+)
+SELECT bucket,
+       CAST(count(DISTINCT chunk) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_unique_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM pc GROUP BY bucket
+"""
+
+
+@register("curated_corpus_v2", None)  # SQL attached below (needs builder)
+def curated_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation, v2 — every safety/quality stage in one DAG:
+
+      C4 line-quality keep (textstats.c4_keep)
+      -> PII redaction (textstats.redact_pii)
+      -> benchmark decontamination drop (dedup.benchmark_contamination,
+         bench = first-12-token snippets of doc_id%31==0 docs)
+      -> exact-dedup winners (dedup.exact_dedup)
+      -> near-dup cluster winners (dedup.near_dup_clusters)
+      -> mixture re-weighting (sampling.mixture_sample)
+      -> sequence packing (sampling.pack_chunks)
+      -> per-bucket chunk/row/token stats.
+
+    Scale shape: every filter stage communicates ids only (left_semi /
+    left_anti joins; payloads stay columnar in place); the bench gram
+    set is broadcast; mixture is a projection + generator; packing
+    shuffles once on the 8-way pack bucket. The only payload-bearing
+    exchange end-to-end is the packing bucket shuffle, sized by the
+    CURATED corpus, not the input."""
+    from logpipe.traindata import textstats as ts
+    from logpipe.traindata.dedup import (
+        benchmark_contamination,
+        exact_dedup,
+        near_dup_clusters,
+    )
+    from logpipe.traindata.sampling import mixture_sample, pack_chunks
+
+    d_ = F.col("doc_id").cast("string")
+    c4_txt = F.concat(
+        F.when(F.col("doc_id") % 17 == 0, F.lit("lorem ipsum dolor sit. "))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit('{"k": 1} ')).otherwise(F.lit("")),
+        F.expr("replace(text, ' the ', concat('.', chr(10)))"),
+        F.lit(" contact user"), d_,
+        F.lit("@mail"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com ip 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+        F.lit(" acct 123456789"), d_,
+    )
+    base = _docs(spark, sf_dir).select("doc_id", "source", c4_txt.alias("text"))
+    kept = base.filter(ts.c4_keep(F.col("text")))
+    red = kept.select(
+        "doc_id", "source", ts.redact_pii(F.col("text")).alias("text")
+    )
+    bench = red.filter(F.col("doc_id") % 31 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(ts.tokens(F.col("text")), 1, 12)).alias("text"),
+    )
+    hits = (
+        benchmark_contamination(red, bench, n=3, min_overlap=5)
+        .select("doc_id")
+        .distinct()
+    )
+    clean = red.join(hits, "doc_id", "left_anti")
+    exact_winners = exact_dedup(clean).select(F.col("keep_id").alias("doc_id"))
+    kept2 = clean.join(exact_winners, "doc_id", "left_semi")
+    cl = near_dup_clusters(kept2, n=2, k=32, bands=8, threshold=0.1)
+    winners = cl.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    final = kept2.join(winners, "doc_id", "left_semi")
+    rates = {f"src{i}": 0.5 for i in range(4)} | {"src4": 2.25, "src5": 2.25}
+    mixed = mixture_sample(final, rates)
+    packed = pack_chunks(mixed, budget=512, n_buckets=8)
+    return packed.groupBy("bucket").agg(
+        F.countDistinct("chunk").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_unique_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+_REGISTRY["curated_corpus_v2"] = (
+    _REGISTRY["curated_corpus_v2"][0],
+    _curated_corpus_v2_sql(),
+)
+
+
+@register("streaming_route_counts", _FLAGSHIP_SQL)
+def streaming_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-vs-batch equivalence as a DRIVER gate (round-3 verdict
+    task #8 — the streaming DAG was pytest-only): materialize the
+    transcripts to a scratch dir, run the foreachBatch Structured
+    Streaming pipeline to completion (availableNow trigger, multiple
+    micro-batches via maxFilesPerTrigger), read every batch's sink
+    output back and aggregate per-sink counts — which must equal the
+    BATCH flagship oracle exactly (per-sink totals are additive across
+    micro-batch commits; the checkpoint dir is fresh per run, so the
+    stream always processes the full input)."""
+    import tempfile
+
+    from logpipe.streaming.stream_pipeline import start_stream_pipeline
+
+    ev = load_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="logpipe_stream_gate_")
+    # 8 input files + maxFilesPerTrigger=4 -> at least two micro-batches
+    events_as_transcripts(ev).repartition(8).write.mode("overwrite").parquet(
+        f"{tmp}/in"
+    )
+    q = start_stream_pipeline(
+        spark,
+        f"{tmp}/in",
+        events_k8s_meta(ev),
+        events_tool_meta(ev),
+        out_base=f"{tmp}/out",
+        checkpoint=f"{tmp}/ckpt",
+        max_files_per_trigger=4,
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(f"{tmp}/out")
+    return back.groupBy("sink").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("content")).alias("content_bytes"),
+    )
+
+
 def _simhash_sql() -> str:
     from logpipe.traindata.dedup import SIMHASH_BITS
 
@@ -1865,19 +2131,6 @@ WITH tok AS (
 SELECT d.doc_id, CAST(coalesce({sig}, 0) AS BIGINT) AS simhash
 FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
 """
-
-
-@register("simhash_signatures", None)
-def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logpipe.traindata.dedup import simhash_table
-
-    return simhash_table(_docs(spark, sf_dir))
-
-
-_REGISTRY["simhash_signatures"] = (
-    _REGISTRY["simhash_signatures"][0],
-    _simhash_sql(),
-)
 
 
 def _simhash_pairs_sql(max_hamming: int = 3, bands: int = 4) -> str:
@@ -1904,6 +2157,11 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 
 @register("simhash_near_dups", None)
 def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs; the oracle recomputes the 64-bit
+    signatures from scratch in SQL, so this row also gates
+    dedup.simhash_table end-to-end (its own registry slot was folded —
+    round-3 verdict's 50-row driver window; signature values stay
+    pytest-gated in tests/test_traindata.py)."""
     from logpipe.traindata.dedup import simhash_near_dups
 
     return simhash_near_dups(_docs(spark, sf_dir), max_hamming=3, bands=4)
@@ -1941,26 +2199,6 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return cosine_topk(emb, query_filter=F.col("vec_id") < 8, k=5)
-
-
-_COSINE_DUPS_SQL = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
-p AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cosine
-  FROM n a JOIN n b ON a.vec_id < b.vec_id
-)
-SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
-"""
-
-
-@register("embedding_near_dups", _COSINE_DUPS_SQL)
-def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logpipe.traindata.ann import cosine_near_dups
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_near_dups(emb, threshold=0.4)
 
 
 # --- deterministic DuckDB replays of the hyperplane/IVF ANN paths ---------
@@ -2018,8 +2256,12 @@ SELECT id_a, id_b, cosine FROM v WHERE cosine >= {threshold}
 
 @register("cosine_lsh_near_dups", None)  # SQL attached below (needs builder)
 def cosine_lsh_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100TB embedding-dedup path (bucketed; embedding_near_dups is
-    its O(n²) exactness oracle, kept for tests only)."""
+    """The 100TB embedding-dedup path (bucketed). ann.cosine_near_dups
+    is its O(n²) exactness oracle — its own registry slot was folded
+    (round-3 verdict's 50-row driver window): this row's SQL replays
+    the exact all-pairs cosine values over the banded candidates, and
+    tests/test_traindata.py::test_cosine_lsh_near_dups_vs_exact pins
+    the Spark exact path bit-for-bit."""
     from logpipe.traindata.ann import cosine_lsh_near_dups
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -2067,6 +2309,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGISTRY["ann_lsh_topk"] = (_REGISTRY["ann_lsh_topk"][0], _ann_lsh_topk_sql())
 
 
+@register("ann_ivf_topk", None)  # SQL attached below (needs builder)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.traindata.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, query_ids=list(range(8)), k=5, n_centroids=16, n_probe=4)
+
+
 def _ann_ivf_topk_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 4) -> str:
     qids = ",".join(str(i) for i in range(8))
     return f"""
@@ -2107,132 +2357,6 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id) AS rn FROM c)
 WHERE rn <= {k}
 """
-
-
-# ---------------------------------------------------------------------------
-# Operator-direct gates: stitch_multiline (F3) and event_size (O5)
-# ---------------------------------------------------------------------------
-
-# half the props lines count as 'firstline' -> real group mixing
-_STITCH_OP_RE = '^\\{"k": [0-4]'
-
-_STITCH_OP_SQL = f"""
-WITH t AS (
-  SELECT CAST(user_id AS VARCHAR) AS conv_id,
-         CAST(event_id AS INT) AS turn_idx,
-         props AS text
-  FROM events
-), marked AS (
-  SELECT conv_id, turn_idx, text,
-         CAST(sum(CASE WHEN regexp_matches(text, '{_STITCH_OP_RE}') THEN 1 ELSE 0 END)
-              OVER (PARTITION BY conv_id ORDER BY turn_idx
-                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
-  FROM t
-)
-SELECT conv_id, grp,
-       CAST(min(turn_idx) AS INT) AS turn_idx,
-       string_agg(text, chr(10) ORDER BY turn_idx) AS text,
-       CAST(count(*) AS INT) AS n_lines
-FROM marked GROUP BY conv_id, grp
-"""
-
-
-@register("multiline_stitch_operator", _STITCH_OP_SQL)
-def multiline_stitch_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gates operators/stitch.py::stitch_multiline itself (the
-    `multiline_stitch` query checks the windowing pattern; this one
-    runs the shipped operator end-to-end)."""
-    from logpipe.operators.stitch import stitch_multiline
-
-    ev = load_events(spark, sf_dir)
-    t = ev.select(
-        F.col("user_id").cast("string").alias("conv_id"),
-        F.col("event_id").cast("int").alias("turn_idx"),
-        F.col("props").alias("text"),
-        F.lit("user").alias("role"),
-        F.lit(None).cast("string").alias("tool"),
-        F.col("ts"),
-    )
-    out = stitch_multiline(t, firstline_re=_STITCH_OP_RE)
-    return out.select("conv_id", "grp", "turn_idx", "text", "n_lines")
-
-
-_EVENT_SIZE_SQL = f"""
-WITH t AS ({_EVENTS_BASE_CTE}), s AS (
-  SELECT 'export' AS sink, content, coalesce(docker_id, tool_cid, '') AS id,
-         'container' AS source FROM t WHERE has_export
-  UNION ALL
-  SELECT CASE WHEN has_job THEN 'job' ELSE 'container' END AS sink, content,
-         CASE WHEN has_job THEN define_tag ELSE coalesce(docker_id, tool_cid, '') END AS id,
-         CASE WHEN has_job THEN 'job' ELSE 'container' END AS source
-  FROM t
-)
-SELECT sink,
-       CAST(sum(strlen(content) + strlen(id)
-              + strlen(source) + strlen('stdout')) AS BIGINT)
-         AS scalar_bytes
-FROM s GROUP BY sink
-"""
-
-
-@register("event_size_accounting", _EVENT_SIZE_SQL)
-def event_size_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O5 Size() (out_erda/sender.go:26-32): per-sink byte totals over
-    the scalar LogEvent fields (tag bytes excluded here — tags carry
-    md5/collector salts the SQL side reproduces via flagship instead)."""
-    from logpipe.operators.project import event_size
-
-    ev = load_events(spark, sf_dir)
-    out = run_pipeline(
-        events_as_transcripts(ev), events_k8s_meta(ev), events_tool_meta(ev)
-    )
-    sized = event_size(out.withColumn("tags", F.from_json(F.lit("{}"), "map<string,string>")))
-    return sized.groupBy("sink").agg(
-        F.sum("event_bytes").cast("long").alias("scalar_bytes")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Scalar function layer (helps.go/remote.go utilities)
-# ---------------------------------------------------------------------------
-
-_SCALAR_FN_SQL = """
-SELECT event_id,
-       'Basic ' || to_base64(encode('user-' || CAST(user_id AS VARCHAR)
-                                    || ':' || md5(props))) AS auth,
-       regexp_replace('http://collector-' || CAST(user_id % 4 AS VARCHAR) || '///',
-                      '/+$', '') || '/' ||
-       regexp_replace('//collect/logs/' || event_type, '^/+', '') AS url
-FROM events
-"""
-
-
-@register("scalar_functions", _SCALAR_FN_SQL)
-def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """basic-auth base64 (helps.go:73-76) + URL host/path join with
-    slash normalization (remote.go:164-166, remote_test.go:65-91)."""
-    from logpipe.functions import basic_auth_header, host_join_path
-
-    ev = load_events(spark, sf_dir)
-    return ev.select(
-        "event_id",
-        basic_auth_header(
-            F.concat(F.lit("user-"), F.col("user_id").cast("string")),
-            F.md5(F.col("props")),
-        ).alias("auth"),
-        host_join_path(
-            F.concat(F.lit("http://collector-"), (F.col("user_id") % 4).cast("string"), F.lit("///")),
-            F.concat(F.lit("//collect/logs/"), F.col("event_type")),
-        ).alias("url"),
-    )
-
-
-@register("ann_ivf_topk", None)  # SQL attached below (needs builder)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logpipe.traindata.ann import ivf_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(emb, query_ids=list(range(8)), k=5, n_centroids=16, n_probe=4)
 
 
 _REGISTRY["ann_ivf_topk"] = (_REGISTRY["ann_ivf_topk"][0], _ann_ivf_topk_sql())

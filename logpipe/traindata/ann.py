@@ -59,8 +59,7 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cosine, rank); cosine rounded to 4
     decimals, ties broken by neighbor id (fully deterministic).
     """
-    base = with_norm(emb)
-    q = base
+    q = emb
     if query_ids is not None:
         q = q.filter(F.col("vec_id").isin(query_ids))
     if query_filter is not None:
@@ -68,12 +67,14 @@ def cosine_topk(
     q = q.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        F.col("_norm").alias("q_norm"),
     )
-    joined = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    cos = F.round(
-        dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("_norm")), 4
-    )
+    joined = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    # exact sequential-order cosine, Arrow-vectorized: bit-identical to
+    # the aggregate(zip_with) expression form / DuckDB oracle, ~20x
+    # cheaper than the interpreted per-element lambda (see _lsh_udf)
+    from logpipe.traindata._lsh_udf import seq_cosine_udf
+
+    cos = F.round(seq_cosine_udf(F.col("q_emb"), F.col("embedding")), 4)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         joined.select(
@@ -182,11 +183,11 @@ def cosine_lsh_near_dups(
     cross join — and both the banding explode and the candidate dedup
     shuffle carry only (vec_id, table, bucket) / (id_a, id_b). The
     embedding arrays touch a shuffle only in the candidate re-join,
-    sized by the candidate count, not the corpus. Verification is
-    two-phase: an Arrow/numpy cosine prefilter over all candidates
-    (with a 1e-9 guard band), then the exact sequential-sum expression
-    on the survivors only — emitted values are bit-identical to the
-    all-pairs path / DuckDB oracle while the bulk math runs in BLAS.
+    sized by the candidate count, not the corpus. Verification is one
+    exact vectorized pass: seq_cosine_udf sums dim-by-dim in the same
+    left-to-right order as the expression form, so emitted values are
+    bit-identical to the all-pairs path / DuckDB oracle while the bulk
+    math runs vectorized in numpy.
 
     Threshold envelope: sign-LSH separates near-dups from the random
     bulk (θ≈90°, p=1/2 per bit) by the per-bit gap (1-θ/π vs 1/2). At
@@ -210,24 +211,18 @@ def cosine_lsh_near_dups(
     )
     ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    from logpipe.traindata._lsh_udf import cosine_prefilter_udf
+    from logpipe.traindata._lsh_udf import seq_cosine_udf
 
-    # guard band must cover the OUTPUT rounding quantum: the exact
-    # filter is round(cos, 4) >= threshold, which admits true cosines
-    # down to threshold - 5e-5 (HALF_UP), plus a hair for numpy
-    # summation-order error — a tighter band would silently drop pairs
-    # the all-pairs path and the DuckDB oracle emit
-    pre = (
+    # single-pass exact verify: seq_cosine_udf accumulates in the same
+    # left-to-right order as the expression form / DuckDB oracle, so
+    # the emitted value IS the exact cosine — no approximate prefilter,
+    # no guard band to reason about (a previous two-phase design needed
+    # a threshold - 5e-5 - 1e-9 band to avoid dropping boundary pairs)
+    exact = F.round(seq_cosine_udf(F.col("ea"), F.col("eb")), 4)
+    return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
-        .withColumn("_approx", cosine_prefilter_udf(F.col("ea"), F.col("eb")))
-        .filter(F.col("_approx") >= threshold - 5e-5 - 1e-9)
-    )
-    exact = F.round(
-        dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb"))), 4
-    )
-    return (
-        pre.select("id_a", "id_b", exact.alias("cosine"))
+        .select("id_a", "id_b", exact.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

@@ -65,13 +65,23 @@ def ngrams_of(toks: Column, n: int) -> Column:
     return F.array_distinct(grams)
 
 
-def with_ngrams(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
-    """docs + `grams` column, tokens materialized once per row."""
-    return (
-        docs.withColumn("_toks", tokens(F.col(text_col)))
-        .withColumn("grams", ngrams_of(F.col("_toks"), n))
-        .drop("_toks")
-    )
+def with_ngrams(
+    docs: DataFrame, n: int, text_col: str = "text", drop_gramless: bool = False
+) -> DataFrame:
+    """docs + `grams` column, tokens materialized once per row.
+
+    ``drop_gramless=True`` drops docs that would yield zero grams by
+    filtering on the TOKEN count (size(tokens) >= n, equivalent to
+    size(grams) > 0). Filtering here instead of on the grams column
+    matters for plan size: Catalyst pushes the predicate below the
+    projection and re-inlines whatever expression it references — the
+    token split is a small tree, the full zip_with shingle tree is not
+    (round-3 plan audit flagged the duplicated gram expression in the
+    pushed filter)."""
+    d = docs.withColumn("_toks", tokens(F.col(text_col)))
+    if drop_gramless:
+        d = d.filter(F.size("_toks") >= max(n, 1))
+    return d.withColumn("grams", ngrams_of(F.col("_toks"), n)).drop("_toks")
 
 
 def word_ngrams(text: Column, n: int) -> Column:
@@ -93,9 +103,8 @@ def ngram_jaccard_pairs(
     d = (
         # repartition before the per-element n-gram lambdas (see
         # minhash_lsh_pairs) so the compute parallelizes
-        with_ngrams(docs.repartition(n_part, "doc_id"), n)
+        with_ngrams(docs.repartition(n_part, "doc_id"), n, drop_gramless=True)
         .select("doc_id", *block_cols, "grams")
-        .filter(F.size("grams") > 0)
     )
     a = d.alias("a")
     b = d.alias("b")
@@ -191,9 +200,8 @@ def minhash_lsh_pairs(
         # repartition the RAW docs first: otherwise the (interpreted,
         # per-element) n-gram lambdas execute inside the single-file
         # scan stage on one core — the exchange must precede the compute
-        with_ngrams(docs.repartition(n_part, "doc_id"), n)
+        with_ngrams(docs.repartition(n_part, "doc_id"), n, drop_gramless=True)
         .select("doc_id", "grams")
-        .filter(F.size("grams") > 0)
     )
     # signature via explode + groupBy-min: one md5 per (doc, shingle)
     # row, k cheap min-aggregates with map-side partial agg. (The
