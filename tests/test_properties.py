@@ -192,3 +192,20 @@ def test_merge_log_matches_python_model(spark, bodies):
             assert set(m) == base | {f"log_processed_{k}" for k in b}
         else:
             assert set(m) == base, (b, m)
+
+
+def test_driver_registry_fits_correctness_window():
+    """The grading driver checks at most 50 queries (registration-order
+    truncation); anything past 50 silently loses its CORRECTNESS row.
+    Pin the invariant so a new registration must displace an old one
+    (fold or cut) instead of falling off the gate — and that every
+    registered query ships an oracle."""
+    from logpipe.plans import driver_queries as dq
+
+    qs, osql = dq.queries(), dq.oracle_sql()
+    assert len(qs) <= 50, (
+        f"{len(qs)} queries registered but the driver checks only 50 — "
+        "fold or cut before adding"
+    )
+    missing = sorted(set(qs) - set(osql))
+    assert not missing, f"queries without a DuckDB oracle: {missing}"
