@@ -1073,14 +1073,6 @@ _WORDS_SQL = (
 
 # --- text analysis --------------------------------------------------------
 
-_TOKEN_COUNT_SQL = f"""
-SELECT doc_id,
-       CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens,
-       CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'), x -> x <> '')) AS BIGINT) AS n_bpe_ish
-FROM documents
-"""
-
-
 # PII redaction (traindata/textstats.py::redact_pii): the synthetic
 # docs carry no PII, so the query embeds deterministic emails / IPv4s /
 # digit runs derived from doc_id, then redacts — the oracle replays the
@@ -1173,6 +1165,182 @@ def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_urls"),
             F.countDistinct("doc_id").alias("n_docs"),
         )
+    )
+
+
+# Global line-level dedup (dedup.line_dedup, the C4/RefinedWeb
+# boilerplate-removal step): constructed multi-line text where every
+# doc shares a footer line with its doc_id%7 class (plus any naturally
+# repeated word-lines) — a line survives only in the lowest-doc_id doc
+# containing it, at its first position there.
+_LINE_DEDUP_TEXT_SQL = (
+    "replace(text, ' the ', chr(10)) || chr(10) || 'footer-' "
+    "|| CAST(doc_id % 7 AS VARCHAR)"
+)
+
+_LINE_DEDUP_SQL = f"""
+WITH t AS (SELECT doc_id, {_LINE_DEDUP_TEXT_SQL} AS text FROM documents),
+l AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM t
+), keyed AS (
+  SELECT doc_id, pos, line, md5(line) AS lh FROM l
+), w AS (
+  SELECT lh, min(doc_id) AS win_doc FROM keyed GROUP BY lh
+), kept AS (
+  SELECT k.doc_id, k.lh, min(k.pos) AS pos, min(k.line) AS line
+  FROM keyed k JOIN w ON k.lh = w.lh AND k.doc_id = w.win_doc
+  GROUP BY k.doc_id, k.lh
+), re AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         CAST(count(*) AS BIGINT) AS n_lines_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(re.text, '') AS text,
+       coalesce(re.n_lines_kept, 0) AS n_lines_kept
+FROM t LEFT JOIN re ON t.doc_id = re.doc_id
+"""
+
+
+@register("line_dedup", _LINE_DEDUP_SQL)
+def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global line-level dedup (C4 §2.2's boilerplate removal at corpus
+    scope): full reassembled text hash-matched per doc, so the winner
+    rule, first-occurrence rule, and in-order reassembly are all
+    value-gated."""
+    from logpipe.traindata.dedup import line_dedup
+
+    txt = F.concat(
+        F.expr("replace(text, ' the ', chr(10))"),
+        F.lit("\nfooter-"), (F.col("doc_id") % 7).cast("string"),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", txt.alias("text"))
+    return line_dedup(d)
+
+
+# Gopher-style composite keep gate (textstats.gopher_keep): thresholds
+# chosen so BOTH branches occur on the word-soup corpus.
+_GOPHER_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS words,
+         round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE), 4) AS alpha_ratio
+  FROM documents
+), g AS (
+  SELECT doc_id, words, alpha_ratio,
+         CASE WHEN len(words) >= 2
+           THEN [words[i] || ' ' || words[i+1] for i in generate_series(1, len(words)-1)]
+           ELSE [] END AS grams
+  FROM w
+), dupf AS (
+  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens, alpha_ratio,
+         CASE WHEN len(words) >= 2
+           THEN round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                      / len(grams), 4)
+           ELSE 0.0 END AS dup_bigram_frac
+  FROM g
+), tok AS (
+  SELECT doc_id, unnest(words) AS tok FROM w
+), per_tok AS (
+  SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+), per_doc AS (
+  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_token_frac
+  FROM per_tok GROUP BY doc_id
+)
+SELECT d.doc_id, d.n_tokens, d.alpha_ratio, d.dup_bigram_frac,
+       coalesce(p.top_token_frac, 0.0) AS top_token_frac,
+       (d.n_tokens >= 50 AND d.n_tokens <= 100000
+        AND d.alpha_ratio >= 0.55
+        AND d.dup_bigram_frac <= 0.2
+        AND coalesce(p.top_token_frac, 0.0) <= 0.2) AS keep
+FROM dupf d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+@register("gopher_keep", _GOPHER_SQL)
+def gopher_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.traindata.textstats import gopher_keep
+
+    return gopher_keep(_docs(spark, sf_dir), min_tokens=50)
+
+
+# Domain blocklist filter (textstats.domain_blocklist_filter): same URL
+# construction as domain_stats; a doc is dropped when ANY of its URLs'
+# domains is blocklisted.
+_BLOCKLIST = ("cdn1.net", "site3.example.com")
+
+_BLOCKLIST_SQL = f"""
+WITH t AS (SELECT doc_id, source, {_DOMAIN_TEXT_SQL} AS txt FROM documents),
+u AS (
+  SELECT doc_id, unnest(regexp_extract_all(txt, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+  FROM t
+), bad AS (
+  SELECT DISTINCT doc_id FROM u
+  WHERE domain IN ({", ".join(f"'{d}'" for d in _BLOCKLIST)})
+)
+SELECT doc_id, source FROM t
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
+@register("domain_blocklist", _BLOCKLIST_SQL)
+def domain_blocklist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.traindata.textstats import domain_blocklist_filter
+
+    txt = F.concat(
+        F.substring("text", 1, 30),
+        F.lit(" see https://site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        F.lit(" and http://cdn"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".net/x"),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "source", txt.alias("text"))
+    return domain_blocklist_filter(d, list(_BLOCKLIST)).select("doc_id", "source")
+
+
+# Unicode/control normalization (textstats.normalize_controls): the
+# construction plants a tab run, a BEL control, an NBSP, and a
+# zero-width space; the oracle replays NORMALIZE_RULES verbatim
+# (\x{...} escapes parse identically in Java regex and RE2).
+_NORM_TEXT_SQL = (
+    "substring(text, 1, 60) || chr(9) || chr(9) || 'a' || chr(7) || 'b '"
+    " || chr(160) || ' c ' || chr(8203) || 'd'"
+)
+
+_NORM_SQL = f"""
+WITH t AS (SELECT doc_id, {_NORM_TEXT_SQL} AS txt FROM documents)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(txt,
+         '[\\x{{0000}}-\\x{{0008}}\\x{{000B}}\\x{{000C}}\\x{{000E}}-\\x{{001F}}\\x{{007F}}]', '', 'g'),
+         '[\\x{{200B}}-\\x{{200D}}\\x{{FEFF}}]', '', 'g'),
+         '[\\x{{00A0}}\\x{{2007}}\\x{{202F}}]', ' ', 'g'),
+         '[ \\t]+', ' ', 'g')) AS normalized,
+       (trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(txt,
+         '[\\x{{0000}}-\\x{{0008}}\\x{{000B}}\\x{{000C}}\\x{{000E}}-\\x{{001F}}\\x{{007F}}]', '', 'g'),
+         '[\\x{{200B}}-\\x{{200D}}\\x{{FEFF}}]', '', 'g'),
+         '[\\x{{00A0}}\\x{{2007}}\\x{{202F}}]', ' ', 'g'),
+         '[ \\t]+', ' ', 'g')) <> txt) AS changed
+FROM t
+"""
+
+
+@register("text_normalize", _NORM_SQL)
+def text_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.traindata.textstats import normalize_controls
+
+    txt = F.concat(
+        F.substring("text", 1, 60),
+        F.lit("\t\ta"), F.expr("chr(7)"), F.lit("b "),
+        F.lit("\u00a0"), F.lit(" c "), F.lit("\u200b"), F.lit("d"),
+    )
+    t = _docs(spark, sf_dir).select("doc_id", txt.alias("txt"))
+    norm = normalize_controls(F.col("txt"))
+    return t.select(
+        "doc_id",
+        norm.alias("normalized"),
+        (norm != F.col("txt")).alias("changed"),
     )
 
 
@@ -1289,44 +1457,6 @@ def c4_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("token_count", _TOKEN_COUNT_SQL)
-def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logpipe.traindata import textstats as ts
-
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        ts.token_count(F.col("text")).alias("n_tokens"),
-        ts.bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
-    )
-
-
-_QUALITY_SQL = f"""
-WITH t AS (
-  SELECT doc_id, text,
-         CAST(len({_WORDS_SQL}) AS DOUBLE) AS n_tok,
-         CAST(len(list_filter({_WORDS_SQL.replace("trim(text)", "trim(lower(text))")},
-              w -> list_contains(['the','a','and','of','to','is','in'], w))) AS DOUBLE) AS sw,
-         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-           / CAST(length(text) AS DOUBLE) AS alpha_ratio
-  FROM documents
-)
-SELECT doc_id,
-       round(0.4 * least(1.0, n_tok / 50.0)
-           + 0.3 * alpha_ratio
-           + 0.3 * least(1.0, (sw / greatest(n_tok, 1.0)) * 5.0), 4) AS quality
-FROM t
-"""
-
-
-@register("text_quality", _QUALITY_SQL)
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logpipe.traindata import textstats as ts
-
-    d = _docs(spark, sf_dir)
-    return d.select("doc_id", ts.quality_score(F.col("text")).alias("quality"))
-
-
 def _lang_score_sql(lang_words: list[str]) -> str:
     arr = "[" + ",".join(f"'{w}'" for w in lang_words) + "]"
     words = _WORDS_SQL.replace("trim(text)", "trim(lower(text))")
@@ -1364,31 +1494,28 @@ def _lang_id_parts() -> tuple[str, str]:
     return scores, case_sql
 
 
-def _build_lang_id_sql() -> str:
+def _textstats_profile_sql() -> str:
+    """ONE profile query over documents carrying every per-doc textstat
+    signal — token counts, quality, language ID, repetition signals,
+    fingerprint. Folds five former single-column registry slots (the
+    driver's 50-row correctness window); each column reuses the exact
+    SQL fragment its standalone oracle used."""
     scores, case_sql = _lang_id_parts()
-    return f"WITH t AS (SELECT doc_id, text, {scores} FROM documents)\nSELECT doc_id, {case_sql} AS pred_lang FROM t"
-
-
-@register("lang_id", None)  # SQL attached below once built
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logpipe.traindata import textstats as ts
-
-    d = _docs(spark, sf_dir)
-    return d.select("doc_id", ts.lang_id(F.col("text")).alias("pred_lang"))
-
-
-_REGISTRY["lang_id"] = (_REGISTRY["lang_id"][0], _build_lang_id_sql())
-
-
-_REPETITION_SQL = f"""
-WITH w AS (
-  SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+    words_lower = _WORDS_SQL.replace("trim(text)", "trim(lower(text))")
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {_WORDS_SQL} AS words, {scores},
+         CAST(len(list_filter({words_lower},
+              w -> list_contains(['the','a','and','of','to','is','in'], w))) AS DOUBLE) AS sw,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS alpha_ratio
+  FROM documents
 ), g AS (
   SELECT doc_id, words,
          CASE WHEN len(words) >= 2
            THEN [words[i] || ' ' || words[i+1] for i in generate_series(1, len(words)-1)]
            ELSE [] END AS grams
-  FROM w
+  FROM t
 ), dupf AS (
   SELECT doc_id,
          CASE WHEN len(words) >= 2
@@ -1397,49 +1524,58 @@ WITH w AS (
            ELSE 0.0 END AS dup_bigram_frac
   FROM g
 ), tok AS (
-  SELECT doc_id, unnest(words) AS tok FROM w
+  SELECT doc_id, unnest(words) AS tok FROM t
 ), per_tok AS (
   SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
 ), per_doc AS (
   SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_token_frac
   FROM per_tok GROUP BY doc_id
 )
-SELECT d.doc_id, dupf.dup_bigram_frac,
-       coalesce(per_doc.top_token_frac, 0.0) AS top_token_frac
-FROM documents d
-JOIN dupf ON d.doc_id = dupf.doc_id
-LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+SELECT t.doc_id,
+       CAST(len(t.words) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(regexp_extract_all(t.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'), x -> x <> '')) AS BIGINT) AS n_bpe_ish,
+       round(0.4 * least(1.0, CAST(len(t.words) AS DOUBLE) / 50.0)
+           + 0.3 * t.alpha_ratio
+           + 0.3 * least(1.0, (t.sw / greatest(CAST(len(t.words) AS DOUBLE), 1.0)) * 5.0), 4) AS quality,
+       ({case_sql}) AS pred_lang,
+       dupf.dup_bigram_frac,
+       coalesce(per_doc.top_token_frac, 0.0) AS top_token_frac,
+       md5(lower(trim(regexp_replace(t.text, '\\s+', ' ', 'g')))) AS fp
+FROM t
+JOIN dupf ON t.doc_id = dupf.doc_id
+LEFT JOIN per_doc ON t.doc_id = per_doc.doc_id
 """
 
 
-@register("repetition_signals", _REPETITION_SQL)
-def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition quality filters: duplicate-bigram
-    position fraction (columnar) + top-token coverage (explode +
-    partial-agg groupBys)."""
+@register("textstats_profile", None)  # SQL attached below (needs builder)
+def textstats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc text-analysis PROFILE: token counts (whitespace +
+    BPE-ish), quality score, language ID, repetition signals
+    (dup-bigram fraction, Gopher top-token coverage), and content
+    fingerprint in one pass — the projection a real curation job
+    computes once and reuses. Folds five former registry slots
+    (token_count / text_quality / lang_id / repetition_signals /
+    doc_fingerprint) to fit the driver's 50-row window; every column
+    is the SAME gated operator expression."""
     from logpipe.traindata import textstats as ts
 
     d = _docs(spark, sf_dir)
-    dup = d.select(
-        "doc_id", ts.dup_ngram_fraction(F.col("text"), n=2).alias("dup_bigram_frac")
+    base = d.select(
+        "doc_id",
+        ts.token_count(F.col("text")).alias("n_tokens"),
+        ts.bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
+        ts.quality_score(F.col("text")).alias("quality"),
+        ts.lang_id(F.col("text")).alias("pred_lang"),
+        ts.dup_ngram_fraction(F.col("text"), n=2).alias("dup_bigram_frac"),
+        ts.fingerprint(F.col("text")).alias("fp"),
     )
-    top = ts.top_token_stats(d)
-    return dup.join(top, "doc_id")
+    return base.join(ts.top_token_stats(d), "doc_id")
 
 
-_FINGERPRINT_SQL = """
-SELECT doc_id,
-       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
-FROM documents
-"""
-
-
-@register("doc_fingerprint", _FINGERPRINT_SQL)
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logpipe.traindata import textstats as ts
-
-    d = _docs(spark, sf_dir)
-    return d.select("doc_id", ts.fingerprint(F.col("text")).alias("fp"))
+_REGISTRY["textstats_profile"] = (
+    _REGISTRY["textstats_profile"][0],
+    _textstats_profile_sql(),
+)
 
 
 # --- dataset assembly -------------------------------------------------------

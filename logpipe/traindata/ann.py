@@ -252,22 +252,23 @@ def lsh_topk(
     (query_id, neighbor_id, cosine) scalars. A banded duplicate costs
     one redundant 64-wide dot product instead of shuffling the arrays.
     """
-    base = with_norm(emb).select(
+    from logpipe.traindata._lsh_udf import seq_cosine_udf
+
+    base = emb.select(
         "vec_id",
         "embedding",
-        "_norm",
         F.posexplode(_bucket_col(n_planes, n_tables, dim)).alias("table", "bucket"),
     )
     q = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        F.col("_norm").alias("q_norm"),
         F.col("table").alias("q_table"),
         F.col("bucket").alias("q_bucket"),
     )
-    cos = F.round(
-        dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("_norm")), 4
-    )
+    # exact sequential-order cosine (bit-identical to the expression
+    # form / DuckDB oracle) — and the interpreted per-row norm column
+    # the expression needed disappears with it
+    cos = F.round(seq_cosine_udf(F.col("q_emb"), F.col("embedding")), 4)
     joined = (
         base.join(
             F.broadcast(q),
@@ -345,31 +346,32 @@ def ivf_topk(
     exact cosine re-rank inside them. Scans ~n_probe/n_centroids of the
     corpus per query instead of all of it; recall grows with n_probe
     (tested vs cosine_topk)."""
+    from logpipe.traindata._lsh_udf import seq_cosine_udf
+
     assigned, cents = ivf_assign(emb, n_centroids)
     # queries don't need a cell — take them off the base scan so the
     # assignment expression isn't evaluated a second time for them
-    q = with_norm(emb).filter(F.col("vec_id").isin(query_ids)).select(
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        F.col("_norm").alias("q_norm"),
     )
-    # per query: its n_probe nearest centroids
+    # per query: its n_probe nearest centroids (seq_cosine_udf is
+    # bit-identical to the expression form, so probe selection still
+    # matches the oracle's list_dot_product ranking exactly)
     qc = q.join(F.broadcast(cents))
-    qcos = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    qcos = seq_cosine_udf(F.col("q_emb"), F.col("c_emb"))
     wq = Window.partitionBy("query_id").orderBy(F.col("_qc").desc(), F.col("cell"))
     probes = (
         qc.withColumn("_qc", qcos)
         .withColumn("_rk", F.row_number().over(wq))
         .filter(F.col("_rk") <= n_probe)
-        .select("query_id", "q_emb", "q_norm", F.col("cell").alias("p_cell"))
+        .select("query_id", "q_emb", F.col("cell").alias("p_cell"))
     )
     cand = assigned.join(
         F.broadcast(probes),
         (F.col("cell") == F.col("p_cell")) & (F.col("vec_id") != F.col("query_id")),
-    ).select("query_id", "q_emb", "q_norm", "vec_id", "embedding", "_norm")
-    cos = F.round(
-        dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("_norm")), 4
-    )
+    ).select("query_id", "q_emb", "vec_id", "embedding")
+    cos = F.round(seq_cosine_udf(F.col("q_emb"), F.col("embedding")), 4)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         cand.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))

@@ -624,3 +624,52 @@ def simhash_near_dups(
     return cand.select(
         "doc_a", "doc_b", hamming.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4/RefinedWeb-style GLOBAL line-level dedup: every distinct line
+    (boilerplate footers, nav text, repeated sentences) survives only in
+    the LOWEST-doc_id document containing it, and only at its first
+    position there; each document reassembles from its surviving lines
+    in original order.
+
+    Returns (doc_id, text, n_lines_kept) for EVERY input doc (a doc
+    whose lines all lost becomes an empty text, n_lines_kept = 0) —
+    keeping the row lets callers decide drop-vs-keep downstream.
+
+    100TB shape: lines explode once; the winner table groups on
+    md5(line) (map-side partial agg) and carries (hash, winner-id)
+    scalars only; the verdict re-join is an equi-join on that hash; the
+    final reassembly groups on doc_id. Line TEXT rides only its own
+    doc's explode/reassemble path — never a cross-doc exchange.
+    """
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lh", F.md5("line"))
+    winners = lines.groupBy("lh").agg(F.min("doc_id").alias("win_doc"))
+    kept = (
+        lines.join(winners, "lh")
+        .filter(F.col("doc_id") == F.col("win_doc"))
+        .groupBy("doc_id", "lh")
+        .agg(F.min("pos").alias("pos"), F.first("line").alias("line"))
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_lines_kept", F.lit(0).cast("long")).alias("n_lines_kept"),
+        )
+    )

@@ -223,3 +223,77 @@ def fingerprint(text: Column) -> Column:
     """Content fingerprint over normalized text (md5 — bit-identical
     across engines; exact-dedup key)."""
     return F.md5(normalize_text(text))
+
+
+# Unicode/control cleanup for scraped corpora: ordered rules, chained
+# regexp_replace (the PII_RULES pattern). \x{...} escapes parse
+# identically in Java regex (Spark) and RE2 (DuckDB), so the oracle
+# replays the rules verbatim.
+NORMALIZE_RULES: tuple[tuple[str, str, str], ...] = (
+    ("controls", r"[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}]", ""),
+    ("zero_width", r"[\x{200B}-\x{200D}\x{FEFF}]", ""),
+    ("nbsp_family", r"[\x{00A0}\x{2007}\x{202F}]", " "),
+    ("space_runs", r"[ \t]+", " "),
+)
+
+
+def normalize_controls(text: Column) -> Column:
+    """Strip control characters and zero-width marks, map NBSP-family
+    spaces to plain spaces, collapse space/tab runs — the standard
+    pre-tokenization cleanup for scraped text. Rule order is part of
+    the contract (NBSP must become a plain space BEFORE runs collapse)."""
+    out = text
+    for _, pat, repl in NORMALIZE_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return F.trim(out)
+
+
+def gopher_signals(docs, text_col: str = "text"):
+    """(doc_id, n_tokens, alpha_ratio, dup_bigram_frac, top_token_frac)
+    — the Gopher-style (Rae et al. 2021, public) repetition/quality
+    signal set, columnar except the top-token pass (explode + two
+    partial-agg groupBys keyed on doc_id)."""
+    base = docs.select(
+        "doc_id",
+        token_count(F.col(text_col)).alias("n_tokens"),
+        F.round(alpha_ratio(F.col(text_col)), 4).alias("alpha_ratio"),
+        dup_ngram_fraction(F.col(text_col), n=2).alias("dup_bigram_frac"),
+    )
+    return base.join(top_token_stats(docs, text_col=text_col), "doc_id")
+
+
+def gopher_keep(
+    docs,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_alpha: float = 0.55,
+    max_dup_bigram: float = 0.2,
+    max_top_token: float = 0.2,
+):
+    """Composite Gopher-flavored keep decision over gopher_signals —
+    returns the signals plus `keep`. Thresholds are the knobs a corpus
+    curator tunes; defaults exercise both branches on the test data."""
+    s = gopher_signals(docs, text_col=text_col)
+    keep = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("alpha_ratio") >= min_alpha)
+        & (F.col("dup_bigram_frac") <= max_dup_bigram)
+        & (F.col("top_token_frac") <= max_top_token)
+    )
+    return s.withColumn("keep", keep)
+
+
+def domain_blocklist_filter(docs, blocklist: list[str], text_col: str = "text"):
+    """Drop documents containing a URL whose domain is on the blocklist
+    (spam/SEO/adult-list filtering). The blocklist is tiny -> broadcast;
+    the corpus side explodes extracted domains and anti-joins on the
+    (doc_id) hits, so document payloads never shuffle — ids only."""
+    spark = docs.sparkSession
+    bl = spark.createDataFrame([(d,) for d in blocklist], "domain string")
+    doms = docs.select(
+        "doc_id", F.explode(extract_domains(F.col(text_col))).alias("domain")
+    )
+    bad = doms.join(F.broadcast(bl), "domain", "left_semi").select("doc_id").distinct()
+    return docs.join(bad, "doc_id", "left_anti")

@@ -405,13 +405,17 @@ def test_traindata_scan_prunes_columns(spark):
     # the cached InMemoryRelation's FileScan reads every column — which
     # is fine (InMemoryTableScan prunes), but hides the property this
     # test pins: an UNCACHED scan must prune at the file reader
-    df = queries()["token_count"](spark, "/root/testdata/sf0.01")
+    df = queries()["textstats_profile"](spark, "/root/testdata/sf0.01")
     plan = df._jdf.queryExecution().executedPlan().toString()
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan, plan
-    rs = scan[0].split("ReadSchema:")[1]
-    assert "doc_id" in rs and "text" in rs
-    assert "source" not in rs and "lang" not in rs
+    # no scan may read the unused wide columns; the text-bearing scans
+    # read exactly (doc_id, text) and the re-join scan doc_id alone
+    for ln in scan:
+        rs = ln.split("ReadSchema:")[1]
+        assert "doc_id" in rs
+        assert "source" not in rs and "lang" not in rs
+    assert any("text" in ln.split("ReadSchema:")[1] for ln in scan)
 
 
 def test_c4_line_rules(spark):
@@ -477,3 +481,90 @@ def test_curated_corpus_v2_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_seq_cosine_udf_bit_identical_to_expression(spark):
+    """The core claim behind seq_cosine_udf: IEEE binary64 ops are
+    deterministic given operand order, and the kernel accumulates in
+    the SAME left-to-right order as the aggregate(zip_with) expression
+    — so outputs must be EXACTLY equal (==, not approx) on arbitrary
+    float inputs, including adversarial magnitude spreads where
+    summation order visibly changes the result."""
+    import random
+
+    from logpipe.traindata._lsh_udf import seq_cosine_udf
+    from logpipe.traindata.ann import dot, norm
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(64):
+        # mix scales 1e-8..1e8 so pairwise/SIMD summation WOULD differ
+        a = [rng.uniform(-1, 1) * 10 ** rng.randint(-8, 8) for _ in range(64)]
+        b = [rng.uniform(-1, 1) * 10 ** rng.randint(-8, 8) for _ in range(64)]
+        rows.append((i, a, b))
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    expr = dot(F.col("a"), F.col("b")) / (norm(F.col("a")) * norm(F.col("b")))
+    out = df.select(
+        "id",
+        expr.alias("expr_cos"),
+        seq_cosine_udf(F.col("a"), F.col("b")).alias("udf_cos"),
+    ).collect()
+    for r in out:
+        assert r["expr_cos"] == r["udf_cos"], (r["id"], r["expr_cos"], r["udf_cos"])
+
+
+def test_line_dedup_semantics(spark):
+    """Winner = lowest doc_id containing the line; within the winner,
+    first occurrence only; reassembly preserves original order; a doc
+    losing every line survives as an empty row."""
+    from logpipe.traindata.dedup import line_dedup
+
+    rows = [
+        (1, "alpha\nshared\nbeta"),
+        (2, "shared\ngamma"),          # 'shared' lost to doc 1
+        (3, "gamma\ngamma\ndelta"),    # 'gamma' lost to doc 2; in-doc dup
+        (4, "shared"),                 # loses everything
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert out[1]["text"] == "alpha\nshared\nbeta" and out[1]["n_lines_kept"] == 3
+    assert out[2]["text"] == "gamma" and out[2]["n_lines_kept"] == 1
+    assert out[3]["text"] == "delta" and out[3]["n_lines_kept"] == 1
+    assert out[4]["text"] == "" and out[4]["n_lines_kept"] == 0
+
+
+def test_normalize_controls_rules(spark):
+    from logpipe.traindata.textstats import normalize_controls
+
+    raw = "  a\x07b\t\tc d ​e­"  # ­ (soft hyphen) untouched
+    df = spark.createDataFrame([(1, raw)], "id long, t string")
+    got = df.select(normalize_controls(F.col("t")).alias("n")).collect()[0]["n"]
+    assert got == "a b c d e­".replace("a b", "ab")  # BEL stripped joins a+b
+    assert got == "ab c d e­"
+
+
+def test_domain_blocklist_filter(spark):
+    from logpipe.traindata.textstats import domain_blocklist_filter
+
+    rows = [
+        (1, "see https://ok.example.com/x"),
+        (2, "see http://spam.bad/x and https://ok.example.com/y"),
+        (3, "no urls at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in domain_blocklist_filter(df, ["spam.bad"]).collect()}
+    assert kept == {1, 3}
+
+
+def test_gopher_keep_branches(spark):
+    from logpipe.traindata.textstats import gopher_keep
+
+    good = " ".join(f"word{i}" for i in range(60))
+    short = "tiny doc"
+    repetitive = " ".join(["dup dup"] * 40)
+    rows = [(1, good), (2, short), (3, repetitive)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["keep"] for r in gopher_keep(df, min_tokens=20).collect()}
+    assert out[1] is True
+    assert out[2] is False   # under min_tokens
+    assert out[3] is False   # dup-bigram + top-token blowout
