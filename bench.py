@@ -45,6 +45,9 @@ HEADLINE = [
     ("minhash_lsh_dups_10x", "noop"),
     ("benchmark_contamination", "noop"),
     ("benchmark_contamination_10x", "noop"),
+    ("textstats_profile", "noop"),
+    ("line_dedup_words", "noop"),
+    ("line_dedup_words_10x", "noop"),
     ("embedding_cosine_topk", "collect"),
     ("cosine_lsh_near_dups", "noop"),
     ("cosine_lsh_near_dups_prod", "noop"),
@@ -122,6 +125,32 @@ def _contamination_10x(spark, sf_dir):
         F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 12)).alias("text"),
     )
     return benchmark_contamination(d, bench, n=3, min_overlap=5)
+
+
+def _line_dedup_words(docs):
+    """word-per-line construction shared by BOTH slope points (the
+    registered query's ' the '-split construction degenerates on the
+    token-salted 10x corpus, so the slope pair uses this instead):
+    every token a line + a shared footer line per doc_id%7 class."""
+    from pyspark.sql import functions as F
+
+    from logpipe.traindata.dedup import line_dedup
+
+    txt = F.concat(
+        F.expr("replace(text, ' ', chr(10))"),
+        F.lit("\nfooter-"), (F.col("doc_id") % 7).cast("string"),
+    )
+    return line_dedup(docs.select("doc_id", txt.alias("text")))
+
+
+def _line_dedup_words_1x(spark, sf_dir):
+    return _line_dedup_words(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def _line_dedup_words_10x(spark, sf_dir):
+    return _line_dedup_words(_docs_10x(spark, sf_dir))
 
 
 def _hot_conv_transcripts(spark, sf_dir):
@@ -268,6 +297,8 @@ def main() -> None:
     qs["simhash_near_dups_10x"] = _simhash_10x
     qs["cosine_lsh_near_dups_prod"] = _cosine_lsh_prod
     qs["benchmark_contamination_10x"] = _contamination_10x
+    qs["line_dedup_words"] = _line_dedup_words_1x
+    qs["line_dedup_words_10x"] = _line_dedup_words_10x
     qs["flagship_sinks_uniform"] = _flagship_sinks(zipf=False)
     qs["flagship_sinks_zipf"] = _flagship_sinks(zipf=True)
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))

@@ -209,3 +209,37 @@ def test_driver_registry_fits_correctness_window():
     )
     missing = sorted(set(qs) - set(osql))
     assert not missing, f"queries without a DuckDB oracle: {missing}"
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="xy", min_size=1, max_size=2), min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_line_dedup_matches_python_model(spark, docs_lines):
+    """line_dedup == the obvious sequential model: walk docs in id
+    order, keep a line only the first time it is EVER seen (across the
+    whole corpus), reassemble in place."""
+    from logpipe.traindata.dedup import line_dedup
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs_lines)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    seen: set[str] = set()
+    expected = {}
+    for i, lines in enumerate(docs_lines):
+        kept = []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        expected[i] = ("\n".join(kept), len(kept))
+
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines_kept"])
+        for r in line_dedup(df).collect()
+    }
+    assert got == expected
