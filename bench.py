@@ -153,16 +153,18 @@ def _line_dedup_words_10x(spark, sf_dir):
     return _line_dedup_words(_docs_10x(spark, sf_dir))
 
 
-def _hot_conv_transcripts(spark, sf_dir):
+def _hot_conv_transcripts(ev):
     """Zipf hot key: ~10% of ALL rows remapped onto conv '0' — a conv
     the k8s dim gives a collector (user 0: uid%5==0), so hot rows stay
     on the export path. The hot-row pick hashes a salt DIFFERENT from
-    the payload-build bucket hash so the two don't correlate."""
+    the payload-build bucket hash so the two don't correlate. Takes the
+    already-loaded events frame so the dims and the transcripts share
+    ONE scan subtree."""
     from pyspark.sql import functions as F
 
-    from logpipe.sources.events import events_as_transcripts, load_events
+    from logpipe.sources.events import events_as_transcripts
 
-    t = events_as_transcripts(load_events(spark, sf_dir))
+    t = events_as_transcripts(ev)
     hot = F.pmod(F.xxhash64(F.lit("zipf"), "conv_id", "turn_idx"), F.lit(10)) == 0
     return t.withColumn(
         "conv_id", F.when(hot, F.lit("0")).otherwise(F.col("conv_id"))
@@ -191,11 +193,7 @@ def _flagship_sinks(zipf: bool):
         )
 
         ev = load_events(spark, sf_dir)
-        t = (
-            _hot_conv_transcripts(spark, sf_dir)
-            if zipf
-            else events_as_transcripts(ev)
-        )
+        t = _hot_conv_transcripts(ev) if zipf else events_as_transcripts(ev)
         out = run_pipeline(t, events_k8s_meta(ev), events_tool_meta(ev))
         tmp = tempfile.mkdtemp(prefix="logpipe_bench_sinks_")
         try:
@@ -227,11 +225,17 @@ def _skew_task_stats(spark, sf_dir) -> dict:
 
     ev = load_events(spark, sf_dir)
     out = run_pipeline(
-        _hot_conv_transcripts(spark, sf_dir), events_k8s_meta(ev), events_tool_meta(ev)
+        _hot_conv_transcripts(ev), events_k8s_meta(ev), events_tool_meta(ev)
     )
-    export = out.filter(F.col("sink") == "export").withColumn(
-        "collector",
-        F.coalesce(F.col("labels")["monitor_log_collector"], F.lit("unknown")),
+    # persist: the salted and unsalted passes below would otherwise each
+    # re-evaluate the whole pipeline lineage from the parquet scan
+    export = (
+        out.filter(F.col("sink") == "export")
+        .withColumn(
+            "collector",
+            F.coalesce(F.col("labels")["monitor_log_collector"], F.lit("unknown")),
+        )
+        .persist()
     )
 
     def timed(pdf):
@@ -274,6 +278,7 @@ def _skew_task_stats(spark, sf_dir) -> dict:
             "max_task_sec": round(secs[-1], 3),
             "med_task_sec": round(secs[len(secs) // 2], 3),
         }
+    export.unpersist()
     return res
 
 

@@ -2239,9 +2239,22 @@ def streaming_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     back = spark.read.parquet(f"{tmp}/out")
-    return back.groupBy("sink").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.length("content")).alias("content_bytes"),
+    rows = (
+        back.groupBy("sink")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.length("content")).alias("content_bytes"),
+        )
+        .collect()
+    )
+    # the aggregate is 3 rows — materialize it so the dataset-sized
+    # scratch dir (input copy + per-batch sinks + checkpoint) can be
+    # deleted NOW instead of leaking per grading run
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "sink string, n_rows bigint, content_bytes bigint"
     )
 
 

@@ -323,15 +323,18 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16) -> tuple[DataFrame, DataFr
         (i + 1, [float(x) for x in r["embedding"]], float(r["_norm"]))
         for i, r in enumerate(rows)
     ]
+    # the per-centroid norm stays in the driver-side triples (the
+    # argmax kernel divides by it); the DataFrames carry no norm
+    # columns — every downstream cosine is seq_cosine_udf, which
+    # derives norms in-kernel
     cents = spark.createDataFrame(
-        centroids, schema="cell int, c_emb array<double>, c_norm double"
+        [(c, e) for c, e, _ in centroids], schema="cell int, c_emb array<double>"
     )
     from logpipe.traindata._lsh_udf import nearest_cell_udf
 
-    base = with_norm(emb)
-    assigned = base.withColumn(
+    assigned = emb.withColumn(
         "cell", nearest_cell_udf(centroids)(F.col("embedding"))
-    ).select("vec_id", "embedding", "_norm", "cell")
+    ).select("vec_id", "embedding", "cell")
     return assigned, cents
 
 

@@ -150,7 +150,18 @@ def resize_image(media: DataFrame, w: int, h: int) -> DataFrame:
         for pdf in batches:
             out = []
             for _, r in pdf.iterrows():
-                if r["kind"] != "image" or r["payload"] is None:
+                # width/height are nullable in MEDIA_SCHEMA: a row with
+                # missing/degenerate source dims is un-resizable and
+                # passes through as None, same as non-image rows —
+                # not an opaque executor crash
+                if (
+                    r["kind"] != "image"
+                    or r["payload"] is None
+                    or pd.isna(r["width"])
+                    or pd.isna(r["height"])
+                    or int(r["width"]) <= 0
+                    or int(r["height"]) <= 0
+                ):
                     out.append(None)
                     continue
                 W, H = int(r["width"]), int(r["height"])

@@ -264,6 +264,21 @@ def test_multimodal_plumbing(spark):
     with pytest.raises(ValueError):
         resize_image(media, 0, 3)
 
+    # schema-legal degenerate source dims (nullable in MEDIA_SCHEMA)
+    # pass through as None payloads instead of crashing the executor
+    weird = spark.createDataFrame(
+        [
+            (900, "image", b"\x01\x02\x03", None, 4, 0),
+            (901, "image", b"\x01\x02\x03", 0, 4, 0),
+        ],
+        schema=(
+            "media_id long, kind string, payload binary, width int, "
+            "height int, duration_ms int"
+        ),
+    )
+    for r in resize_image(weird, 2, 2).collect():
+        assert r["payload"] is None
+
 
 def test_cosine_lsh_near_dups_vs_exact(spark, emb):
     """The bucketed (scale-path) embedding near-dup must recover the
