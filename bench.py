@@ -53,6 +53,7 @@ HEADLINE = [
     ("cosine_lsh_near_dups_prod", "noop"),
     ("session_gap_stats", "noop"),
     ("curated_corpus_v2", "collect"),
+    ("curated_corpus_v3", "collect"),
     ("flagship_sinks_uniform", "call"),
     ("flagship_sinks_zipf", "call"),
 ]

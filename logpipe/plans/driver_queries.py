@@ -1178,29 +1178,41 @@ _LINE_DEDUP_TEXT_SQL = (
     "|| CAST(doc_id % 7 AS VARCHAR)"
 )
 
-_LINE_DEDUP_SQL = f"""
-WITH t AS (SELECT doc_id, {_LINE_DEDUP_TEXT_SQL} AS text FROM documents),
-l AS (
+def _line_dedup_ctes(src: str, out: str = "ld") -> str:
+    """CTE chain replaying dedup.line_dedup over ``src`` (doc_id, text
+    [, passthrough cols are NOT carried — re-join on doc_id]); emits
+    ``{out}`` = (doc_id, text, n_lines_kept). ONE definition shared by
+    the standalone gate and curated_corpus_v3 so the semantics cannot
+    drift."""
+    return f"""
+{out}_l AS (
   SELECT doc_id,
          unnest(string_split(text, chr(10))) AS line,
          generate_subscripts(string_split(text, chr(10)), 1) AS pos
-  FROM t
-), keyed AS (
-  SELECT doc_id, pos, line, md5(line) AS lh FROM l
-), w AS (
-  SELECT lh, min(doc_id) AS win_doc FROM keyed GROUP BY lh
-), kept AS (
+  FROM {src}
+), {out}_keyed AS (
+  SELECT doc_id, pos, line, md5(line) AS lh FROM {out}_l
+), {out}_w AS (
+  SELECT lh, min(doc_id) AS win_doc FROM {out}_keyed GROUP BY lh
+), {out}_kept AS (
   SELECT k.doc_id, k.lh, min(k.pos) AS pos, min(k.line) AS line
-  FROM keyed k JOIN w ON k.lh = w.lh AND k.doc_id = w.win_doc
+  FROM {out}_keyed k JOIN {out}_w w ON k.lh = w.lh AND k.doc_id = w.win_doc
   GROUP BY k.doc_id, k.lh
-), re AS (
+), {out}_re AS (
   SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
          CAST(count(*) AS BIGINT) AS n_lines_kept
-  FROM kept GROUP BY doc_id
-)
-SELECT t.doc_id, coalesce(re.text, '') AS text,
-       coalesce(re.n_lines_kept, 0) AS n_lines_kept
-FROM t LEFT JOIN re ON t.doc_id = re.doc_id
+  FROM {out}_kept GROUP BY doc_id
+), {out} AS (
+  SELECT s.doc_id, coalesce(r.text, '') AS text,
+         coalesce(r.n_lines_kept, 0) AS n_lines_kept
+  FROM {src} s LEFT JOIN {out}_re r ON s.doc_id = r.doc_id
+)"""
+
+
+_LINE_DEDUP_SQL = f"""
+WITH t AS (SELECT doc_id, {_LINE_DEDUP_TEXT_SQL} AS text FROM documents),
+{_line_dedup_ctes("t")}
+SELECT doc_id, text, n_lines_kept FROM ld
 """
 
 
@@ -1222,40 +1234,52 @@ def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Gopher-style composite keep gate (textstats.gopher_keep): thresholds
 # chosen so BOTH branches occur on the word-soup corpus.
-_GOPHER_SQL = f"""
-WITH w AS (
+def _gopher_ctes(src: str, out: str = "gk", min_tokens: int = 50) -> str:
+    """CTE chain replaying textstats.gopher_signals/gopher_keep over
+    ``src`` (doc_id, text); emits ``{out}`` = (doc_id, n_tokens,
+    alpha_ratio, dup_bigram_frac, top_token_frac, keep). Shared by the
+    standalone gate and curated_corpus_v3."""
+    return f"""
+{out}_w AS (
   SELECT doc_id, {_WORDS_SQL} AS words,
          round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
            / CAST(length(text) AS DOUBLE), 4) AS alpha_ratio
-  FROM documents
-), g AS (
+  FROM {src}
+), {out}_g AS (
   SELECT doc_id, words, alpha_ratio,
          CASE WHEN len(words) >= 2
            THEN [words[i] || ' ' || words[i+1] for i in generate_series(1, len(words)-1)]
            ELSE [] END AS grams
-  FROM w
-), dupf AS (
+  FROM {out}_w
+), {out}_dupf AS (
   SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens, alpha_ratio,
          CASE WHEN len(words) >= 2
            THEN round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
                       / len(grams), 4)
            ELSE 0.0 END AS dup_bigram_frac
-  FROM g
-), tok AS (
-  SELECT doc_id, unnest(words) AS tok FROM w
-), per_tok AS (
-  SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
-), per_doc AS (
+  FROM {out}_g
+), {out}_tok AS (
+  SELECT doc_id, unnest(words) AS tok FROM {out}_w
+), {out}_per_tok AS (
+  SELECT doc_id, tok, count(*) AS c FROM {out}_tok GROUP BY doc_id, tok
+), {out}_per_doc AS (
   SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_token_frac
-  FROM per_tok GROUP BY doc_id
-)
-SELECT d.doc_id, d.n_tokens, d.alpha_ratio, d.dup_bigram_frac,
-       coalesce(p.top_token_frac, 0.0) AS top_token_frac,
-       (d.n_tokens >= 50 AND d.n_tokens <= 100000
-        AND d.alpha_ratio >= 0.55
-        AND d.dup_bigram_frac <= 0.2
-        AND coalesce(p.top_token_frac, 0.0) <= 0.2) AS keep
-FROM dupf d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+  FROM {out}_per_tok GROUP BY doc_id
+), {out} AS (
+  SELECT d.doc_id, d.n_tokens, d.alpha_ratio, d.dup_bigram_frac,
+         coalesce(p.top_token_frac, 0.0) AS top_token_frac,
+         (d.n_tokens >= {min_tokens} AND d.n_tokens <= 100000
+          AND d.alpha_ratio >= 0.55
+          AND d.dup_bigram_frac <= 0.2
+          AND coalesce(p.top_token_frac, 0.0) <= 0.2) AS keep
+  FROM {out}_dupf d LEFT JOIN {out}_per_doc p ON d.doc_id = p.doc_id
+)"""
+
+
+_GOPHER_SQL = f"""
+WITH {_gopher_ctes("documents").lstrip()}
+SELECT doc_id, n_tokens, alpha_ratio, dup_bigram_frac, top_token_frac, keep
+FROM gk
 """
 
 
@@ -1309,19 +1333,24 @@ _NORM_TEXT_SQL = (
     " || chr(160) || ' c ' || chr(8203) || 'd'"
 )
 
+def _normalize_expr_sql(col: str) -> str:
+    """SQL replay of textstats.NORMALIZE_RULES + trim over ``col`` —
+    one definition for the standalone gate and curated_corpus_v3."""
+    return (
+        "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        + col + ",\n"
+        "  '[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]', '', 'g'),\n"
+        "  '[\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g'),\n"
+        "  '[\\x{00A0}\\x{2007}\\x{202F}]', ' ', 'g'),\n"
+        "  '[ \\t]+', ' ', 'g'))"
+    )
+
+
 _NORM_SQL = f"""
 WITH t AS (SELECT doc_id, {_NORM_TEXT_SQL} AS txt FROM documents)
 SELECT doc_id,
-       trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(txt,
-         '[\\x{{0000}}-\\x{{0008}}\\x{{000B}}\\x{{000C}}\\x{{000E}}-\\x{{001F}}\\x{{007F}}]', '', 'g'),
-         '[\\x{{200B}}-\\x{{200D}}\\x{{FEFF}}]', '', 'g'),
-         '[\\x{{00A0}}\\x{{2007}}\\x{{202F}}]', ' ', 'g'),
-         '[ \\t]+', ' ', 'g')) AS normalized,
-       (trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(txt,
-         '[\\x{{0000}}-\\x{{0008}}\\x{{000B}}\\x{{000C}}\\x{{000E}}-\\x{{001F}}\\x{{007F}}]', '', 'g'),
-         '[\\x{{200B}}-\\x{{200D}}\\x{{FEFF}}]', '', 'g'),
-         '[\\x{{00A0}}\\x{{2007}}\\x{{202F}}]', ' ', 'g'),
-         '[ \\t]+', ' ', 'g')) <> txt) AS changed
+       {_normalize_expr_sql("txt")} AS normalized,
+       ({_normalize_expr_sql("txt")} <> txt) AS changed
 FROM t
 """
 
@@ -1922,84 +1951,10 @@ _REGISTRY["near_dup_survivors"] = (
 )
 
 
-def _curated_corpus_sql(quality_min: float = 0.6, near_threshold: float = 0.1) -> str:
-    """The full curation pipeline in ONE oracle: lang filter -> quality
-    gate -> exact-dedup winners -> near-dup cluster winners -> per-source
-    doc/token counts. Every stage reuses the already-gated builders
-    (lang CASE, quality formula, minhash pipeline parameterized on the
-    kept CTE, recursive closure)."""
-    scores, case_sql = _lang_id_parts()
-    words_lower = _WORDS_SQL.replace("trim(text)", "trim(lower(text))")
-    mh = _minhash_sql(threshold=near_threshold, src="kept2").strip()
-    # the minhash builder emits its own WITH — splice its CTEs into ours
-    assert mh.startswith("WITH ")
-    mh_body = mh[len("WITH "):]
-    mh_ctes, mh_select = mh_body.rsplit("SELECT doc_a, doc_b", 1)
-    return f"""
-WITH RECURSIVE t AS (
-  SELECT doc_id, source, text, {scores},
-         CAST(len({_WORDS_SQL}) AS DOUBLE) AS n_tok,
-         CAST(len(list_filter({words_lower},
-              w -> list_contains(['the','a','and','of','to','is','in'], w))) AS DOUBLE) AS sw,
-         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-           / CAST(length(text) AS DOUBLE) AS alpha_ratio
-  FROM documents
-), kept AS (
-  SELECT doc_id, source, text FROM t
-  WHERE ({case_sql}) = 'en'
-    AND round(0.4 * least(1.0, n_tok / 50.0) + 0.3 * alpha_ratio
-            + 0.3 * least(1.0, (sw / greatest(n_tok, 1.0)) * 5.0), 4) >= {quality_min}
-), fpw AS (
-  SELECT min(doc_id) AS doc_id
-  FROM kept GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
-), kept2 AS (
-  SELECT k.doc_id, k.source, k.text FROM kept k JOIN fpw ON k.doc_id = fpw.doc_id
-), {mh_ctes.rstrip()}, mh AS (
-  SELECT doc_a, doc_b{mh_select}
-), {_closure_ctes(seed_cte="kept2")}
-SELECT k.source,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(len({_WORDS_SQL.replace("trim(text)", "trim(k.text)")})) AS BIGINT) AS total_tokens
-FROM kept2 k JOIN cl ON k.doc_id = cl.doc_id AND cl.doc_id = cl.cluster_id
-GROUP BY k.source
-"""
-
-
-@register("curated_corpus", None)  # SQL attached below (needs builder)
-def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """END-TO-END training-data curation: language filter -> quality
-    gate -> exact-dedup winners -> near-dup cluster winners ->
-    per-source corpus stats. Composes the individually-gated operators
-    into the pipeline a 100TB curation job actually runs; every stage
-    shuffles ids/scalars only (semi-joins), payloads stay columnar."""
-    from logpipe.traindata.dedup import exact_dedup, near_dup_clusters
-    from logpipe.traindata.textstats import lang_id, quality_score, token_count
-
-    d = _docs(spark, sf_dir)
-    kept = (
-        d.withColumn("_lang", lang_id(F.col("text")))
-        .withColumn("_q", quality_score(F.col("text")))
-        .filter((F.col("_lang") == "en") & (F.col("_q") >= 0.6))
-        .select("doc_id", "source", "text")
-    )
-    exact_winners = exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
-    kept2 = kept.join(exact_winners, "doc_id", "left_semi")
-    cl = near_dup_clusters(kept2, n=2, k=32, bands=8, threshold=0.1)
-    winners = cl.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
-    return (
-        kept2.join(winners, "doc_id", "left_semi")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(token_count(F.col("text"))).alias("total_tokens"),
-        )
-    )
-
-
-_REGISTRY["curated_corpus"] = (
-    _REGISTRY["curated_corpus"][0],
-    _curated_corpus_sql(),
-)
+# (curated_corpus v1 — lang filter -> quality gate -> dedup winners ->
+# per-source stats — was folded into curated_corpus_v3 below, which
+# runs those stages plus every round-4 curation operator; the 50-row
+# driver window forces one registry slot per composition tier.)
 
 
 # --- curated_corpus_v2: the FULL curation DAG -----------------------------
@@ -2083,17 +2038,17 @@ WITH RECURSIVE base AS (
     SELECT de.doc_id FROM de JOIN be USING (gram)
     GROUP BY de.doc_id, be.bench_id HAVING count(*) >= {min_overlap}
   )
-), clean AS (
+), clean AS MATERIALIZED (
   SELECT k.doc_id, k.source, k.text FROM kw k
   WHERE k.doc_id NOT IN (SELECT doc_id FROM hits)
 ), fpw AS (
   SELECT min(doc_id) AS doc_id
   FROM clean GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
-), kept2 AS (
+), kept2 AS MATERIALIZED (
   SELECT c.doc_id, c.source, c.text FROM clean c JOIN fpw USING (doc_id)
 ), {mh_ctes.rstrip()}, mh AS (
   SELECT doc_a, doc_b{mh_select}
-), {_closure_ctes(seed_cte="kept2")}, final AS (
+), {_closure_ctes(seed_cte="kept2")}, final AS MATERIALIZED (
   SELECT k.doc_id, k.source, k.text
   FROM kept2 k JOIN cl ON k.doc_id = cl.doc_id AND cl.doc_id = cl.cluster_id
 ), mr AS (
@@ -2204,6 +2159,239 @@ def curated_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGISTRY["curated_corpus_v2"] = (
     _REGISTRY["curated_corpus_v2"][0],
     _curated_corpus_v2_sql(),
+)
+
+
+# --- curated_corpus_v3: EVERY curation operator in one DAG ----------------
+# normalize -> domain blocklist -> global line dedup -> C4 + lang +
+# quality keep -> PII redaction -> benchmark decontamination -> exact
+# dedup -> near-dup winners -> Gopher keep -> mixture -> packing.
+# Subsumes v1 (lang/quality) and adds the round-4 operators to v2's
+# composition; the construction plants newline structure, shared
+# footer/URL lines, PII, lorem/brace markers, AND control/NBSP garbage
+# so no stage is vacuous.
+
+_V3_TEXT_SQL = (
+    f"({_C4_TEXT_SQL})"
+    " || chr(10) || 'visit https://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.net/x now.'"
+    " || chr(10) || 'footer-' || CAST(doc_id % 7 AS VARCHAR) || ' end.'"
+    " || chr(10) || 'contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.example.com ip 10.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)"
+    " || ' acct 123456789' || CAST(doc_id AS VARCHAR)"
+    " || chr(9) || chr(9) || 'a' || chr(7) || 'b ok.'"
+)
+
+
+def _curated_corpus_v3_sql(
+    near_threshold: float = 0.1,
+    min_overlap: int = 5,
+    budget: int = 512,
+    quality_min: float = 0.6,
+    gopher_min_tokens: int = 20,
+) -> str:
+    scores, case_sql = _lang_id_parts()
+    words_lower = _WORDS_SQL.replace("trim(text)", "trim(lower(text))")
+    mh = _minhash_sql(threshold=near_threshold, src="kept2").strip()
+    assert mh.startswith("WITH ")
+    mh_body = mh[len("WITH "):]
+    mh_ctes, mh_select = mh_body.rsplit("SELECT doc_a, doc_b", 1)
+    quality_sql = (
+        "round(0.4 * least(1.0, CAST(len(words) AS DOUBLE) / 50.0)"
+        " + 0.3 * alpha_ratio"
+        " + 0.3 * least(1.0, (sw / greatest(CAST(len(words) AS DOUBLE), 1.0)) * 5.0), 4)"
+    )
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, source, {_V3_TEXT_SQL} AS txt0 FROM documents
+), nrm AS (
+  SELECT doc_id, source, {_normalize_expr_sql("txt0")} AS text FROM base
+), bl_u AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+  FROM nrm
+), bl_bad AS (
+  SELECT DISTINCT doc_id FROM bl_u
+  WHERE domain IN ({", ".join(f"'{d}'" for d in _BLOCKLIST)})
+), nb AS MATERIALIZED (
+  SELECT doc_id, source, text FROM nrm
+  WHERE doc_id NOT IN (SELECT doc_id FROM bl_bad)
+), {_line_dedup_ctes("nb", out="ld").lstrip()}, c4 AS (
+  SELECT ld.doc_id, nb.source, ld.text AS txt,
+         list_filter(list_transform(string_split(ld.text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines,
+         {_WORDS_SQL.replace("trim(text)", "trim(ld.text)")} AS words,
+         {scores.replace("trim(text)", "trim(ld.text)").replace("lower(text)", "lower(ld.text)")},
+         CAST(len(list_filter({words_lower.replace("trim(lower(text))", "trim(lower(ld.text))")},
+              w -> list_contains(['the','a','and','of','to','is','in'], w))) AS DOUBLE) AS sw,
+         CAST(length(regexp_replace(ld.text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           / CAST(length(ld.text) AS DOUBLE) AS alpha_ratio
+  FROM ld JOIN nb ON ld.doc_id = nb.doc_id
+), keptc4 AS MATERIALIZED (
+  SELECT doc_id, source, {_pii_redact_sql("txt")} AS text
+  FROM c4
+  WHERE {_C4_KEEP_WHERE_SQL}
+    AND ({case_sql}) = 'en'
+    AND {quality_sql} >= {quality_min}
+), kw AS MATERIALIZED (
+  SELECT doc_id, source, text,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS words
+  FROM keptc4
+), dg AS (
+  SELECT doc_id, {_TRIGRAM_SQL} AS grams FROM kw
+), bwords AS (
+  SELECT doc_id AS bench_id,
+         list_filter(regexp_split_to_array(trim(array_to_string(words[1:12], ' ')), '\\s+'),
+                     x -> x <> '') AS words
+  FROM kw WHERE doc_id % 31 = 0
+), bg AS (
+  SELECT bench_id, {_TRIGRAM_SQL} AS grams FROM bwords
+), de AS (
+  SELECT doc_id, unnest(grams) AS gram FROM dg
+), be AS (
+  SELECT DISTINCT bench_id, gram
+  FROM (SELECT bench_id, unnest(grams) AS gram FROM bg)
+), hits AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT de.doc_id FROM de JOIN be USING (gram)
+    GROUP BY de.doc_id, be.bench_id HAVING count(*) >= {min_overlap}
+  )
+), clean AS MATERIALIZED (
+  SELECT k.doc_id, k.source, k.text FROM kw k
+  WHERE k.doc_id NOT IN (SELECT doc_id FROM hits)
+), fpw AS (
+  SELECT min(doc_id) AS doc_id
+  FROM clean GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+), kept2 AS MATERIALIZED (
+  SELECT c.doc_id, c.source, c.text FROM clean c JOIN fpw USING (doc_id)
+), {mh_ctes.rstrip()}, mh AS (
+  SELECT doc_a, doc_b{mh_select}
+), {_closure_ctes(seed_cte="kept2")}, final AS MATERIALIZED (
+  SELECT k.doc_id, k.source, k.text
+  FROM kept2 k JOIN cl ON k.doc_id = cl.doc_id AND cl.doc_id = cl.cluster_id
+), {_gopher_ctes("final", out="gk", min_tokens=gopher_min_tokens).lstrip()}, gkept AS MATERIALIZED (
+  SELECT f.doc_id, f.source, f.text
+  FROM final f JOIN gk ON f.doc_id = gk.doc_id AND gk.keep
+), mr AS (
+  SELECT doc_id, source, text,
+         CAST(floor(rate) AS INT)
+           + CASE WHEN {_hash_frac_sql('mix')} < rate - floor(rate) THEN 1 ELSE 0 END AS n_copies
+  FROM (
+    SELECT *, CASE WHEN source IN ('src0','src1','src2','src3') THEN 0.5
+                   WHEN source IN ('src4','src5') THEN 2.25
+                   ELSE 1.0 END AS rate
+    FROM gkept
+  )
+), mexp AS (
+  SELECT doc_id, source, text, unnest(generate_series(0, n_copies - 1)) AS copy
+  FROM mr WHERE n_copies > 0
+), pk AS (
+  SELECT doc_id, copy,
+         (('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8) AS bucket,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM mexp
+), pc AS (
+  SELECT bucket, doc_id, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id, copy
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {budget}.0)
+              AS BIGINT) AS chunk
+  FROM pk
+)
+SELECT bucket,
+       CAST(count(DISTINCT chunk) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_unique_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM pc GROUP BY bucket
+"""
+
+
+@register("curated_corpus_v3", None)  # SQL attached below (needs builder)
+def curated_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TOTAL curation DAG — every shipped curation operator in one
+    query (subsumes the folded v1's lang/quality stages):
+
+      normalize_controls -> domain_blocklist_filter -> line_dedup
+      -> C4 keep + lang_id=='en' + quality_score>=0.6 -> redact_pii
+      -> benchmark decontamination drop -> exact-dedup winners
+      -> near-dup cluster winners -> gopher_keep -> mixture_sample
+      -> pack_chunks -> per-bucket chunk/row/token stats.
+
+    Scale shape (same discipline as v2): normalization/quality/PII are
+    projections; blocklist, decontamination-hit, dedup-winner, and
+    gopher verdicts travel as ids-only semi/anti joins; line_dedup's
+    winner table shuffles (md5(line), id) scalars; the one
+    payload-bearing exchange is the 8-way pack-bucket shuffle over the
+    final curated corpus."""
+    from logpipe.traindata import textstats as ts
+    from logpipe.traindata.dedup import (
+        benchmark_contamination,
+        exact_dedup,
+        line_dedup,
+        near_dup_clusters,
+    )
+    from logpipe.traindata.sampling import mixture_sample, pack_chunks
+
+    d_ = F.col("doc_id").cast("string")
+    txt0 = F.concat(
+        F.when(F.col("doc_id") % 17 == 0, F.lit("lorem ipsum dolor sit. "))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit('{"k": 1} ')).otherwise(F.lit("")),
+        F.expr("replace(text, ' the ', concat('.', chr(10)))"),
+        F.lit("\nvisit https://cdn"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".net/x now."),
+        F.lit("\nfooter-"), (F.col("doc_id") % 7).cast("string"), F.lit(" end."),
+        F.lit("\ncontact user"), d_,
+        F.lit("@mail"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com ip 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+        F.lit(" acct 123456789"), d_,
+        F.lit("\t\ta"), F.expr("chr(7)"), F.lit("b ok."),
+    )
+    base = _docs(spark, sf_dir).select("doc_id", "source", txt0.alias("txt0"))
+    nrm = base.select(
+        "doc_id", "source", ts.normalize_controls(F.col("txt0")).alias("text")
+    )
+    nb = ts.domain_blocklist_filter(nrm, list(_BLOCKLIST))
+    ld = line_dedup(nb.select("doc_id", "text"))
+    ldd = ld.join(nb.select("doc_id", "source"), "doc_id")
+    kept = ldd.filter(
+        ts.c4_keep(F.col("text"))
+        & (ts.lang_id(F.col("text")) == "en")
+        & (ts.quality_score(F.col("text")) >= 0.6)
+    ).select("doc_id", "source", ts.redact_pii(F.col("text")).alias("text"))
+    bench = kept.filter(F.col("doc_id") % 31 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(ts.tokens(F.col("text")), 1, 12)).alias("text"),
+    )
+    hits = (
+        benchmark_contamination(kept, bench, n=3, min_overlap=5)
+        .select("doc_id")
+        .distinct()
+    )
+    clean = kept.join(hits, "doc_id", "left_anti")
+    exact_winners = exact_dedup(clean).select(F.col("keep_id").alias("doc_id"))
+    kept2 = clean.join(exact_winners, "doc_id", "left_semi")
+    cl = near_dup_clusters(kept2, n=2, k=32, bands=8, threshold=0.1)
+    winners = cl.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    final = kept2.join(winners, "doc_id", "left_semi")
+    g_ids = (
+        ts.gopher_keep(final, min_tokens=20).filter(F.col("keep")).select("doc_id")
+    )
+    gkept = final.join(g_ids, "doc_id", "left_semi")
+    rates = {f"src{i}": 0.5 for i in range(4)} | {"src4": 2.25, "src5": 2.25}
+    mixed = mixture_sample(gkept, rates)
+    packed = pack_chunks(mixed, budget=512, n_buckets=8)
+    return packed.groupBy("bucket").agg(
+        F.countDistinct("chunk").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_unique_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+_REGISTRY["curated_corpus_v3"] = (
+    _REGISTRY["curated_corpus_v3"][0],
+    _curated_corpus_v3_sql(),
 )
 
 
