@@ -583,3 +583,16 @@ def test_gopher_keep_branches(spark):
     assert out[1] is True
     assert out[2] is False   # under min_tokens
     assert out[3] is False   # dup-bigram + top-token blowout
+
+
+def test_curated_corpus_v3_plan_shape(spark):
+    """Same discipline as the v2 plan test, over the TOTAL DAG: bench
+    grams broadcast, no cartesian / nested-loop stage anywhere in the
+    lineage that survives the clustering checkpoints."""
+    from logpipe.plans.driver_queries import curated_corpus_v3
+
+    df = curated_corpus_v3(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" in plan
