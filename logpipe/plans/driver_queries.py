@@ -1077,12 +1077,33 @@ _WORDS_SQL = (
 # docs carry no PII, so the query embeds deterministic emails / IPv4s /
 # digit runs derived from doc_id, then redacts — the oracle replays the
 # same construction and the same RE2-compatible rules with the 'g' flag.
-_PII_TEXT_SQL = (
-    "substring(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)"
-    " || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.example.com ip 10.'"
-    " || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)"
-    " || ' acct 123456789' || CAST(doc_id AS VARCHAR)"
-)
+def _pii_suffix_sql(lead: str) -> str:
+    """The deterministic PII seed (email + IPv4 + long digit run) with a
+    caller-chosen lead-in expression — ONE definition for the standalone
+    PII gate, curated_corpus_v2, and curated_corpus_v3 (review finding:
+    near-identical copies could drift and silently make a stage
+    vacuous)."""
+    return (
+        lead + " || CAST(doc_id AS VARCHAR)"
+        " || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.example.com ip 10.'"
+        " || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)"
+        " || ' acct 123456789' || CAST(doc_id AS VARCHAR)"
+    )
+
+
+def _pii_suffix_cols(lead: str) -> list:
+    """Spark twin of _pii_suffix_sql (same shared-definition rule)."""
+    d_ = F.col("doc_id").cast("string")
+    return [
+        F.lit(lead), d_,
+        F.lit("@mail"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com ip 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+        F.lit(" acct 123456789"), d_,
+    ]
+
+
+_PII_TEXT_SQL = "substring(text, 1, 40) || " + _pii_suffix_sql("' contact user'")
 
 _PII_SQL = f"""
 WITH t AS (SELECT doc_id, {_PII_TEXT_SQL} AS txt FROM documents)
@@ -1099,14 +1120,8 @@ FROM t
 
 
 def _pii_text_expr() -> F.Column:
-    d = F.col("doc_id").cast("string")
     return F.concat(
-        F.substring("text", 1, 40),
-        F.lit(" contact user"), d,
-        F.lit("@mail"), (F.col("doc_id") % 5).cast("string"),
-        F.lit(".example.com ip 10."), (F.col("doc_id") % 256).cast("string"),
-        F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
-        F.lit(" acct 123456789"), d,
+        F.substring("text", 1, 40), *_pii_suffix_cols(" contact user")
     )
 
 
@@ -1849,8 +1864,9 @@ _REGISTRY["minhash_lsh_dups"] = (_REGISTRY["minhash_lsh_dups"][0], _minhash_sql(
 
 def _closure_ctes(pairs_cte: str = "mh", seed_cte: str = "documents") -> str:
     """The connected-components closure block shared by every clustering
-    oracle (near_dup_clusters / near_dup_survivors / curated_corpus —
-    ONE definition so a fix cannot drift between them): symmetrized
+    oracle (near_dup_clusters / near_dup_survivors / the
+    curated_corpus_v2/_v3 tail — ONE definition so a fix cannot drift
+    between them): symmetrized
     edges, recursive reachability (UNION, not UNION ALL, dedupes
     (node, label) pairs so the recursion terminates at the transitive
     closure), min-label per node."""
@@ -1966,12 +1982,7 @@ _REGISTRY["near_dup_survivors"] = (
 # word-soup corpus has no newlines or PII, so both rules would be
 # vacuous on it).
 
-_PII_SUFFIX_SQL = (
-    "' contact user' || CAST(doc_id AS VARCHAR)"
-    " || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.example.com ip 10.'"
-    " || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)"
-    " || ' acct 123456789' || CAST(doc_id AS VARCHAR)"
-)
+_PII_SUFFIX_SQL = _pii_suffix_sql("' contact user'")
 
 
 def _pii_redact_sql(col: str) -> str:
@@ -1996,29 +2007,42 @@ _C4_KEEP_WHERE_SQL = """
 """
 
 
-def _curated_corpus_v2_sql(
-    near_threshold: float = 0.1, min_overlap: int = 5, budget: int = 512
+def _curation_tail_sql(
+    kept_cte: str = "keptc4",
+    near_threshold: float = 0.1,
+    min_overlap: int = 5,
+    budget: int = 512,
+    gopher_min_tokens: int | None = None,
 ) -> str:
+    """The shared curation TAIL consumed by curated_corpus_v2 AND _v3
+    (review finding: the two builders had copy-pasted it, the exact
+    drift the shared-CTE helpers exist to prevent): benchmark
+    decontamination -> exact-dedup winners -> minhash near-dup winners
+    -> [optional Gopher keep] -> mixture -> packing -> per-bucket
+    stats. Consumes ``kept_cte`` = (doc_id, source, text); returns the
+    CTE chain plus the final SELECT, to be appended after the caller's
+    WITH RECURSIVE head. Hot multiply-referenced CTEs are MATERIALIZED
+    (DuckDB inlines CTEs per reference; un-hinted, the recursive
+    closure re-ran per consumer)."""
     mh = _minhash_sql(threshold=near_threshold, src="kept2").strip()
     assert mh.startswith("WITH ")
     mh_body = mh[len("WITH "):]
     mh_ctes, mh_select = mh_body.rsplit("SELECT doc_a, doc_b", 1)
-    return f"""
-WITH RECURSIVE base AS (
-  SELECT doc_id, source, ({_C4_TEXT_SQL}) || {_PII_SUFFIX_SQL} AS txt
-  FROM documents
-), c4 AS (
-  SELECT doc_id, source, txt,
-         list_filter(list_transform(string_split(txt, chr(10)), x -> trim(x)),
-                     x -> x <> '') AS lines
-  FROM base
-), keptc4 AS (
-  SELECT doc_id, source, {_pii_redact_sql("txt")} AS text
-  FROM c4 WHERE {_C4_KEEP_WHERE_SQL}
-), kw AS (
+    if gopher_min_tokens is not None:
+        gopher_block = (
+            f", {_gopher_ctes('final', out='gk', min_tokens=gopher_min_tokens).lstrip()},"
+            " gkept AS MATERIALIZED (\n"
+            "  SELECT f.doc_id, f.source, f.text\n"
+            "  FROM final f JOIN gk ON f.doc_id = gk.doc_id AND gk.keep\n)"
+        )
+        mix_src = "gkept"
+    else:
+        gopher_block = ""
+        mix_src = "final"
+    return f"""kw AS MATERIALIZED (
   SELECT doc_id, source, text,
          list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS words
-  FROM keptc4
+  FROM {kept_cte}
 ), dg AS (
   SELECT doc_id, {_TRIGRAM_SQL} AS grams FROM kw
 ), bwords AS (
@@ -2051,7 +2075,7 @@ WITH RECURSIVE base AS (
 ), {_closure_ctes(seed_cte="kept2")}, final AS MATERIALIZED (
   SELECT k.doc_id, k.source, k.text
   FROM kept2 k JOIN cl ON k.doc_id = cl.doc_id AND cl.doc_id = cl.cluster_id
-), mr AS (
+){gopher_block}, mr AS (
   SELECT doc_id, source, text,
          CAST(floor(rate) AS INT)
            + CASE WHEN {_hash_frac_sql('mix')} < rate - floor(rate) THEN 1 ELSE 0 END AS n_copies
@@ -2059,7 +2083,7 @@ WITH RECURSIVE base AS (
     SELECT *, CASE WHEN source IN ('src0','src1','src2','src3') THEN 0.5
                    WHEN source IN ('src4','src5') THEN 2.25
                    ELSE 1.0 END AS rate
-    FROM final
+    FROM {mix_src}
   )
 ), mexp AS (
   SELECT doc_id, source, text, unnest(generate_series(0, n_copies - 1)) AS copy
@@ -2085,6 +2109,69 @@ FROM pc GROUP BY bucket
 """
 
 
+def _curation_tail(kept: DataFrame, gopher_min_tokens: int | None = None) -> DataFrame:
+    """Spark twin of _curation_tail_sql — the shared post-quality
+    curation stages for v2/v3, composed from the shipped operators.
+    ``kept``: (doc_id, source, text), post-quality, pre-decontamination."""
+    from logpipe.traindata import textstats as ts
+    from logpipe.traindata.dedup import (
+        benchmark_contamination,
+        exact_dedup,
+        near_dup_clusters,
+    )
+    from logpipe.traindata.sampling import mixture_sample, pack_chunks
+
+    bench = kept.filter(F.col("doc_id") % 31 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(ts.tokens(F.col("text")), 1, 12)).alias("text"),
+    )
+    hits = (
+        benchmark_contamination(kept, bench, n=3, min_overlap=5)
+        .select("doc_id")
+        .distinct()
+    )
+    clean = kept.join(hits, "doc_id", "left_anti")
+    exact_winners = exact_dedup(clean).select(F.col("keep_id").alias("doc_id"))
+    kept2 = clean.join(exact_winners, "doc_id", "left_semi")
+    cl = near_dup_clusters(kept2, n=2, k=32, bands=8, threshold=0.1)
+    winners = cl.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    final = kept2.join(winners, "doc_id", "left_semi")
+    if gopher_min_tokens is not None:
+        g_ids = (
+            ts.gopher_keep(final, min_tokens=gopher_min_tokens)
+            .filter(F.col("keep"))
+            .select("doc_id")
+        )
+        final = final.join(g_ids, "doc_id", "left_semi")
+    rates = {f"src{i}": 0.5 for i in range(4)} | {"src4": 2.25, "src5": 2.25}
+    mixed = mixture_sample(final, rates)
+    packed = pack_chunks(mixed, budget=512, n_buckets=8)
+    return packed.groupBy("bucket").agg(
+        F.countDistinct("chunk").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_unique_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+def _curated_corpus_v2_sql(
+    near_threshold: float = 0.1, min_overlap: int = 5, budget: int = 512
+) -> str:
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, source, ({_C4_TEXT_SQL}) || {_PII_SUFFIX_SQL} AS txt
+  FROM documents
+), c4 AS (
+  SELECT doc_id, source, txt,
+         list_filter(list_transform(string_split(txt, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines
+  FROM base
+), keptc4 AS (
+  SELECT doc_id, source, {_pii_redact_sql("txt")} AS text
+  FROM c4 WHERE {_C4_KEEP_WHERE_SQL}
+), {_curation_tail_sql("keptc4", near_threshold, min_overlap, budget)}"""
+
+
 @register("curated_corpus_v2", None)  # SQL attached below (needs builder)
 def curated_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation, v2 — every safety/quality stage in one DAG:
@@ -2106,54 +2193,20 @@ def curated_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange end-to-end is the packing bucket shuffle, sized by the
     CURATED corpus, not the input."""
     from logpipe.traindata import textstats as ts
-    from logpipe.traindata.dedup import (
-        benchmark_contamination,
-        exact_dedup,
-        near_dup_clusters,
-    )
-    from logpipe.traindata.sampling import mixture_sample, pack_chunks
 
-    d_ = F.col("doc_id").cast("string")
     c4_txt = F.concat(
         F.when(F.col("doc_id") % 17 == 0, F.lit("lorem ipsum dolor sit. "))
         .otherwise(F.lit("")),
         F.when(F.col("doc_id") % 13 == 0, F.lit('{"k": 1} ')).otherwise(F.lit("")),
         F.expr("replace(text, ' the ', concat('.', chr(10)))"),
-        F.lit(" contact user"), d_,
-        F.lit("@mail"), (F.col("doc_id") % 5).cast("string"),
-        F.lit(".example.com ip 10."), (F.col("doc_id") % 256).cast("string"),
-        F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
-        F.lit(" acct 123456789"), d_,
+        *_pii_suffix_cols(" contact user"),
     )
     base = _docs(spark, sf_dir).select("doc_id", "source", c4_txt.alias("text"))
     kept = base.filter(ts.c4_keep(F.col("text")))
     red = kept.select(
         "doc_id", "source", ts.redact_pii(F.col("text")).alias("text")
     )
-    bench = red.filter(F.col("doc_id") % 31 == 0).select(
-        F.col("doc_id").alias("bench_id"),
-        F.concat_ws(" ", F.slice(ts.tokens(F.col("text")), 1, 12)).alias("text"),
-    )
-    hits = (
-        benchmark_contamination(red, bench, n=3, min_overlap=5)
-        .select("doc_id")
-        .distinct()
-    )
-    clean = red.join(hits, "doc_id", "left_anti")
-    exact_winners = exact_dedup(clean).select(F.col("keep_id").alias("doc_id"))
-    kept2 = clean.join(exact_winners, "doc_id", "left_semi")
-    cl = near_dup_clusters(kept2, n=2, k=32, bands=8, threshold=0.1)
-    winners = cl.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
-    final = kept2.join(winners, "doc_id", "left_semi")
-    rates = {f"src{i}": 0.5 for i in range(4)} | {"src4": 2.25, "src5": 2.25}
-    mixed = mixture_sample(final, rates)
-    packed = pack_chunks(mixed, budget=512, n_buckets=8)
-    return packed.groupBy("bucket").agg(
-        F.countDistinct("chunk").alias("n_chunks"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("doc_id").alias("n_unique_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-    )
+    return _curation_tail(red)
 
 
 _REGISTRY["curated_corpus_v2"] = (
@@ -2175,11 +2228,8 @@ _V3_TEXT_SQL = (
     f"({_C4_TEXT_SQL})"
     " || chr(10) || 'visit https://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.net/x now.'"
     " || chr(10) || 'footer-' || CAST(doc_id % 7 AS VARCHAR) || ' end.'"
-    " || chr(10) || 'contact user' || CAST(doc_id AS VARCHAR)"
-    " || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.example.com ip 10.'"
-    " || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)"
-    " || ' acct 123456789' || CAST(doc_id AS VARCHAR)"
-    " || chr(9) || chr(9) || 'a' || chr(7) || 'b ok.'"
+    " || " + _pii_suffix_sql("chr(10) || 'contact user'")
+    + " || chr(9) || chr(9) || 'a' || chr(7) || 'b ok.'"
 )
 
 
@@ -2192,10 +2242,6 @@ def _curated_corpus_v3_sql(
 ) -> str:
     scores, case_sql = _lang_id_parts()
     words_lower = _WORDS_SQL.replace("trim(text)", "trim(lower(text))")
-    mh = _minhash_sql(threshold=near_threshold, src="kept2").strip()
-    assert mh.startswith("WITH ")
-    mh_body = mh[len("WITH "):]
-    mh_ctes, mh_select = mh_body.rsplit("SELECT doc_a, doc_b", 1)
     quality_sql = (
         "round(0.4 * least(1.0, CAST(len(words) AS DOUBLE) / 50.0)"
         " + 0.3 * alpha_ratio"
@@ -2232,77 +2278,8 @@ WITH RECURSIVE base AS (
   WHERE {_C4_KEEP_WHERE_SQL}
     AND ({case_sql}) = 'en'
     AND {quality_sql} >= {quality_min}
-), kw AS MATERIALIZED (
-  SELECT doc_id, source, text,
-         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS words
-  FROM keptc4
-), dg AS (
-  SELECT doc_id, {_TRIGRAM_SQL} AS grams FROM kw
-), bwords AS (
-  SELECT doc_id AS bench_id,
-         list_filter(regexp_split_to_array(trim(array_to_string(words[1:12], ' ')), '\\s+'),
-                     x -> x <> '') AS words
-  FROM kw WHERE doc_id % 31 = 0
-), bg AS (
-  SELECT bench_id, {_TRIGRAM_SQL} AS grams FROM bwords
-), de AS (
-  SELECT doc_id, unnest(grams) AS gram FROM dg
-), be AS (
-  SELECT DISTINCT bench_id, gram
-  FROM (SELECT bench_id, unnest(grams) AS gram FROM bg)
-), hits AS (
-  SELECT DISTINCT doc_id FROM (
-    SELECT de.doc_id FROM de JOIN be USING (gram)
-    GROUP BY de.doc_id, be.bench_id HAVING count(*) >= {min_overlap}
-  )
-), clean AS MATERIALIZED (
-  SELECT k.doc_id, k.source, k.text FROM kw k
-  WHERE k.doc_id NOT IN (SELECT doc_id FROM hits)
-), fpw AS (
-  SELECT min(doc_id) AS doc_id
-  FROM clean GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
-), kept2 AS MATERIALIZED (
-  SELECT c.doc_id, c.source, c.text FROM clean c JOIN fpw USING (doc_id)
-), {mh_ctes.rstrip()}, mh AS (
-  SELECT doc_a, doc_b{mh_select}
-), {_closure_ctes(seed_cte="kept2")}, final AS MATERIALIZED (
-  SELECT k.doc_id, k.source, k.text
-  FROM kept2 k JOIN cl ON k.doc_id = cl.doc_id AND cl.doc_id = cl.cluster_id
-), {_gopher_ctes("final", out="gk", min_tokens=gopher_min_tokens).lstrip()}, gkept AS MATERIALIZED (
-  SELECT f.doc_id, f.source, f.text
-  FROM final f JOIN gk ON f.doc_id = gk.doc_id AND gk.keep
-), mr AS (
-  SELECT doc_id, source, text,
-         CAST(floor(rate) AS INT)
-           + CASE WHEN {_hash_frac_sql('mix')} < rate - floor(rate) THEN 1 ELSE 0 END AS n_copies
-  FROM (
-    SELECT *, CASE WHEN source IN ('src0','src1','src2','src3') THEN 0.5
-                   WHEN source IN ('src4','src5') THEN 2.25
-                   ELSE 1.0 END AS rate
-    FROM gkept
-  )
-), mexp AS (
-  SELECT doc_id, source, text, unnest(generate_series(0, n_copies - 1)) AS copy
-  FROM mr WHERE n_copies > 0
-), pk AS (
-  SELECT doc_id, copy,
-         (('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8) AS bucket,
-         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
-  FROM mexp
-), pc AS (
-  SELECT bucket, doc_id, n_tokens,
-         CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id, copy
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {budget}.0)
-              AS BIGINT) AS chunk
-  FROM pk
-)
-SELECT bucket,
-       CAST(count(DISTINCT chunk) AS BIGINT) AS n_chunks,
-       CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_unique_docs,
-       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-FROM pc GROUP BY bucket
-"""
+), {_curation_tail_sql("keptc4", near_threshold, min_overlap, budget,
+                       gopher_min_tokens=gopher_min_tokens)}"""
 
 
 @register("curated_corpus_v3", None)  # SQL attached below (needs builder)
@@ -2323,15 +2300,8 @@ def curated_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload-bearing exchange is the 8-way pack-bucket shuffle over the
     final curated corpus."""
     from logpipe.traindata import textstats as ts
-    from logpipe.traindata.dedup import (
-        benchmark_contamination,
-        exact_dedup,
-        line_dedup,
-        near_dup_clusters,
-    )
-    from logpipe.traindata.sampling import mixture_sample, pack_chunks
+    from logpipe.traindata.dedup import line_dedup
 
-    d_ = F.col("doc_id").cast("string")
     txt0 = F.concat(
         F.when(F.col("doc_id") % 17 == 0, F.lit("lorem ipsum dolor sit. "))
         .otherwise(F.lit("")),
@@ -2340,11 +2310,7 @@ def curated_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("\nvisit https://cdn"), (F.col("doc_id") % 3).cast("string"),
         F.lit(".net/x now."),
         F.lit("\nfooter-"), (F.col("doc_id") % 7).cast("string"), F.lit(" end."),
-        F.lit("\ncontact user"), d_,
-        F.lit("@mail"), (F.col("doc_id") % 5).cast("string"),
-        F.lit(".example.com ip 10."), (F.col("doc_id") % 256).cast("string"),
-        F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
-        F.lit(" acct 123456789"), d_,
+        *_pii_suffix_cols("\ncontact user"),
         F.lit("\t\ta"), F.expr("chr(7)"), F.lit("b ok."),
     )
     base = _docs(spark, sf_dir).select("doc_id", "source", txt0.alias("txt0"))
@@ -2359,34 +2325,7 @@ def curated_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (ts.lang_id(F.col("text")) == "en")
         & (ts.quality_score(F.col("text")) >= 0.6)
     ).select("doc_id", "source", ts.redact_pii(F.col("text")).alias("text"))
-    bench = kept.filter(F.col("doc_id") % 31 == 0).select(
-        F.col("doc_id").alias("bench_id"),
-        F.concat_ws(" ", F.slice(ts.tokens(F.col("text")), 1, 12)).alias("text"),
-    )
-    hits = (
-        benchmark_contamination(kept, bench, n=3, min_overlap=5)
-        .select("doc_id")
-        .distinct()
-    )
-    clean = kept.join(hits, "doc_id", "left_anti")
-    exact_winners = exact_dedup(clean).select(F.col("keep_id").alias("doc_id"))
-    kept2 = clean.join(exact_winners, "doc_id", "left_semi")
-    cl = near_dup_clusters(kept2, n=2, k=32, bands=8, threshold=0.1)
-    winners = cl.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
-    final = kept2.join(winners, "doc_id", "left_semi")
-    g_ids = (
-        ts.gopher_keep(final, min_tokens=20).filter(F.col("keep")).select("doc_id")
-    )
-    gkept = final.join(g_ids, "doc_id", "left_semi")
-    rates = {f"src{i}": 0.5 for i in range(4)} | {"src4": 2.25, "src5": 2.25}
-    mixed = mixture_sample(gkept, rates)
-    packed = pack_chunks(mixed, budget=512, n_buckets=8)
-    return packed.groupBy("bucket").agg(
-        F.countDistinct("chunk").alias("n_chunks"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("doc_id").alias("n_unique_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-    )
+    return _curation_tail(kept, gopher_min_tokens=20)
 
 
 _REGISTRY["curated_corpus_v3"] = (
