@@ -54,8 +54,12 @@ HEADLINE = [
     ("session_gap_stats", "noop"),
     ("curated_corpus_v2", "collect"),
     ("curated_corpus_v3", "collect"),
-    ("flagship_sinks_uniform", "call"),
-    ("flagship_sinks_zipf", "call"),
+    ("ann_lsh_topk", "collect"),
+    ("ann_ivf_topk", "collect"),
+    # flagship_sinks_uniform / _zipf are timed separately with
+    # INTERLEAVED passes (see _skew_walls_interleaved): measuring them
+    # as two back-to-back min-of-3 blocks let session drift dominate
+    # their ratio (observed 0.72-1.47 on identical code)
 ]
 
 
@@ -208,6 +212,27 @@ def _flagship_sinks(zipf: bool):
     return run
 
 
+def _skew_walls_interleaved(spark, sf_dir, passes: int) -> dict:
+    """Wall times for the uniform/zipf flagship+sinks+export runs with
+    ALTERNATING passes (u, z, u, z, ...): both variants sample the same
+    drift window, so min_u/min_z is a like-for-like ratio — the
+    back-to-back block protocol let host-steal drift between the two
+    blocks swamp the skew signal."""
+    import time as _t
+
+    fu = _flagship_sinks(zipf=False)
+    fz = _flagship_sinks(zipf=True)
+    best = {"uniform": float("inf"), "zipf": float("inf")}
+    for _ in range(passes):
+        t0 = _t.perf_counter()
+        fu(spark, sf_dir)
+        best["uniform"] = min(best["uniform"], _t.perf_counter() - t0)
+        t0 = _t.perf_counter()
+        fz(spark, sf_dir)
+        best["zipf"] = min(best["zipf"], _t.perf_counter() - t0)
+    return {k: round(v, 3) for k, v in best.items()}
+
+
 def _skew_task_stats(spark, sf_dir) -> dict:
     """Per-TASK evidence for the zipf run: time each (collector, bucket)
     export payload-build group (the applyInPandas group IS the task unit)
@@ -305,8 +330,6 @@ def main() -> None:
     qs["benchmark_contamination_10x"] = _contamination_10x
     qs["line_dedup_words"] = _line_dedup_words_1x
     qs["line_dedup_words_10x"] = _line_dedup_words_10x
-    qs["flagship_sinks_uniform"] = _flagship_sinks(zipf=False)
-    qs["flagship_sinks_zipf"] = _flagship_sinks(zipf=True)
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
 
     # warm the JVM + parquet footer caches with one cheap pass
@@ -340,12 +363,14 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    walls = _skew_walls_interleaved(spark, sf_dir, passes)
+    timings["flagship_sinks_uniform"] = walls["uniform"]
+    timings["flagship_sinks_zipf"] = walls["zipf"]
     skew = _skew_task_stats(spark, sf_dir)
     skew["hot_frac"] = 0.1
+    skew["walls_interleaved"] = True
     skew["wall_ratio_zipf_over_uniform"] = (
-        round(timings["flagship_sinks_zipf"] / timings["flagship_sinks_uniform"], 3)
-        if timings.get("flagship_sinks_uniform")
-        else None
+        round(walls["zipf"] / walls["uniform"], 3) if walls["uniform"] else None
     )
 
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
