@@ -48,6 +48,7 @@ HEADLINE = [
     ("textstats_profile", "noop"),
     ("line_dedup_words", "noop"),
     ("line_dedup_words_10x", "noop"),
+    ("dup_span_stats", "noop"),
     ("embedding_cosine_topk", "collect"),
     ("cosine_lsh_near_dups", "noop"),
     ("cosine_lsh_near_dups_prod", "noop"),
@@ -146,6 +147,17 @@ def _line_dedup_words(docs):
         F.lit("\nfooter-"), (F.col("doc_id") % 7).cast("string"),
     )
     return line_dedup(docs.select("doc_id", txt.alias("text")))
+
+
+def _dup_span_stats(spark, sf_dir):
+    """Cross-doc duplicate-span signal (pytest-gated operator; the
+    driver registry sits at its 50-query cap, so its number is tracked
+    here)."""
+    from logpipe.traindata.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=3, min_docs=2
+    )
 
 
 def _line_dedup_words_1x(spark, sf_dir):
@@ -330,6 +342,7 @@ def main() -> None:
     qs["benchmark_contamination_10x"] = _contamination_10x
     qs["line_dedup_words"] = _line_dedup_words_1x
     qs["line_dedup_words_10x"] = _line_dedup_words_10x
+    qs["dup_span_stats"] = _dup_span_stats
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
 
     # warm the JVM + parquet footer caches with one cheap pass

@@ -673,3 +673,76 @@ def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.coalesce("n_lines_kept", F.lit(0).cast("long")).alias("n_lines_kept"),
         )
     )
+
+
+def duplicate_span_stats(
+    docs: DataFrame, k: int = 3, min_docs: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Cross-document duplicate-SPAN signal (the exact-substring-dedup
+    statistic of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better", public): for every k-token window position
+    in a doc, is that window's text shared with >= min_docs documents?
+
+    Returns (doc_id, n_spans, n_dup_spans, dup_span_frac) per doc —
+    dup_span_frac is the fraction of the doc's token windows that are
+    corpus-duplicated, the drop/trim signal used ahead of substring
+    dedup. Docs with < k tokens report 0 spans, frac 0.0.
+
+    100TB shape: positional windows explode once; the shared-window
+    table groups on md5(window) with map-side partial agg and carries
+    (hash, distinct-doc count) scalars; the verdict re-join is an
+    equi-join on the hash; per-doc stats group on doc_id. Window TEXT
+    never rides a cross-doc exchange — only its md5 does. (The same
+    discipline as line_dedup, one level below the line granularity.)
+    """
+    if k < 1:
+        raise ValueError(f"duplicate_span_stats: k must be >= 1, got {k}")
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = docs.repartition(n_part, "doc_id").withColumn(
+        "_toks", tokens(F.col(text_col))
+    )
+    # POSITIONAL k-gram windows (NOT distinct — every position counts)
+    cnt = F.size("_toks") - (k - 1)
+    acc = F.slice("_toks", 1, cnt)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice("_toks", j + 1, cnt), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    spans = d.select(
+        "doc_id",
+        F.when(F.size("_toks") >= k, acc)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_spans"),
+    ).select("doc_id", F.posexplode_outer("_spans").alias("pos", "span"))
+    keyed = spans.withColumn("sh", F.md5("span"))
+    shared = (
+        keyed.filter(F.col("span").isNotNull())
+        .groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("sh")
+    )
+    flagged = keyed.join(shared, "sh", "left_semi").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans")
+    )
+    per_doc = keyed.filter(F.col("span").isNotNull()).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans")
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.round(
+                F.coalesce(
+                    F.col("n_dup_spans").cast("double")
+                    / F.col("n_spans").cast("double"),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("dup_span_frac"),
+        )
+    )

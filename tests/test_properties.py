@@ -243,3 +243,43 @@ def test_line_dedup_matches_python_model(spark, docs_lines):
         for r in line_dedup(df).collect()
     }
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="pq", min_size=1, max_size=2), min_size=0, max_size=10),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(1, 3),
+)
+def test_duplicate_span_stats_matches_python_model(spark, docs_tokens, k):
+    """duplicate_span_stats == the obvious model: a position's k-token
+    window is 'duplicated' iff its text occurs in >= 2 distinct docs;
+    per doc report window count, duplicated-window count, fraction."""
+    from collections import defaultdict
+
+    from logpipe.traindata.dedup import duplicate_span_stats
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    span_docs: dict[str, set[int]] = defaultdict(set)
+    spans_of: dict[int, list[str]] = {}
+    for i, toks in enumerate(docs_tokens):
+        sp = [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+        spans_of[i] = sp
+        for s in sp:
+            span_docs[s].add(i)
+    expected = {}
+    for i, sp in spans_of.items():
+        dup = sum(1 for s in sp if len(span_docs[s]) >= 2)
+        frac = round(dup / len(sp), 4) if sp else 0.0
+        expected[i] = (len(sp), dup, frac)
+
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], round(r["dup_span_frac"], 4))
+        for r in duplicate_span_stats(df, k=k).collect()
+    }
+    assert got == expected
