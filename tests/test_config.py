@@ -136,3 +136,32 @@ def test_cli_logs_dir_mode_excludes_self(spark, tmp_path, monkeypatch):
     )
     contents = [r["content"] for r in back.select("content").collect()]
     assert contents and all(c == "hello" for c in contents)
+
+
+def test_cli_cluster_name_applies_to_dynamic_plan(spark, tmp_path, monkeypatch):
+    """--cluster-name must reach BOTH plans (the reference's
+    DICE_CLUSTER_NAME applies regardless of which conf is selected);
+    a prior version forwarded it only when plan=ds, so dynamic-plan
+    output silently carried the default tag."""
+    from logpipe import cli
+
+    monkeypatch.setattr("logpipe.session.get_spark", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    import io
+    from contextlib import redirect_stdout
+
+    with redirect_stdout(io.StringIO()):
+        cli.main(
+            ["--synth", "500", "--buckets", "1", "--plan", "dynamic",
+             "--cluster-name", "cli-test-cluster",
+             "--out", str(tmp_path / "out"), "--manifest", str(tmp_path / "mf")]
+        )
+    back = spark.read.option("basePath", str(tmp_path / "out")).parquet(
+        str(tmp_path / "out") + "/bucket=*"
+    )
+    names = {
+        r["cn"]
+        for r in back.selectExpr("tags['cluster_name'] AS cn").distinct().collect()
+    }
+    assert names == {"cli-test-cluster"}
