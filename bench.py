@@ -49,6 +49,7 @@ HEADLINE = [
     ("line_dedup_words", "noop"),
     ("line_dedup_words_10x", "noop"),
     ("dup_span_stats", "noop"),
+    ("dup_span_stats_10x", "noop"),
     ("embedding_cosine_topk", "collect"),
     ("cosine_lsh_near_dups", "noop"),
     ("cosine_lsh_near_dups_prod", "noop"),
@@ -158,6 +159,15 @@ def _dup_span_stats(spark, sf_dir):
     return duplicate_span_stats(
         spark.read.parquet(f"{sf_dir}/documents.parquet"), k=3, min_docs=2
     )
+
+
+def _dup_span_stats_10x(spark, sf_dir):
+    """10x slope for the duplicate-span signal (token-salted copies:
+    cross-copy spans are disjoint, within-copy duplicate structure
+    replicates — wall should grow sub-linearly in input)."""
+    from logpipe.traindata.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(_docs_10x(spark, sf_dir), k=3, min_docs=2)
 
 
 def _line_dedup_words_1x(spark, sf_dir):
@@ -343,6 +353,7 @@ def main() -> None:
     qs["line_dedup_words"] = _line_dedup_words_1x
     qs["line_dedup_words_10x"] = _line_dedup_words_10x
     qs["dup_span_stats"] = _dup_span_stats
+    qs["dup_span_stats_10x"] = _dup_span_stats_10x
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
 
     # warm the JVM + parquet footer caches with one cheap pass
