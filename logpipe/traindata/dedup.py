@@ -39,8 +39,9 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def ngrams_of(toks: Column, n: int) -> Column:
-    """Distinct n-grams from an ALREADY-MATERIALIZED tokens column.
+def _ngram_windows(toks: Column, n: int) -> Column:
+    """POSITIONAL n-gram windows (window i = tokens [i, i+n)), NOT
+    deduped — the shared core of ngrams_of and duplicate_span_stats.
 
     The tokens argument must be a plain column reference, not an
     expression: Catalyst inlines lambda-captured expressions into every
@@ -51,17 +52,26 @@ def ngrams_of(toks: Column, n: int) -> Column:
     elementwise pass, no per-element indexing. (The previous
     transform(sequence(...), i -> concat_ws(element_at(toks, i+j)...))
     formulation paid an interpreted element_at per gram per position:
-    9.2s vs 1.3s for 5k docs at sf0.1.)
+    9.2s vs 1.3s for 5k docs at sf0.1.) Caller guards size(toks) >= n.
     """
-    if n == 1:
-        return F.array_distinct(toks)
     cnt = F.size(toks) - (n - 1)
     acc = F.slice(toks, 1, cnt)
     for j in range(1, n):
         acc = F.zip_with(
             acc, F.slice(toks, j + 1, cnt), lambda x, y: F.concat_ws(" ", x, y)
         )
-    grams = F.when(F.size(toks) >= n, acc).otherwise(F.array().cast("array<string>"))
+    return acc
+
+
+def ngrams_of(toks: Column, n: int) -> Column:
+    """Distinct n-grams from an ALREADY-MATERIALIZED tokens column
+    (see _ngram_windows for the construction and its measured
+    pitfalls)."""
+    if n == 1:
+        return F.array_distinct(toks)
+    grams = F.when(F.size(toks) >= n, _ngram_windows(toks, n)).otherwise(
+        F.array().cast("array<string>")
+    )
     return F.array_distinct(grams)
 
 
@@ -688,10 +698,11 @@ def duplicate_span_stats(
     corpus-duplicated, the drop/trim signal used ahead of substring
     dedup. Docs with < k tokens report 0 spans, frac 0.0.
 
-    100TB shape: positional windows explode once; the shared-window
-    table groups on md5(window) with map-side partial agg and carries
-    (hash, distinct-doc count) scalars; the verdict re-join is an
-    equi-join on the hash; per-doc stats group on doc_id. Window TEXT
+    100TB shape: the window explode feeds two consumers (the shared-
+    window table and the verdict semi-join — same count as line_dedup);
+    the shared table groups on md5(window) with map-side partial agg
+    and carries (hash, distinct-doc count) scalars; n_spans is a
+    COLUMNAR function of the token count (no third pass). Window TEXT
     never rides a cross-doc exchange — only its md5 does. (The same
     discipline as line_dedup, one level below the line granularity.)
     """
@@ -702,22 +713,17 @@ def duplicate_span_stats(
         "_toks", tokens(F.col(text_col))
     )
     # POSITIONAL k-gram windows (NOT distinct — every position counts)
-    cnt = F.size("_toks") - (k - 1)
-    acc = F.slice("_toks", 1, cnt)
-    for j in range(1, k):
-        acc = F.zip_with(
-            acc, F.slice("_toks", j + 1, cnt), lambda x, y: F.concat_ws(" ", x, y)
-        )
     spans = d.select(
         "doc_id",
-        F.when(F.size("_toks") >= k, acc)
+        F.when(F.size("_toks") >= k, _ngram_windows(F.col("_toks"), k))
         .otherwise(F.array().cast("array<string>"))
         .alias("_spans"),
-    ).select("doc_id", F.posexplode_outer("_spans").alias("pos", "span"))
-    keyed = spans.withColumn("sh", F.md5("span"))
+    )
+    keyed = spans.select("doc_id", F.explode("_spans").alias("span")).withColumn(
+        "sh", F.md5("span")
+    )
     shared = (
-        keyed.filter(F.col("span").isNotNull())
-        .groupBy("sh")
+        keyed.groupBy("sh")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= min_docs)
         .select("sh")
@@ -725,24 +731,19 @@ def duplicate_span_stats(
     flagged = keyed.join(shared, "sh", "left_semi").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_spans")
     )
-    per_doc = keyed.filter(F.col("span").isNotNull()).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_spans")
+    per_doc = d.select(
+        "doc_id",
+        F.greatest(F.size("_toks") - (k - 1), F.lit(0)).cast("long").alias("n_spans"),
     )
-    return (
-        docs.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .join(flagged, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
-            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
-            F.round(
-                F.coalesce(
-                    F.col("n_dup_spans").cast("double")
-                    / F.col("n_spans").cast("double"),
-                    F.lit(0.0),
-                ),
-                4,
-            ).alias("dup_span_frac"),
-        )
+    return per_doc.join(flagged, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.round(
+            F.coalesce(
+                F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double"),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("dup_span_frac"),
     )
