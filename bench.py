@@ -38,7 +38,7 @@ HEAVY_PASS_CAP = {
 
 HEADLINE = [
     # (name, force-mode): 'collect' for small aggregates, 'noop' for row
-    # streams, 'call' for fns that materialize their own output
+    # streams
     ("flagship_route_counts", "collect"),
     ("log_event_projection", "noop"),
     ("erda_info_extract", "noop"),
@@ -389,9 +389,7 @@ def main() -> None:
         for _ in range(min(passes, HEAVY_PASS_CAP.get(name, passes))):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            if mode == "call":
-                pass  # fn materialized its own output
-            elif mode == "collect":
+            if mode == "collect":
                 df.collect()
             else:
                 df.write.format("noop").mode("overwrite").save()

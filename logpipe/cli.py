@@ -177,18 +177,23 @@ def main(argv: list[str] | None = None) -> None:
         # the wave and the audit read the materialized frame
         transcripts = transcripts.persist()
 
-    manifest = run_resumable(
-        spark, transcripts, k8s, tools, args.out, args.manifest,
-        n_buckets=args.buckets, pipeline_fn=pipeline_fn,
-    )
-    totals = manifest.totals()
-    if audit_will_run:
-        from logpipe.operators.throttle import throttle_audit
+    try:
+        manifest = run_resumable(
+            spark, transcripts, k8s, tools, args.out, args.manifest,
+            n_buckets=args.buckets, pipeline_fn=pipeline_fn,
+        )
+        totals = manifest.totals()
+        if audit_will_run:
+            from logpipe.operators.throttle import throttle_audit
 
-        totals["throttle_over_rate_buckets"] = throttle_audit(
-            transcripts, rate=cfg.throttle_rate, bucket=cfg.throttle_bucket
-        ).count()
-        transcripts.unpersist()
+            totals["throttle_over_rate_buckets"] = throttle_audit(
+                transcripts, rate=cfg.throttle_rate, bucket=cfg.throttle_bucket
+            ).count()
+    finally:
+        # unpersist even when the wave or the audit raises — an embedded
+        # caller's session would otherwise keep the frame cached forever
+        if audit_will_run:
+            transcripts.unpersist()
     print(json.dumps(totals))
     spark.stop()
 

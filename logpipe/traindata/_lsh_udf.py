@@ -87,17 +87,24 @@ def seq_cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     the expression form. ~64 vectorized adds per batch instead of an
     interpreted per-element lambda (the expression form measured ~1s
     for 16k 64-wide cosines at sf0.1; this runs the same math in BLAS-
-    adjacent time with zero value drift)."""
-    if len(a) == 0:
-        return pd.Series([], dtype=float)
-    A = np.vstack(a.to_numpy()).astype(np.float64)
-    B = np.vstack(b.to_numpy()).astype(np.float64)
-    n = len(A)
-    num = np.zeros(n)
-    na = np.zeros(n)
-    nb = np.zeros(n)
-    for j in range(A.shape[1]):
-        num += A[:, j] * B[:, j]
-        na += A[:, j] * A[:, j]
-        nb += B[:, j] * B[:, j]
-    return pd.Series(num / (np.sqrt(na) * np.sqrt(nb)))
+    adjacent time with zero value drift).
+
+    Null embeddings on either side yield NULL (matching the replaced
+    expression form) instead of crashing the vstack. Non-null rows must
+    share one fixed dimension — ragged dims are a schema violation
+    upstream, not a case this kernel papers over."""
+    out = np.full(len(a), None, dtype=object)
+    valid = (a.notna() & b.notna()).to_numpy()
+    if valid.any():
+        A = np.vstack(a.to_numpy()[valid]).astype(np.float64)
+        B = np.vstack(b.to_numpy()[valid]).astype(np.float64)
+        n = len(A)
+        num = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
+        for j in range(A.shape[1]):
+            num += A[:, j] * B[:, j]
+            na += A[:, j] * A[:, j]
+            nb += B[:, j] * B[:, j]
+        out[valid] = num / (np.sqrt(na) * np.sqrt(nb))
+    return pd.Series(out, index=a.index)

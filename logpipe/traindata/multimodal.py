@@ -127,6 +127,13 @@ def frame_sample(media: DataFrame, every_bytes: int = 16) -> DataFrame:
 
 RESIZED_SCHEMA = "media_id long, kind string, width int, height int, payload binary"
 
+# Source-dim sanity bound: width/height are METADATA, so a corrupt or
+# adversarial row (65535x65535) could otherwise force a multi-GB index
+# computation sized purely by two ints. 2^26 px = 8K x 8K, far above
+# any sane single-channel training image; rows beyond it pass through
+# as None payloads like the degenerate-dims case.
+MAX_SRC_PIXELS = 1 << 26
+
 
 def resize_image(media: DataFrame, w: int, h: int) -> DataFrame:
     """Nearest-neighbor resize over mapInPandas — pure numpy, no codec.
@@ -136,9 +143,16 @@ def resize_image(media: DataFrame, w: int, h: int) -> DataFrame:
     treatment as decode_features' fallback: a real deployment swaps the
     grid for a codec decode, the resample kernel is unchanged). Payloads
     shorter than width*height are tiled; the kernel is the standard NN
-    resample: out[i, j] = in[floor(i*H/h), floor(j*W/w)]. Non-image rows
-    and null payloads pass through as None payloads with the target
-    dims, preserving row identity for downstream joins.
+    resample: out[i, j] = in[floor(i*H/h), floor(j*W/w)]. Non-image
+    rows, null payloads, degenerate dims, and dims past MAX_SRC_PIXELS
+    pass through as None payloads with the target dims, preserving row
+    identity for downstream joins.
+
+    Vectorization: the tiled-grid NN gather is, per row, out[p] =
+    raw[((yi*W + xj) % len(raw))[p]] — so rows sharing (W, H, len) share
+    ONE gather index array and resample as a single stacked numpy take;
+    ragged payloads only force a group boundary, never a per-row Python
+    loop.
     """
     if w <= 0 or h <= 0:
         raise ValueError(f"resize_image: target dims must be positive, got {w}x{h}")
@@ -148,33 +162,46 @@ def resize_image(media: DataFrame, w: int, h: int) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
+            n = len(pdf)
+            out = np.full(n, None, dtype=object)
+            if n:
                 # width/height are nullable in MEDIA_SCHEMA: a row with
-                # missing/degenerate source dims is un-resizable and
-                # passes through as None, same as non-image rows —
+                # missing/degenerate/absurd source dims is un-resizable
+                # and passes through as None, same as non-image rows —
                 # not an opaque executor crash
-                if (
-                    r["kind"] != "image"
-                    or r["payload"] is None
-                    or pd.isna(r["width"])
-                    or pd.isna(r["height"])
-                    or int(r["width"]) <= 0
-                    or int(r["height"]) <= 0
-                ):
-                    out.append(None)
-                    continue
-                W, H = int(r["width"]), int(r["height"])
-                raw = np.frombuffer(bytes(r["payload"]), dtype=np.uint8)
-                reps = -(-(W * H) // max(len(raw), 1)) if len(raw) else 1
-                grid = (
-                    np.tile(raw, reps)[: W * H].reshape(H, W)
-                    if len(raw)
-                    else np.zeros((H, W), dtype=np.uint8)
+                wd = pd.to_numeric(pdf["width"], errors="coerce")
+                ht = pd.to_numeric(pdf["height"], errors="coerce")
+                ok = (
+                    (pdf["kind"] == "image").to_numpy()
+                    & pdf["payload"].notna().to_numpy()
+                    & wd.notna().to_numpy()
+                    & ht.notna().to_numpy()
                 )
-                yi = (np.arange(h) * H) // h
-                xj = (np.arange(w) * W) // w
-                out.append(grid[np.ix_(yi, xj)].tobytes())
+                W_ = wd.fillna(0).to_numpy(dtype="int64")
+                H_ = ht.fillna(0).to_numpy(dtype="int64")
+                ok &= (W_ > 0) & (H_ > 0) & (W_ * H_ <= MAX_SRC_PIXELS)
+                idx = np.flatnonzero(ok)
+                if len(idx):
+                    raws = [
+                        np.frombuffer(bytes(pdf["payload"].iloc[i]), dtype=np.uint8)
+                        for i in idx
+                    ]
+                    lens = np.array([len(r) for r in raws], dtype="int64")
+                    keys = np.stack([W_[idx], H_[idx], lens], axis=1)
+                    for key in np.unique(keys, axis=0):
+                        W, H, L = (int(x) for x in key)
+                        sub = np.flatnonzero((keys == key).all(axis=1))
+                        if L == 0:
+                            for s in sub:
+                                out[idx[s]] = bytes(h * w)
+                            continue
+                        yi = (np.arange(h) * H) // h
+                        xj = (np.arange(w) * W) // w
+                        gather = ((yi[:, None] * W + xj[None, :]).ravel()) % L
+                        stacked = np.stack([raws[s] for s in sub])  # (m, L)
+                        resized = stacked[:, gather]  # (m, h*w)
+                        for k, s in enumerate(sub):
+                            out[idx[s]] = resized[k].tobytes()
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

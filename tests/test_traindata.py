@@ -270,6 +270,9 @@ def test_multimodal_plumbing(spark):
         [
             (900, "image", b"\x01\x02\x03", None, 4, 0),
             (901, "image", b"\x01\x02\x03", 0, 4, 0),
+            # metadata bomb: dims claim 4 Gpx from a 3-byte payload — the
+            # MAX_SRC_PIXELS guard must pass it through, not allocate
+            (902, "image", b"\x01\x02\x03", 65535, 65535, 0),
         ],
         schema=(
             "media_id long, kind string, payload binary, width int, "
@@ -517,6 +520,10 @@ def test_seq_cosine_udf_bit_identical_to_expression(spark):
         a = [rng.uniform(-1, 1) * 10 ** rng.randint(-8, 8) for _ in range(64)]
         b = [rng.uniform(-1, 1) * 10 ** rng.randint(-8, 8) for _ in range(64)]
         rows.append((i, a, b))
+    # null embeddings must yield NULL (the expression form's behavior),
+    # not crash the batch vstack
+    rows.append((64, None, rows[0][2]))
+    rows.append((65, rows[0][1], None))
     df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
     expr = dot(F.col("a"), F.col("b")) / (norm(F.col("a")) * norm(F.col("b")))
     out = df.select(
