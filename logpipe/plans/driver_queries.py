@@ -2488,7 +2488,16 @@ def _curated_corpus_dag(
             .filter(F.col("dup_span_frac") <= span_gate_frac)
             .select("doc_id")
         )
-        nb = nb.join(keep_ids, "doc_id", "left_semi")
+        # localCheckpoint: cut the lineage at the gate. Without it the
+        # span subtree (which consumes nb twice more) rides INSIDE nb's
+        # lineage, and every downstream consumer of nb (line-dedup's
+        # three readers, c4, the tail) re-expands it — measured 222s
+        # wall / 24s plan-compile at sf0.1 vs v3's 85s/5.6s; with the
+        # cut the downstream plan is v3-shaped. Same trade the
+        # clustering iterations already make; a production run would
+        # persist/checkpoint this dataset-sized intermediate the same
+        # way (it is consumed by every remaining stage).
+        nb = nb.join(keep_ids, "doc_id", "left_semi").localCheckpoint()
     ld = line_dedup(nb.select("doc_id", "text"))
     ldd = ld.join(nb.select("doc_id", "source"), "doc_id")
     kept = ldd.filter(

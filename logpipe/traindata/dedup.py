@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from logpipe.traindata.textstats import fingerprint, tokens
 
@@ -686,7 +687,11 @@ def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def duplicate_span_stats(
-    docs: DataFrame, k: int = 3, min_docs: int = 2, text_col: str = "text"
+    docs: DataFrame,
+    k: int = 3,
+    min_docs: int = 2,
+    text_col: str = "text",
+    spread: bool = True,
 ) -> DataFrame:
     """Cross-document duplicate-SPAN signal (the exact-substring-dedup
     statistic of Lee et al. 2021, "Deduplicating Training Data Makes
@@ -698,20 +703,44 @@ def duplicate_span_stats(
     corpus-duplicated, the drop/trim signal used ahead of substring
     dedup. Docs with < k tokens report 0 spans, frac 0.0.
 
-    100TB shape: the window explode feeds two consumers (the shared-
-    window table and the verdict semi-join — same count as line_dedup);
-    the shared table groups on md5(window) with map-side partial agg
-    and carries (hash, distinct-doc count) scalars; n_spans is a
-    COLUMNAR function of the token count (no third pass). Window TEXT
-    never rides a cross-doc exchange — only its md5 does. (The same
-    discipline as line_dedup, one level below the line granularity.)
+    100TB shape — ONE LINEAR CHAIN, one explode pass, no payload in any
+    hash exchange:
+
+      explode windows -> groupBy (md5(window), doc_id) count  [per-
+      position counts collapse to per-(window, doc) rows; map-side
+      partial agg; the exchange carries (md5, id, count) scalars]
+      -> window count over md5(window)  [distinct-doc multiplicity
+      without a self-join: the rows are unique per (window, doc), so a
+      partition count IS the distinct-doc count]
+      -> groupBy doc_id: n_spans = sum(cnt), n_dup_spans = sum(cnt
+      where shared)  [both stats fall out of the same rows — no second
+      scan of the text, no verdict join]
+      -> left join back to docs ids (restores < k-token docs).
+
+    Earlier formulations both lost at scale: a branching DAG (keyed
+    feeding a shared-table groupBy AND a verdict semi-join) makes
+    Catalyst duplicate the scan subtree per consumer — three text
+    scans, and with an upfront repartition(doc_id), three full-text
+    shuffles. The linear chain scans the text ONCE.
+
+    ``spread=True`` (default) round-robins the (doc_id, text)
+    projection across shuffle-partitions cores before the explode —
+    the operator's only payload-bearing exchange, there purely for
+    parallelism when the input arrives in fewer splits than cores
+    (single parquet file locally; coalesced scans). At 100TB the scan
+    is naturally split — pass spread=False and the operator moves
+    ZERO payload bytes across the wire. tests/test_traindata.py pins
+    both properties (exactly-one / zero payload exchanges).
     """
     if k < 1:
         raise ValueError(f"duplicate_span_stats: k must be >= 1, got {k}")
-    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    d = docs.repartition(n_part, "doc_id").withColumn(
-        "_toks", tokens(F.col(text_col))
-    )
+    d = docs.select("doc_id", text_col)
+    if spread:
+        n_part = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        d = d.repartition(n_part)
+    d = d.withColumn("_toks", tokens(F.col(text_col)))
     # POSITIONAL k-gram windows (NOT distinct — every position counts)
     spans = d.select(
         "doc_id",
@@ -722,22 +751,19 @@ def duplicate_span_stats(
     keyed = spans.select("doc_id", F.explode("_spans").alias("span")).withColumn(
         "sh", F.md5("span")
     )
-    shared = (
-        keyed.groupBy("sh")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("sh")
+    per_sh_doc = keyed.groupBy("sh", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    with_nd = per_sh_doc.withColumn(
+        "nd", F.count(F.lit(1)).over(Window.partitionBy("sh"))
     )
-    flagged = keyed.join(shared, "sh", "left_semi").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_dup_spans")
+    per_doc = with_nd.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("nd") >= min_docs, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_dup_spans"),
     )
-    per_doc = d.select(
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
         "doc_id",
-        F.greatest(F.size("_toks") - (k - 1), F.lit(0)).cast("long").alias("n_spans"),
-    )
-    return per_doc.join(flagged, "doc_id", "left").select(
-        "doc_id",
-        "n_spans",
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
         F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
         F.round(
             F.coalesce(

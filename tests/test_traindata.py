@@ -501,6 +501,62 @@ def test_curated_corpus_v2_plan_shape(spark):
     assert "BroadcastExchange" in plan
 
 
+def _exchange_inputs(df, spark):
+    """[(block_body_Input_line)] for every (Broadcast)Exchange in the
+    formatted plan."""
+    import re
+
+    formatted = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    blocks = re.findall(
+        r"\(\d+\) (?:Broadcast)?Exchange\n((?:.+\n)+?)\n", formatted
+    )
+    assert blocks, formatted
+    return [
+        next(ln for ln in body.splitlines() if ln.startswith("Input"))
+        for body in blocks
+    ]
+
+
+def test_dup_span_stats_plan_single_linear_payload_exchange(spark):
+    """duplicate_span_stats is ONE linear chain: with spread=True its
+    only payload-bearing exchange is the round-robin scan-spread (there
+    purely for parallelism on few-split inputs); every hash exchange
+    carries (md5, doc_id, count) scalars. With spread=False the text
+    moves ZERO bytes across the wire. Pins the round-5 redesign — the
+    earlier branching DAG (shared-table groupBy + verdict semi-join)
+    made Catalyst duplicate the scan subtree per consumer: three text
+    scans, and with the old upfront repartition(doc_id), three
+    full-text shuffles. A refactor that reintroduces a second payload
+    exchange — or any payload-bearing HASH exchange — fails here.
+    (sf0.01, not the cached sf0.001 fixture — see
+    test_traindata_scan_prunes_columns.)
+    """
+    from logpipe.traindata.dedup import duplicate_span_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+    df = duplicate_span_stats(docs, k=3, min_docs=2)  # spread=True
+    payload = [
+        ln for ln in _exchange_inputs(df, spark)
+        if "text#" in ln or "span#" in ln or "_toks#" in ln
+    ]
+    assert len(payload) == 1, payload
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan  # the one payload move is the spread
+    assert "partial_count" in plan  # scalar aggs combine map-side
+
+    df0 = duplicate_span_stats(docs, k=3, min_docs=2, spread=False)
+    payload0 = [
+        ln for ln in _exchange_inputs(df0, spark)
+        if "text#" in ln or "span#" in ln or "_toks#" in ln
+    ]
+    assert payload0 == [], payload0
+
+
 def test_seq_cosine_udf_bit_identical_to_expression(spark):
     """The core claim behind seq_cosine_udf: IEEE binary64 ops are
     deterministic given operand order, and the kernel accumulates in
