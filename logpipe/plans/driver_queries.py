@@ -136,38 +136,53 @@ def k8s_exclude_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # before the rules aggregate is returned, the same fold pattern as the
 # hardcoded router / ECI identity path. pytest (test_dynamic.py) still
 # proves dynamic==typed row-for-row pre-aggregation.
-@register("flagship_rules_route_counts", _FLAGSHIP_SQL)
-def flagship_rules_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _per_sink_agg(out: DataFrame) -> DataFrame:
+    return out.groupBy("sink").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("content")).alias("content_bytes"),
+    )
+
+
+def flagship_rules_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rules-router flagship aggregate as a lazy frame — the plan
+    surface for PLANS.md (the registered gate below collects it for the
+    in-run dynamic-parity assert, so ITS returned frame is a local
+    relation with no pipeline plan left to inspect)."""
     from logpipe.operators.rewrite import route_with_rules
-    from logpipe.plans.dynamic import run_dynamic_pipeline
 
     ev = load_events(spark, sf_dir)
-
-    def per_sink(out: DataFrame) -> list:
-        return sorted(
-            (r["sink"], r["n_rows"], r["content_bytes"])
-            for r in out.groupBy("sink")
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.length("content")).alias("content_bytes"),
-            )
-            .collect()
-        )
-
-    rules = per_sink(
+    return _per_sink_agg(
         run_pipeline(
             events_as_transcripts(ev), events_k8s_meta(ev), events_tool_meta(ev),
             router_fn=route_with_rules,
         )
     )
-    dynamic = per_sink(
-        run_dynamic_pipeline(
-            events_as_transcripts(ev), events_k8s_meta(ev), events_tool_meta(ev)
+
+
+@register("flagship_rules_route_counts", _FLAGSHIP_SQL)
+def flagship_rules_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logpipe.plans.dynamic import run_dynamic_pipeline
+
+    def rows(agg: DataFrame) -> list:
+        return sorted(
+            (r["sink"], r["n_rows"], r["content_bytes"]) for r in agg.collect()
+        )
+
+    ev = load_events(spark, sf_dir)
+    rules = rows(flagship_rules_frame(spark, sf_dir))
+    dynamic = rows(
+        _per_sink_agg(
+            run_dynamic_pipeline(
+                events_as_transcripts(ev), events_k8s_meta(ev), events_tool_meta(ev)
+            )
         )
     )
-    assert rules == dynamic, (
-        f"dynamic-map pipeline diverged from rules pipeline: {dynamic} != {rules}"
-    )
+    # not a bare assert: this parity check IS the folded dynamic-plan
+    # gate and must survive python -O
+    if rules != dynamic:
+        raise AssertionError(
+            f"dynamic-map pipeline diverged from rules pipeline: {dynamic} != {rules}"
+        )
     # return the already-collected rows so the driver's collect doesn't
     # re-run the cascade a third time
     return spark.createDataFrame(
@@ -2582,12 +2597,18 @@ def streaming_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # input files must yield >= 2 triggers, each reading at most
         # half the input — measured from the query's own progress log,
         # not inferred from config
+        # unconditional raises (not bare asserts): this audit is the
+        # driver-gated pacing evidence and must survive python -O
         progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
         total_rows = sum(p["numInputRows"] for p in progress)
-        assert len(progress) >= 2, f"pacing: expected >=2 triggers, got {len(progress)}"
-        assert max(p["numInputRows"] for p in progress) < total_rows, (
-            "pacing: one trigger consumed the whole input despite maxFilesPerTrigger"
-        )
+        if len(progress) < 2:
+            raise AssertionError(
+                f"pacing: expected >=2 triggers, got {len(progress)}"
+            )
+        if max(p["numInputRows"] for p in progress) >= total_rows:
+            raise AssertionError(
+                "pacing: one trigger consumed the whole input despite maxFilesPerTrigger"
+            )
         back = spark.read.parquet(f"{tmp}/out")
         rows = (
             back.groupBy("sink")

@@ -89,10 +89,12 @@ def seq_cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     for 16k 64-wide cosines at sf0.1; this runs the same math in BLAS-
     adjacent time with zero value drift).
 
-    Null embeddings on either side yield NULL (matching the replaced
-    expression form) instead of crashing the vstack. Non-null rows must
-    share one fixed dimension — ragged dims are a schema violation
-    upstream, not a case this kernel papers over."""
+    Null embeddings on either side — and zero-norm embeddings, whose
+    cosine is undefined — yield NULL (the `try_divide` semantics: a
+    bare Divide would throw under ANSI mode and NULL under non-ANSI;
+    the kernel never emits NaN/inf). Non-null rows must share one
+    fixed dimension — ragged dims are a schema violation upstream, not
+    a case this kernel papers over."""
     out = np.full(len(a), None, dtype=object)
     valid = (a.notna() & b.notna()).to_numpy()
     if valid.any():
@@ -106,5 +108,9 @@ def seq_cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
             num += A[:, j] * B[:, j]
             na += A[:, j] * A[:, j]
             nb += B[:, j] * B[:, j]
-        out[valid] = num / (np.sqrt(na) * np.sqrt(nb))
+        denom = np.sqrt(na) * np.sqrt(nb)
+        vals = np.full(n, None, dtype=object)
+        nz = denom != 0.0
+        vals[nz] = num[nz] / denom[nz]
+        out[valid] = vals
     return pd.Series(out, index=a.index)

@@ -127,11 +127,14 @@ def frame_sample(media: DataFrame, every_bytes: int = 16) -> DataFrame:
 
 RESIZED_SCHEMA = "media_id long, kind string, width int, height int, payload binary"
 
-# Source-dim sanity bound: width/height are METADATA, so a corrupt or
-# adversarial row (65535x65535) could otherwise force a multi-GB index
-# computation sized purely by two ints. 2^26 px = 8K x 8K, far above
-# any sane single-channel training image; rows beyond it pass through
-# as None payloads like the degenerate-dims case.
+# Source-dim sanity bound. The vectorized kernel never allocates the
+# W*H grid (the gather index has h*w entries and stacks only actual
+# payload bytes), so this is NOT an OOM guard — it is a corrupt-
+# metadata gate: width/height are untrusted METADATA, and a row
+# claiming 65535x65535 over a kilobyte payload is garbage whose
+# "resize" would be meaningless tiled noise. 2^26 px = 8K x 8K, far
+# above any sane single-channel training image; rows beyond it pass
+# through as None payloads like the degenerate-dims case.
 MAX_SRC_PIXELS = 1 << 26
 
 

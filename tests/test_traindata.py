@@ -580,8 +580,17 @@ def test_seq_cosine_udf_bit_identical_to_expression(spark):
     # not crash the batch vstack
     rows.append((64, None, rows[0][2]))
     rows.append((65, rows[0][1], None))
+    # zero-norm embeddings: the expression form's 0.0 divisor -> NULL
+    # (Spark non-ANSI Divide), not NaN/inf
+    rows.append((66, [0.0] * 64, rows[0][2]))
     df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
-    expr = dot(F.col("a"), F.col("b")) / (norm(F.col("a")) * norm(F.col("b")))
+    # try_divide, not /: identical IEEE division for every non-zero
+    # divisor, and NULL for the zero-norm row (under this session's
+    # ANSI mode a bare / would THROW there; the kernel adopts the
+    # try_divide semantics)
+    expr = F.try_divide(
+        dot(F.col("a"), F.col("b")), norm(F.col("a")) * norm(F.col("b"))
+    )
     out = df.select(
         "id",
         expr.alias("expr_cos"),
