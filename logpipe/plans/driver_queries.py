@@ -2187,7 +2187,8 @@ def _curation_tail_sql(
     (DuckDB inlines CTEs per reference; un-hinted, the recursive
     closure re-ran per consumer)."""
     mh = _minhash_sql(threshold=near_threshold, src="kept2").strip()
-    assert mh.startswith("WITH ")
+    if not mh.startswith("WITH "):  # survives python -O, like the gates
+        raise AssertionError("minhash oracle SQL no longer starts with WITH")
     mh_body = mh[len("WITH "):]
     mh_ctes, mh_select = mh_body.rsplit("SELECT doc_a, doc_b", 1)
     if gopher_min_tokens is not None:
