@@ -312,7 +312,17 @@ def near_dup_clusters(
     """
     if max_iter < 1:
         raise ValueError(f"near_dup_clusters: max_iter must be >= 1, got {max_iter}")
-    pairs = minhash_lsh_pairs(docs, n=n, k=k, bands=bands, threshold=threshold)
+    # checkpoint the PAIRS before the symmetric union: the union's two
+    # branches each expand the pairs lineage, so un-materialized they
+    # run the whole minhash pipeline twice inside the edges job (same
+    # duplicated-subtree class as simhash's self-join). Local bench
+    # wall is flat — the duplicate branches ran concurrently on idle
+    # cores — but total compute halves, which is the number that
+    # matters on a busy cluster. Pairs are (id, id) scalars —
+    # trivially materializable at any scale.
+    pairs = minhash_lsh_pairs(
+        docs, n=n, k=k, bands=bands, threshold=threshold
+    ).localCheckpoint()
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -532,7 +542,13 @@ def near_dup_clusters_star(
     doc; isolated docs cluster with themselves), diameter-independent
     round count. Verified against the same DuckDB recursive-CTE oracle
     and pinned equal to the propagation variant in tests."""
-    pairs = minhash_lsh_pairs(docs, n=n, k=k, bands=bands, threshold=threshold)
+    # checkpointed for the same reason as the propagation variant:
+    # star's first large-star round takes a symmetric union of the
+    # edge frame, which would otherwise expand the minhash pipeline
+    # twice
+    pairs = minhash_lsh_pairs(
+        docs, n=n, k=k, bands=bands, threshold=threshold
+    ).localCheckpoint()
     labels = star_components(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")),
         max_rounds=max_rounds,
