@@ -230,7 +230,13 @@ def minhash_lsh_pairs(
         F.min(F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), F.lit(MINHASH_MOD))).alias(f"m{i}")
         for i in range(k)
     ]
-    sigs = hashed.groupBy("doc_id").agg(*sig_cols)
+    # localCheckpoint: both sides of the banded self-join consume sigs,
+    # and the join leaves no reusable exchange (the small side
+    # broadcasts), so un-materialized the shingle explode + md5 +
+    # 32-min aggregation runs TWICE (same duplicated-subtree class as
+    # simhash). The table is (doc_id, 32 int64) scalars — ~260B/doc,
+    # persistable at any scale vs re-hashing the corpus.
+    sigs = hashed.groupBy("doc_id").agg(*sig_cols).localCheckpoint()
     # band WITHOUT the grams payload: the banded frame is exploded
     # x bands and self-joined, so carrying the shingle arrays through
     # it would shuffle every doc's grams `bands` times; grams join back
