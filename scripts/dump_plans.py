@@ -25,14 +25,20 @@ QUERIES = [
     ),
     (
         "minhash_lsh_dups",
-        "explode -> hash -> groupBy-min signatures (partial agg), "
-        "payload-free banding, candidate self-join on (band, bucket), "
-        "grams re-joined onto the deduped candidate set only.",
+        "the signature table (explode -> hash -> groupBy-min with "
+        "partial agg) is localCheckpoint()ed — it appears here as the "
+        "ExistingRDD leaf feeding payload-free banding and the "
+        "candidate self-join on (band, bucket); without the cut both "
+        "join sides re-ran the signature computation. Grams re-join "
+        "onto the deduped candidate set only.",
     ),
     (
         "cosine_lsh_near_dups",
-        "ArrowEvalPython bucket kernel, id-only candidate dedup, "
-        "embedding arrays enter only the final verify joins.",
+        "the (vec_id, table, bucket) table from the ArrowEvalPython "
+        "bucket kernel is localCheckpoint()ed (the ExistingRDD leaf "
+        "under the candidate join — both sides would otherwise re-run "
+        "the kernel); id-only candidate dedup, embedding arrays enter "
+        "only the final verify joins.",
     ),
     (
         "multiline_stitch",
