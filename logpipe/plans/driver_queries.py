@@ -111,10 +111,16 @@ _K8S_EXCLUDE_SQL = _FLAGSHIP_SQL.replace(
 )
 
 
-@register("k8s_exclude_route_counts", _K8S_EXCLUDE_SQL)
 def k8s_exclude_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship with honor_k8s_exclude=True: rows of pods annotated
-    fluentbit.io/exclude are dropped after the enrich join."""
+    fluentbit.io/exclude are dropped after the enrich join.
+
+    UNREGISTERED since round 6 — its registry slot was spent on
+    dup_span_trim (round-5 verdict task 3); the exclusion semantics are
+    now gated as an in-run parity assert inside
+    flagship_rules_route_counts (join-based exclusion vs an independent
+    source-predicate replay, the established fold pattern), and
+    _K8S_EXCLUDE_SQL remains for local crosschecks."""
     ev = load_events(spark, sf_dir)
     out = run_pipeline(
         events_as_transcripts(ev), events_k8s_meta(ev), events_tool_meta(ev),
@@ -182,6 +188,30 @@ def flagship_rules_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     if rules != dynamic:
         raise AssertionError(
             f"dynamic-map pipeline diverged from rules pipeline: {dynamic} != {rules}"
+        )
+    # folded K8S-Logging.Exclude gate (round 6 — its registry slot went
+    # to dup_span_trim): the pipeline's JOIN-based exclusion (annotated
+    # pods dropped after the enrich join, honor_k8s_exclude=True) must
+    # equal an INDEPENDENT source-predicate replay (the dim's
+    # annotation rule, uid%25==0, applied to the transcripts before the
+    # ordinary pipeline) — the same two-implementation property the
+    # retired _K8S_EXCLUDE_SQL oracle checked cross-engine.
+    excluded = rows(_per_sink_agg(run_pipeline(
+        events_as_transcripts(ev), events_k8s_meta(ev), events_tool_meta(ev),
+        honor_k8s_exclude=True,
+    )))
+    replay = rows(_per_sink_agg(run_pipeline(
+        events_as_transcripts(ev).filter(F.col("conv_id").cast("long") % 25 != 0),
+        events_k8s_meta(ev), events_tool_meta(ev),
+    )))
+    if excluded != replay:
+        raise AssertionError(
+            f"k8s-exclude join path diverged from source-predicate replay: "
+            f"{excluded} != {replay}"
+        )
+    if excluded == rules:
+        raise AssertionError(
+            "k8s-exclude parity is vacuous: exclusion dropped no rows"
         )
     # return the already-collected rows so the driver's collect doesn't
     # re-run the cascade a third time
@@ -1311,6 +1341,79 @@ _DUP_SPAN_SQL = f"""
 WITH {_dup_span_ctes("documents", out="ds", k=3, min_docs=2).lstrip()}
 SELECT doc_id, n_spans, n_dup_spans, dup_span_frac FROM ds
 """
+
+
+def _dup_span_trim_ctes(src: str, out: str = "dt", k: int = 3, min_docs: int = 2) -> str:
+    """CTE chain replaying dedup.duplicate_span_trim over ``src``
+    (doc_id, text); emits ``{out}`` = (doc_id, text, n_tokens_kept,
+    n_tokens_removed). Winner rule: a k-token window shared by >=
+    min_docs docs survives only in the lowest-doc_id doc containing it;
+    losers drop every covered token and reassemble with single spaces
+    (the operator is whitespace-normalizing by construction). Parallel
+    unnests zip positionally in DuckDB, so wpos lines up with its
+    window text. ONE definition shared by the standalone gate and
+    curated_corpus_v5's trim branch."""
+    terms = " || ' ' || ".join(
+        "words[i]" if j == 0 else f"words[i+{j}]" for j in range(k)
+    )
+    series = f"generate_series(1, len(words)-{k - 1})"
+    return f"""
+{out}_w AS (
+  SELECT doc_id, {_WORDS_SQL} AS words FROM {src}
+), {out}_ke AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(words) >= {k} THEN [i for i in {series}] ELSE [] END) AS wpos,
+         md5(unnest(CASE WHEN len(words) >= {k} THEN [{terms} for i in {series}] ELSE [] END)) AS sh
+  FROM {out}_w
+), {out}_pg AS (
+  SELECT sh, doc_id, list(wpos) AS poss FROM {out}_ke GROUP BY sh, doc_id
+), {out}_shs AS (
+  SELECT sh, count(*) AS nd, min(doc_id) AS win FROM {out}_pg GROUP BY sh
+), {out}_lw AS (
+  SELECT pg.doc_id, unnest(pg.poss) AS wpos
+  FROM {out}_pg pg JOIN {out}_shs s USING (sh)
+  WHERE s.nd >= {min_docs} AND pg.doc_id <> s.win
+), {out}_rm AS (
+  SELECT doc_id, list(DISTINCT tpos) AS rmset
+  FROM (SELECT doc_id, unnest(generate_series(wpos, wpos + {k - 1})) AS tpos
+        FROM {out}_lw)
+  GROUP BY doc_id
+), {out}_kept AS (
+  SELECT w.doc_id,
+         CASE WHEN rm.rmset IS NULL THEN w.words
+              ELSE [w.words[i] for i in generate_series(1, len(w.words))
+                    if NOT list_contains(rm.rmset, i)]
+         END AS kw,
+         coalesce(len(rm.rmset), 0) AS n_rm
+  FROM {out}_w w LEFT JOIN {out}_rm rm USING (doc_id)
+), {out} AS (
+  SELECT doc_id,
+         coalesce(array_to_string(kw, ' '), '') AS text,
+         CAST(len(kw) AS BIGINT) AS n_tokens_kept,
+         CAST(n_rm AS BIGINT) AS n_tokens_removed
+  FROM {out}_kept
+)"""
+
+
+_DUP_SPAN_TRIM_SQL = f"""
+WITH {_dup_span_trim_ctes("documents", out="dt", k=3, min_docs=2).lstrip()}
+SELECT doc_id, text, n_tokens_kept, n_tokens_removed FROM dt
+"""
+
+
+@register("dup_span_trim", _DUP_SPAN_TRIM_SQL)
+def dup_span_trim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup — Lee et al. 2021's actual remedy
+    (round-5 verdict missing #1: the stats operator measured the signal
+    and v4 dropped docs on it, but nothing REMOVED the duplicated spans
+    and reassembled). Every reassembled text + kept/removed count is
+    value-hashed against the DuckDB positional replay. The slot came
+    from folding k8s_exclude_route_counts into
+    flagship_rules_route_counts as an in-run parity assert (the
+    established fold pattern)."""
+    from logpipe.traindata.dedup import duplicate_span_trim
+
+    return duplicate_span_trim(_docs(spark, sf_dir), k=3, min_docs=2)
 
 
 @register("dup_span_stats", _DUP_SPAN_SQL)
@@ -2504,16 +2607,19 @@ def _curated_corpus_dag(
             .filter(F.col("dup_span_frac") <= span_gate_frac)
             .select("doc_id")
         )
-        # localCheckpoint: cut the lineage at the gate. Without it the
+        # materialize: cut the lineage at the gate. Without it the
         # span subtree (which consumes nb twice more) rides INSIDE nb's
         # lineage, and every downstream consumer of nb (line-dedup's
         # three readers, c4, the tail) re-expands it — measured 222s
         # wall / 24s plan-compile at sf0.1 vs v3's 85s/5.6s; with the
         # cut the downstream plan is v3-shaped. Same trade the
-        # clustering iterations already make; a production run would
-        # persist/checkpoint this dataset-sized intermediate the same
-        # way (it is consumed by every remaining stage).
-        nb = nb.join(keep_ids, "doc_id", "left_semi").localCheckpoint()
+        # clustering iterations already make; the cut point is
+        # mode-injectable (logpipe.materialize) — a cluster run sets
+        # reliable mode and this dataset-sized intermediate lands in
+        # the checkpoint dir instead of executor-local blocks.
+        from logpipe.materialize import materialize
+
+        nb = materialize(nb.join(keep_ids, "doc_id", "left_semi"))
     ld = line_dedup(nb.select("doc_id", "text"))
     ldd = ld.join(nb.select("doc_id", "source"), "doc_id")
     kept = ldd.filter(

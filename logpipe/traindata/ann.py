@@ -197,13 +197,15 @@ def cosine_lsh_near_dups(
     prunes well (the gap per bit is 0.63 vs 0.5) — candidate density is
     an intrinsic property of the threshold, not of this implementation.
     """
-    # localCheckpoint: both self-join sides consume the banded frame,
+    # materialize: both self-join sides consume the banded frame,
     # and the broadcast join leaves no reusable exchange — without the
     # cut the Arrow bucket kernel (and the embedding scan under it)
     # runs twice. The table is (vec_id, table, bucket) int scalars.
     # Same duplicated-subtree fix as dedup.py's minhash/simhash joins;
     # ann_lsh_topk's use of _banded has single consumers and stays lazy.
-    banded = _banded(emb, n_planes, n_tables, dim).localCheckpoint()
+    from logpipe.materialize import materialize
+
+    banded = materialize(_banded(emb, n_planes, n_tables, dim))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from logpipe.materialize import materialize, release
 from logpipe.traindata.textstats import fingerprint, tokens
 
 
@@ -197,12 +198,19 @@ def minhash_lsh_pairs(
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    _materialized: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Scale-path near-dup: banded MinHash-LSH candidates, exact verify.
 
     Returns (doc_a, doc_b, jaccard) with TRUE jaccard >= threshold for
     pairs surfaced by any band collision. Recall is probabilistic
     (1-(1-s^r)^b); tested against the exact pairs in pytest.
+
+    ``_materialized``: callers that materialize THIS function's output
+    (the clustering variants) pass a list to collect the internal
+    signature checkpoint, then ``release()`` it once their own
+    materialization lands — otherwise the dead signature blocks stay
+    pinned for the rest of the session (round-5 ADVICE finding).
     """
     r = k // bands
     spark = docs.sparkSession
@@ -230,13 +238,15 @@ def minhash_lsh_pairs(
         F.min(F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), F.lit(MINHASH_MOD))).alias(f"m{i}")
         for i in range(k)
     ]
-    # localCheckpoint: both sides of the banded self-join consume sigs,
+    # materialize: both sides of the banded self-join consume sigs,
     # and the join leaves no reusable exchange (the small side
     # broadcasts), so un-materialized the shingle explode + md5 +
     # 32-min aggregation runs TWICE (same duplicated-subtree class as
     # simhash). The table is (doc_id, 32 int64) scalars — ~260B/doc,
     # persistable at any scale vs re-hashing the corpus.
-    sigs = hashed.groupBy("doc_id").agg(*sig_cols).localCheckpoint()
+    sigs = materialize(hashed.groupBy("doc_id").agg(*sig_cols))
+    if _materialized is not None:
+        _materialized.append(sigs)
     # band WITHOUT the grams payload: the banded frame is exploded
     # x bands and self-joined, so carrying the shingle arrays through
     # it would shuffle every doc's grams `bands` times; grams join back
@@ -310,35 +320,43 @@ def near_dup_clusters(
     100TB shape: the iteration working set is the DUP NODES ONLY
     (nodes incident to a verified pair — tiny vs the corpus; the full
     corpus enters once, in the final left join). Each round is two
-    shuffles on id scalars; labels are localCheckpoint()ed per round to
-    truncate lineage (on a cluster: reliable checkpoint / persisted
-    table). The alternating large-star/small-star algorithm
-    (Kiveris et al.) is the drop-in upgrade if components ever get
-    deep chains.
+    shuffles on id scalars; labels are materialize()d per round to
+    truncate lineage (mode-injectable: local checkpoint here, reliable
+    checkpoint on a cluster — see logpipe.materialize). The alternating
+    large-star/small-star algorithm (Kiveris et al.) is the drop-in
+    upgrade if components ever get deep chains.
     """
     if max_iter < 1:
         raise ValueError(f"near_dup_clusters: max_iter must be >= 1, got {max_iter}")
-    # checkpoint the PAIRS before the symmetric union: the union's two
+    # materialize the PAIRS before the symmetric union: the union's two
     # branches each expand the pairs lineage, so un-materialized they
     # run the whole minhash pipeline twice inside the edges job (same
     # duplicated-subtree class as simhash's self-join). Local bench
     # wall is flat — the duplicate branches ran concurrently on idle
     # cores — but total compute halves, which is the number that
     # matters on a busy cluster. Pairs are (id, id) scalars —
-    # trivially materializable at any scale.
-    pairs = minhash_lsh_pairs(
-        docs, n=n, k=k, bands=bands, threshold=threshold
-    ).localCheckpoint()
-    edges = (
+    # trivially materializable at any scale. Each upstream checkpoint
+    # is released as soon as its successor lands (signatures after
+    # pairs, pairs after edges, the previous round's labels after the
+    # next round's) so the loop holds ONE labels table + the edges,
+    # not max_iter dead copies.
+    sig_held: list[DataFrame] = []
+    pairs = materialize(
+        minhash_lsh_pairs(
+            docs, n=n, k=k, bands=bands, threshold=threshold,
+            _materialized=sig_held,
+        )
+    )
+    release(*sig_held)
+    edges = materialize(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint()
     )
-    labels = (
+    release(pairs)
+    labels = materialize(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr = (
@@ -348,7 +366,7 @@ def near_dup_clusters(
             .groupBy("dst")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new = (
+        new = materialize(
             labels.join(nbr.withColumnRenamed("dst", "doc_id"), "doc_id", "left")
             .select(
                 "doc_id",
@@ -356,7 +374,6 @@ def near_dup_clusters(
                     F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .localCheckpoint()
         )
         changed = (
             new.alias("a")
@@ -364,6 +381,7 @@ def near_dup_clusters(
             .filter(F.col("a.cluster_id") != F.col("b.cluster_id"))
             .count()
         )
+        release(labels)
         labels = new
         if changed == 0:
             break
@@ -376,6 +394,7 @@ def near_dup_clusters(
             f"in {max_iter} rounds ({changed} labels still moving); "
             f"raise max_iter or switch to alternating large/small star"
         )
+    release(edges)
     return (
         docs.select("doc_id")
         .join(labels, "doc_id", "left")
@@ -503,19 +522,19 @@ def star_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
         own = mn.select("u", F.col("m").alias("v"))
         return nb.union(own).filter(F.col("u") != F.col("v")).distinct()
 
-    e = (
+    e = materialize(
         edges.select(F.col(edges.columns[0]).alias("u"),
                      F.col(edges.columns[1]).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
     for _ in range(max_rounds):
-        new = small_star(large_star(e)).localCheckpoint()
-        if new.count() == e.count() and new.exceptAll(e).isEmpty():
-            e = new
-            break
+        new = materialize(small_star(large_star(e)))
+        converged = new.count() == e.count() and new.exceptAll(e).isEmpty()
+        release(e)  # previous round's edge set is dead either way
         e = new
+        if converged:
+            break
     else:
         raise RuntimeError(
             f"star_components: no fixpoint within {max_rounds} rounds "
@@ -548,17 +567,25 @@ def near_dup_clusters_star(
     doc; isolated docs cluster with themselves), diameter-independent
     round count. Verified against the same DuckDB recursive-CTE oracle
     and pinned equal to the propagation variant in tests."""
-    # checkpointed for the same reason as the propagation variant:
+    # materialized for the same reason as the propagation variant:
     # star's first large-star round takes a symmetric union of the
     # edge frame, which would otherwise expand the minhash pipeline
     # twice
-    pairs = minhash_lsh_pairs(
-        docs, n=n, k=k, bands=bands, threshold=threshold
-    ).localCheckpoint()
+    sig_held: list[DataFrame] = []
+    pairs = materialize(
+        minhash_lsh_pairs(
+            docs, n=n, k=k, bands=bands, threshold=threshold,
+            _materialized=sig_held,
+        )
+    )
+    release(*sig_held)
     labels = star_components(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")),
         max_rounds=max_rounds,
     )
+    # star_components materializes its own edge table eagerly on entry,
+    # so by the time it returns the pairs checkpoint has no consumer
+    release(pairs)
     return (
         docs.select("doc_id")
         .join(labels, "doc_id", "left")
@@ -618,16 +645,16 @@ def simhash_near_dups(
     15-bit chunks (pigeonhole: hamming<=3 pairs share >=1 exact chunk
     when bands=4), bucket-join on (band, chunk), verify true hamming.
 
-    The signature table is localCheckpoint()ed before the self-join:
-    the join gives Catalyst no reusable exchange (the small side
+    The signature table is materialize()d before the self-join: the
+    join gives Catalyst no reusable exchange (the small side
     broadcasts), so without the cut BOTH sides re-run the signature
     computation — the dominant cost (token explode + 60 bit-vote
     sums) — from the scan (measured: 4 FileScans, 0 ReusedExchange).
     The materialized table is (doc_id, int64) scalars, trivially
-    checkpointable at any scale (on a cluster: persist/checkpoint).
+    checkpointable at any scale (mode-injectable: logpipe.materialize).
     """
     width = SIMHASH_BITS // bands
-    sigs = simhash_table(docs).localCheckpoint()
+    sigs = materialize(simhash_table(docs))
     banded = sigs.select(
         "doc_id",
         "simhash",
@@ -718,12 +745,28 @@ def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _shuffle_partitions(df: DataFrame) -> int:
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+
+def _derive_spread(df: DataFrame, n_part: int) -> bool:
+    """Spread (round-robin repartition before per-row heavy compute)
+    only when the input arrives in fewer splits than the shuffle
+    parallelism — the single-parquet-file bench reality. At 100TB the
+    scan is naturally split, this derives False, and the operator moves
+    zero payload bytes with no caller flag (round-5 verdict: the manual
+    spread=True default was a scale knob a cluster caller had to
+    remember to turn OFF). ``df.rdd.getNumPartitions()`` compiles the
+    physical plan but runs no job."""
+    return df.rdd.getNumPartitions() < n_part
+
+
 def duplicate_span_stats(
     docs: DataFrame,
     k: int = 3,
     min_docs: int = 2,
     text_col: str = "text",
-    spread: bool = True,
+    spread: bool | None = None,
 ) -> DataFrame:
     """Cross-document duplicate-SPAN signal (the exact-substring-dedup
     statistic of Lee et al. 2021, "Deduplicating Training Data Makes
@@ -755,22 +798,25 @@ def duplicate_span_stats(
     scans, and with an upfront repartition(doc_id), three full-text
     shuffles. The linear chain scans the text ONCE.
 
-    ``spread=True`` (default) round-robins the (doc_id, text)
-    projection across shuffle-partitions cores before the explode —
-    the operator's only payload-bearing exchange, there purely for
-    parallelism when the input arrives in fewer splits than cores
-    (single parquet file locally; coalesced scans). At 100TB the scan
-    is naturally split — pass spread=False and the operator moves
-    ZERO payload bytes across the wire. tests/test_traindata.py pins
-    both properties (exactly-one / zero payload exchanges).
+    ``spread`` round-robins the (doc_id, text) projection across
+    shuffle-partitions cores before the explode — the operator's only
+    payload-bearing exchange, there purely for parallelism when the
+    input arrives in fewer splits than cores (single parquet file
+    locally; coalesced scans). The default (None) DERIVES it: spread
+    only if the input's split count is below the shuffle parallelism —
+    so a naturally-split 100TB scan compiles to the zero-payload plan
+    with no caller flag, and the single-file bench input still spreads.
+    Explicit True/False overrides. tests/test_traindata.py pins all
+    three properties (exactly-one / zero / derived-adds-none payload
+    exchanges).
     """
     if k < 1:
         raise ValueError(f"duplicate_span_stats: k must be >= 1, got {k}")
+    n_part = _shuffle_partitions(docs)
     d = docs.select("doc_id", text_col)
+    if spread is None:
+        spread = _derive_spread(d, n_part)
     if spread:
-        n_part = int(
-            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
         d = d.repartition(n_part)
     d = d.withColumn("_toks", tokens(F.col(text_col)))
     # POSITIONAL k-gram windows (NOT distinct — every position counts)
@@ -804,4 +850,124 @@ def duplicate_span_stats(
             ),
             4,
         ).alias("dup_span_frac"),
+    )
+
+
+def duplicate_span_removals(
+    docs: DataFrame,
+    k: int = 3,
+    min_docs: int = 2,
+    text_col: str = "text",
+    spread: bool | None = None,
+) -> DataFrame:
+    """Per-doc REMOVED token positions under exact-substring span dedup
+    (the remedy of Lee et al. 2021 that duplicate_span_stats only
+    measures): a k-token window whose text occurs in >= ``min_docs``
+    documents survives ONLY in the lowest-doc_id document containing it
+    (the corpus-wide first occurrence — line_dedup's winner rule at
+    span granularity); in every other document, all k token positions
+    it covers are marked removed.
+
+    Returns (doc_id, rm) for docs with at least one removed position —
+    rm = sorted distinct 1-based token positions to drop. This is the
+    ids+ints verdict table duplicate_span_trim joins back onto the
+    corpus; it is exposed separately so a caller can trim, audit, or
+    gate on it without re-deriving.
+
+    100TB shape: same linear explode as duplicate_span_stats, but the
+    shared-window multiplicity/winner comes from an ordinary
+    groupBy(sh) aggregation joined back on the hash — NOT a window
+    over sh: a boilerplate window shared by a large fraction of docs
+    would make the window-exec partition a straggler, while groupBy
+    partial-aggregates map-side (round-5 ADVICE skew note). Every
+    exchange after the optional spread carries (md5, id, int-list)
+    scalars; token text never shuffles.
+    """
+    if k < 1:
+        raise ValueError(f"duplicate_span_removals: k must be >= 1, got {k}")
+    n_part = _shuffle_partitions(docs)
+    d = docs.select("doc_id", text_col)
+    if spread is None:
+        spread = _derive_spread(d, n_part)
+    if spread:
+        d = d.repartition(n_part)
+    d = d.withColumn("_toks", tokens(F.col(text_col)))
+    spans = d.select(
+        "doc_id",
+        F.when(F.size("_toks") >= k, _ngram_windows(F.col("_toks"), k))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_spans"),
+    )
+    keyed = spans.select(
+        "doc_id", F.posexplode("_spans").alias("wpos0", "span")
+    ).select(
+        "doc_id",
+        (F.col("wpos0") + 1).alias("wpos"),  # 1-based window position
+        F.md5("span").alias("sh"),
+    )
+    # per-(window, doc) rows carry the doc's positions for that window;
+    # multiplicity (distinct docs) and the winner fall out of ONE
+    # ordinary groupBy over these already-unique rows
+    per = keyed.groupBy("sh", "doc_id").agg(F.collect_list("wpos").alias("poss"))
+    shs = per.groupBy("sh").agg(
+        F.count(F.lit(1)).alias("nd"), F.min("doc_id").alias("win")
+    )
+    losers = (
+        per.join(shs, "sh")
+        .filter((F.col("nd") >= min_docs) & (F.col("doc_id") != F.col("win")))
+        .select("doc_id", F.explode("poss").alias("wpos"))
+    )
+    return losers.groupBy("doc_id").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.sequence(F.col("wpos"), F.col("wpos") + F.lit(k - 1))
+                    )
+                )
+            )
+        ).alias("rm")
+    )
+
+
+def duplicate_span_trim(
+    docs: DataFrame,
+    k: int = 3,
+    min_docs: int = 2,
+    text_col: str = "text",
+    spread: bool | None = None,
+) -> DataFrame:
+    """Exact-substring span dedup (Lee et al. 2021's actual remedy —
+    duplicate_span_stats measures the signal, this removes it): drop
+    every token covered by a corpus-duplicated k-window the doc is not
+    the first occurrence of (see duplicate_span_removals for the winner
+    rule), and reassemble the survivors in original order.
+
+    Returns (doc_id, text, n_tokens_kept, n_tokens_removed) for EVERY
+    input doc. Reassembly joins surviving tokens with single spaces —
+    the operator is whitespace-normalizing by construction (token
+    positions, not byte offsets, are the dedup unit), exactly like
+    line_dedup reassembles from trimmed lines.
+
+    100TB shape: the span pipeline communicates (md5, id, positions)
+    scalars only (duplicate_span_removals); the verdict rejoins the
+    corpus as an ids+int-array broadcast-or-hash equi-join on doc_id;
+    the trim itself is a per-row lambda over the already-scanned token
+    array. Text is scanned twice (span derivation + reassembly) and
+    shuffled never.
+    """
+    rm = duplicate_span_removals(
+        docs, k=k, min_docs=min_docs, text_col=text_col, spread=spread
+    )
+    base = docs.select("doc_id", tokens(F.col(text_col)).alias("_toks"))
+    kept = F.when(
+        F.col("rm").isNull(), F.col("_toks")
+    ).otherwise(
+        F.filter("_toks", lambda x, i: ~F.array_contains(F.col("rm"), i + 1))
+    )
+    return base.join(rm, "doc_id", "left").select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("text"),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+        F.coalesce(F.size("rm"), F.lit(0)).cast("long").alias("n_tokens_removed"),
     )

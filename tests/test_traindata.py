@@ -557,7 +557,9 @@ def test_dup_span_stats_plan_single_linear_payload_exchange(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
 
-    df = duplicate_span_stats(docs, k=3, min_docs=2)  # spread=True
+    # derived default: the single-file input has fewer splits than
+    # shuffle partitions, so the spread kicks in with no caller flag
+    df = duplicate_span_stats(docs, k=3, min_docs=2)
     payload = [
         ln for ln in _exchange_inputs(df, spark)
         if "text#" in ln or "span#" in ln or "_toks#" in ln
@@ -573,6 +575,16 @@ def test_dup_span_stats_plan_single_linear_payload_exchange(spark):
         if "text#" in ln or "span#" in ln or "_toks#" in ln
     ]
     assert payload0 == [], payload0
+
+    # derived default on a many-split input (the 100TB scan stand-in):
+    # the operator must add NO payload exchange of its own — the only
+    # one in the plan is the caller's own repartition
+    df32 = duplicate_span_stats(docs.repartition(32), k=3, min_docs=2)
+    payload32 = [
+        ln for ln in _exchange_inputs(df32, spark)
+        if "text#" in ln or "span#" in ln or "_toks#" in ln
+    ]
+    assert len(payload32) == 1, payload32
 
 
 def test_seq_cosine_udf_bit_identical_to_expression(spark):
