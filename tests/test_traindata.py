@@ -539,6 +539,21 @@ def test_curated_corpus_v4_plan_lineage_cut(spark):
     assert len(plan.splitlines()) < 4000, len(plan.splitlines())
 
 
+def test_curated_corpus_v5_plan_lineage_cut(spark):
+    """v5 carries v4's lineage-cut pin: downstream compiles against the
+    materialized gate leaf (ExistingRDD), re-scans no files, bounded
+    plan size. (Trim SEMANTICS are covered by the driver oracle's
+    end-to-end hash and the builder's in-run branch-count raise; the
+    dedicated operator tests cover duplicate_span_trim itself.)"""
+    from logpipe.plans.driver_queries import curated_corpus_v5
+
+    df = curated_corpus_v5(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan  # the materialized gate leaf
+    assert plan.count("FileScan") == 0  # nothing re-reads the input
+    assert len(plan.splitlines()) < 4000, len(plan.splitlines())
+
+
 def test_dup_span_stats_plan_single_linear_payload_exchange(spark):
     """duplicate_span_stats is ONE linear chain: with spread=True its
     only payload-bearing exchange is the round-robin scan-spread (there
@@ -585,6 +600,47 @@ def test_dup_span_stats_plan_single_linear_payload_exchange(spark):
         if "text#" in ln or "span#" in ln or "_toks#" in ln
     ]
     assert len(payload32) == 1, payload32
+
+
+def test_duplicate_span_trim_semantics(spark):
+    """Winner rule on a hand-checkable corpus: a k-window shared by >=
+    min_docs docs survives only in the lowest-doc_id doc; losers drop
+    every covered token and reassemble in order (whitespace-normalized).
+    Docs with < k tokens or no shared windows pass through."""
+    from logpipe.traindata.dedup import duplicate_span_trim
+    from logpipe.traindata.textstats import token_count
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),        # winner of 'a b c'/'b c d': untouched
+            (1, "x y a b c d q"),      # loses windows at pos 3,4 -> 'x y q'
+            (2, "a b c z z z"),        # loses pos 1 -> 'z z z'
+            (3, "one two"),            # < k tokens: untouched
+            (4, ""),                   # empty: stays empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens_kept"], r["n_tokens_removed"])
+        for r in duplicate_span_trim(docs, k=3, min_docs=2).collect()
+    }
+    assert got == {
+        0: ("a b c d e f", 6, 0),
+        1: ("x y q", 3, 4),
+        2: ("z z z", 3, 3),
+        3: ("one two", 2, 0),
+        4: ("", 0, 0),
+    }
+    # invariant on real data: kept + removed == the doc's token count
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = duplicate_span_trim(real, k=3, min_docs=2)
+    bad = (
+        out.join(real.select("doc_id", token_count(F.col("text")).alias("nt")),
+                 "doc_id")
+        .filter(F.col("n_tokens_kept") + F.col("n_tokens_removed") != F.col("nt"))
+        .count()
+    )
+    assert bad == 0
 
 
 def test_seq_cosine_udf_bit_identical_to_expression(spark):
