@@ -44,13 +44,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # (3 passes x ~180s of entries + skew extras) risks outliving the
 # grading driver's bench window. Light entries keep the full min-of-N.
 HEAVY_PASS_CAP = {
-    # v3/v4 are kept ONE more round each for the v5 comparison (the
-    # subsumption ladder v2->v3->v4->v5); v2 and the v3/v4 reduced-sf
-    # points are retired — the composed-DAG sf-pair signal now comes
+    # v4 is kept ONE more round for the v5 comparison (the subsumption
+    # ladder v2->v3->v4->v5), min-of-2 matching its r5 protocol; v2,
+    # v3 and the v3/v4 reduced-sf points are retired — v3's 1-pass
+    # entry alone cost 110s of a 297s sweep (its retirement datum, r6
+    # pre-commit sweep) and the composed-DAG sf-pair signal now comes
     # from v5 (round-5 verdict task 5: >half the r5 sweep wall measured
     # superseded DAGs)
-    "curated_corpus_v3": 1,
-    "curated_corpus_v4": 1,
+    "curated_corpus_v4": 2,
     "curated_corpus_v5": 2,
     "curated_corpus_v5_sf0_01": 2,
     "simhash_near_dups_10x": 2,
@@ -88,7 +89,6 @@ HEADLINE = [
     ("cosine_lsh_near_dups", "noop"),
     ("cosine_lsh_near_dups_prod", "noop"),
     ("session_gap_stats", "noop"),
-    ("curated_corpus_v3", "collect"),
     ("curated_corpus_v4", "collect"),
     ("curated_corpus_v5", "collect"),
     ("curated_corpus_v5_sf0_01", "collect"),
