@@ -2665,9 +2665,16 @@ def _curated_corpus_dag(
         # rejoin): materialize it so the normalize/blocklist head runs
         # once, then release it as soon as the gated frame lands
         nb = materialize(nb)
+        span_held: list[DataFrame] = []
         trimmed = materialize(
-            duplicate_span_trim(nb.select("doc_id", "text"), k=3, min_docs=2)
+            duplicate_span_trim(
+                nb.select("doc_id", "text"), k=3, min_docs=2,
+                _materialized=span_held,
+            )
         )
+        # trim's internal per-(window, doc) checkpoint is dead once the
+        # trimmed table is materialized
+        release(*span_held)
         tot = (F.col("n_tokens_kept") + F.col("n_tokens_removed")).cast("double")
         # try_divide: ANSI mode throws on double x/0.0; NULL -> 0.0
         # matches the oracle's nullif/coalesce exactly (int-over-int

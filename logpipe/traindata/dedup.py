@@ -792,6 +792,17 @@ def duplicate_span_stats(
       scan of the text, no verdict join]
       -> left join back to docs ids (restores < k-token docs).
 
+    Known skew ceiling (round-5 ADVICE): the window count buffers one
+    hash's (sh, doc) rows in a single window task, so a boilerplate
+    k-gram present in a large fraction of docs becomes a spill-backed
+    straggler. The groupBy(sh)+join-back alternative is AQE-skew-
+    splittable but makes Catalyst duplicate the scan subtree per
+    consumer unless the per-(window, doc) table is materialized — the
+    shape duplicate_span_removals implements (it needs that table
+    anyway for position lists). Boilerplate-heavy corpora should gate
+    on removals/trim; this operator stays the zero-materialization
+    single-pass statistic.
+
     Earlier formulations both lost at scale: a branching DAG (keyed
     feeding a shared-table groupBy AND a verdict semi-join) makes
     Catalyst duplicate the scan subtree per consumer — three text
@@ -853,38 +864,18 @@ def duplicate_span_stats(
     )
 
 
-def duplicate_span_removals(
+def _span_position_table(
     docs: DataFrame,
-    k: int = 3,
-    min_docs: int = 2,
+    k: int,
     text_col: str = "text",
     spread: bool | None = None,
 ) -> DataFrame:
-    """Per-doc REMOVED token positions under exact-substring span dedup
-    (the remedy of Lee et al. 2021 that duplicate_span_stats only
-    measures): a k-token window whose text occurs in >= ``min_docs``
-    documents survives ONLY in the lowest-doc_id document containing it
-    (the corpus-wide first occurrence — line_dedup's winner rule at
-    span granularity); in every other document, all k token positions
-    it covers are marked removed.
-
-    Returns (doc_id, rm) for docs with at least one removed position —
-    rm = sorted distinct 1-based token positions to drop. This is the
-    ids+ints verdict table duplicate_span_trim joins back onto the
-    corpus; it is exposed separately so a caller can trim, audit, or
-    gate on it without re-deriving.
-
-    100TB shape: same linear explode as duplicate_span_stats, but the
-    shared-window multiplicity/winner comes from an ordinary
-    groupBy(sh) aggregation joined back on the hash — NOT a window
-    over sh: a boilerplate window shared by a large fraction of docs
-    would make the window-exec partition a straggler, while groupBy
-    partial-aggregates map-side (round-5 ADVICE skew note). Every
-    exchange after the optional spread carries (md5, id, int-list)
-    scalars; token text never shuffles.
-    """
-    if k < 1:
-        raise ValueError(f"duplicate_span_removals: k must be >= 1, got {k}")
+    """LAZY per-(window, doc) position table: (sh=md5(window), doc_id,
+    poss=[1-based window positions]). One linear chain — tokens,
+    positional windows, explode, groupBy (sh, doc) — whose only
+    payload-bearing exchange is the derived spread; every hash exchange
+    carries (md5, id, int-list) scalars. Exposed for plan pinning;
+    duplicate_span_removals materializes it before branching."""
     n_part = _shuffle_partitions(docs)
     d = docs.select("doc_id", text_col)
     if spread is None:
@@ -905,10 +896,56 @@ def duplicate_span_removals(
         (F.col("wpos0") + 1).alias("wpos"),  # 1-based window position
         F.md5("span").alias("sh"),
     )
-    # per-(window, doc) rows carry the doc's positions for that window;
-    # multiplicity (distinct docs) and the winner fall out of ONE
-    # ordinary groupBy over these already-unique rows
-    per = keyed.groupBy("sh", "doc_id").agg(F.collect_list("wpos").alias("poss"))
+    return keyed.groupBy("sh", "doc_id").agg(
+        F.collect_list("wpos").alias("poss")
+    )
+
+
+def duplicate_span_removals(
+    docs: DataFrame,
+    k: int = 3,
+    min_docs: int = 2,
+    text_col: str = "text",
+    spread: bool | None = None,
+    _materialized: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Per-doc REMOVED token positions under exact-substring span dedup
+    (the remedy of Lee et al. 2021 that duplicate_span_stats only
+    measures): a k-token window whose text occurs in >= ``min_docs``
+    documents survives ONLY in the lowest-doc_id document containing it
+    (the corpus-wide first occurrence — line_dedup's winner rule at
+    span granularity); in every other document, all k token positions
+    it covers are marked removed.
+
+    Returns (doc_id, rm) for docs with at least one removed position —
+    rm = sorted distinct 1-based token positions to drop. This is the
+    ids+ints verdict table duplicate_span_trim joins back onto the
+    corpus; it is exposed separately so a caller can trim, audit, or
+    gate on it without re-deriving.
+
+    100TB shape: same linear explode as duplicate_span_stats into the
+    per-(window, doc) position table, which is then MATERIALIZED
+    (mode-injectable, logpipe.materialize — this makes construction
+    eager) before the multiplicity/winner branch: the winner aggregate
+    and the loser join both consume it, and without the cut Catalyst
+    re-expands the whole text pipeline per consumer (measured: two
+    full scans, zero ReusedExchange). Multiplicity/winner then come
+    from an ordinary groupBy(sh) joined back on the hash — NOT a
+    window over sh: a boilerplate window shared by a large fraction of
+    docs would make the window-exec partition a one-task straggler,
+    while the sort-merge join back streams and AQE can skew-split it
+    (round-5 ADVICE skew note). ``_materialized`` collects the
+    internal checkpoint for callers that release it once their own
+    materialization lands (v5's gate; same pattern as
+    minhash_lsh_pairs).
+    """
+    if k < 1:
+        raise ValueError(f"duplicate_span_removals: k must be >= 1, got {k}")
+    per = materialize(
+        _span_position_table(docs, k, text_col=text_col, spread=spread)
+    )
+    if _materialized is not None:
+        _materialized.append(per)
     shs = per.groupBy("sh").agg(
         F.count(F.lit(1)).alias("nd"), F.min("doc_id").alias("win")
     )
@@ -936,6 +973,7 @@ def duplicate_span_trim(
     min_docs: int = 2,
     text_col: str = "text",
     spread: bool | None = None,
+    _materialized: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Exact-substring span dedup (Lee et al. 2021's actual remedy —
     duplicate_span_stats measures the signal, this removes it): drop
@@ -961,7 +999,8 @@ def duplicate_span_trim(
     verdict rejoin in this package.
     """
     rm = duplicate_span_removals(
-        docs, k=k, min_docs=min_docs, text_col=text_col, spread=spread
+        docs, k=k, min_docs=min_docs, text_col=text_col, spread=spread,
+        _materialized=_materialized,
     )
     base = docs.select("doc_id", tokens(F.col(text_col)).alias("_toks"))
     kept = F.when(

@@ -140,6 +140,13 @@ def pack_chunks(
     runs per bucket. When a `copy` column is present (mixture_sample
     output), it joins the ordering key so repeated rows pack
     deterministically.
+
+    SCALE: packing parallelism IS n_buckets — each bucket's running
+    sum is one sorted window task. The default 8 fits the bench
+    corpus; a cluster run must set n_buckets to O(total cores) so no
+    task sorts more than ~corpus/n_buckets rows (buckets are
+    hash-assigned, so chunk semantics per bucket are unchanged by the
+    bucket count).
     """
     b = F.pmod(_hash_u32(F.col("doc_id"), "pack"), F.lit(n_buckets))
     d = docs.withColumn("bucket", b).withColumn(

@@ -65,14 +65,17 @@ QUERIES = [
     ),
     (
         "dup_span_trim",
-        "the span pipeline exchanges (md5, doc_id, positions) scalars "
-        "only — groupBy (hash, doc) with partial agg, winner/"
-        "multiplicity via an ordinary groupBy(hash) joined back on the "
-        "hash (skew-safe vs a window over a boilerplate hash), loser "
-        "positions collapse per doc; the verdict rejoins the corpus as "
-        "an ids+int-array equi-join (broadcast at this scale; bucketed "
-        "co-location at 100TB) and the trim itself is a per-row array "
-        "filter. Text is scanned twice.",
+        "the per-(window, doc) position table is materialize()d before "
+        "the winner/loser branch (the ExistingRDD leaf — without the "
+        "cut Catalyst re-expands the span pipeline per consumer: two "
+        "full text scans, zero ReusedExchange); winner/multiplicity "
+        "via an ordinary groupBy(hash) joined back on the hash "
+        "(AQE-skew-splittable vs a window over a boilerplate hash "
+        "buffering one task), loser positions collapse per doc; the "
+        "verdict rejoins the corpus as an ids+int-array equi-join "
+        "(broadcast at this scale; bucketed co-location at 100TB) and "
+        "the trim itself is a per-row array filter. ONE FileScan in "
+        "the final plan — the reassembly's own text scan.",
     ),
     (
         "dup_span_stats",

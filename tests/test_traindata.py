@@ -602,6 +602,40 @@ def test_dup_span_stats_plan_single_linear_payload_exchange(spark):
     assert len(payload32) == 1, payload32
 
 
+def test_span_trim_plan_materialized_branch_point(spark):
+    """duplicate_span_removals/trim must NOT re-expand the span
+    pipeline per consumer: the per-(window, doc) scalar table is
+    materialized before the winner/loser branch, so the lazy subtree
+    (pinned here) carries the only payload exchange (the derived
+    spread) and the FINAL trim plan reads the checkpoint leaf — exactly
+    one FileScan (the reassembly's own text scan) and zero payload
+    HASH exchanges."""
+    from logpipe.traindata.dedup import (
+        _span_position_table,
+        duplicate_span_trim,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+    sub = _span_position_table(docs, 3)  # lazy; derived spread fires
+    payload = [
+        ln for ln in _exchange_inputs(sub, spark)
+        if "text#" in ln or "span#" in ln or "_toks#" in ln
+    ]
+    assert len(payload) == 1, payload
+    sub0 = _span_position_table(docs, 3, spread=False)
+    payload0 = [
+        ln for ln in _exchange_inputs(sub0, spark)
+        if "text#" in ln or "span#" in ln or "_toks#" in ln
+    ]
+    assert payload0 == [], payload0
+
+    df = duplicate_span_trim(docs, k=3, min_docs=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan  # the materialized branch point
+    assert plan.count("FileScan") == 1, plan.count("FileScan")
+
+
 def test_duplicate_span_trim_semantics(spark):
     """Winner rule on a hand-checkable corpus: a k-window shared by >=
     min_docs docs survives only in the lowest-doc_id doc; losers drop
