@@ -707,11 +707,20 @@ def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     whose lines all lost becomes an empty text, n_lines_kept = 0) —
     keeping the row lets callers decide drop-vs-keep downstream.
 
-    100TB shape: lines explode once; the winner table groups on
-    md5(line) (map-side partial agg) and carries (hash, winner-id)
-    scalars only; the verdict re-join is an equi-join on that hash; the
-    final reassembly groups on doc_id. Line TEXT rides only its own
-    doc's explode/reassemble path — never a cross-doc exchange.
+    100TB shape: the winner table groups on md5(line) (map-side
+    partial agg) and carries (hash, winner-id) scalars only; the
+    verdict re-join is an equi-join on that hash; the final reassembly
+    groups on doc_id. Honest accounting (round-6 plan audit): the line
+    explode COMPILES twice — winners subtree + kept subtree, no
+    reusable exchange — i.e. 2x split/explode compute, the deliberate
+    trade against materializing a corpus-sized exploded intermediate
+    (the trim operator materializes its branch point because that
+    table is hashes+ints; this one would be the text itself). Line
+    text crosses (a) the lh verdict join once winners outgrows
+    broadcast (sort-merge, AQE-skew-splittable — chosen over a window
+    on lh, which would buffer a boilerplate line's rows in one task)
+    and (b) the per-doc reassembly exchange — both sized by the line
+    table, neither cross-doc-multiplying.
     """
     lines = docs.select(
         "doc_id",

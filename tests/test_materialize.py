@@ -104,6 +104,23 @@ def test_clustering_releases_iteration_checkpoints(spark, docs):
     )
 
 
+def test_iterative_clustering_reliable_mode(spark, docs):
+    """The weakest helper path — reliable checkpoints inside an
+    ITERATIVE operator (per-round label tables, convergence counts,
+    release() as a no-op on checkpoint files) — must produce the
+    identical clustering. This is the cluster-deployment configuration
+    the mode knob exists for."""
+    from logpipe.traindata.dedup import near_dup_clusters
+
+    local = _rows(near_dup_clusters(docs, n=2, k=32, bands=8, threshold=0.3))
+    spark.conf.set(MODE_CONF, "reliable")
+    try:
+        rel = _rows(near_dup_clusters(docs, n=2, k=32, bands=8, threshold=0.3))
+    finally:
+        spark.conf.unset(MODE_CONF)
+    assert rel == local
+
+
 def test_invalid_mode_rejected(spark):
     with pytest.raises(ValueError):
         materialize(spark.range(3), mode="bogus")
