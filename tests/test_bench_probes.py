@@ -1,0 +1,58 @@
+"""bench.py's deviation-probe machinery (round-5 verdict task 6) —
+pure logic, no Spark: prior-round parsing handles both the raw bench
+JSON line and the driver's wrapped shape, and _fresh_probes fires only
+beyond the 1.5x band, records heavy entries without spawning a JVM,
+and re-probes light ones in a subprocess."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def test_prior_round_timings_handles_wrapped_shape(tmp_path, monkeypatch):
+    raw = {"queries": {"q1": 1.0}}
+    wrapped = {"n": 1, "rc": 0, "parsed": {"queries": {"q1": 2.5}}}
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps(raw))
+    (tmp_path / "BENCH_r08.json").write_text(json.dumps(wrapped))
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    got = bench._prior_round_timings()
+    # r08 is the latest round and its wrapped "parsed" block wins
+    assert got == {"q1": 2.5}
+
+
+def test_fresh_probes_band_and_heavy_skip(monkeypatch):
+    monkeypatch.setattr(
+        bench, "_prior_round_timings",
+        lambda: {"light_ok": 1.0, "light_dev": 1.0, "heavy_dev": 20.0,
+                 "zero": 0.0},
+    )
+    calls = []
+
+    class FakeOut:
+        stdout = json.dumps({"name": "light_dev", "fresh_min_sec": 1.1})
+
+    def fake_run(cmd, **kw):
+        calls.append(cmd)
+        return FakeOut()
+
+    import subprocess
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    probes = bench._fresh_probes(
+        {
+            "light_ok": 1.2,      # x1.2 — inside the band, no probe
+            "light_dev": 2.0,     # x2.0 — probed in a fresh JVM
+            "heavy_dev": 40.0,    # x2.0 but heavy — recorded, not probed
+            "zero": 0.5,          # prior 0.0 — skipped (no ratio)
+            "new_entry": 3.0,     # no prior — skipped
+        }
+    )
+    assert set(probes) == {"light_dev", "heavy_dev"}
+    assert probes["light_dev"]["fresh_session_min3_sec"] == 1.1
+    assert probes["light_dev"]["ratio"] == 2.0
+    assert probes["heavy_dev"]["fresh_session_min3_sec"] is None
+    assert "probe cap" in probes["heavy_dev"]["skipped"]
+    # exactly one subprocess spawned (the light deviator)
+    assert len(calls) == 1 and "--probe" in calls[0]
