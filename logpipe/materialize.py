@@ -31,9 +31,12 @@ recomputing. This module makes the strategy a deployment knob:
 - ``persist``: ``persist(MEMORY_AND_DISK)`` + eager count. Keeps
   lineage (recomputable after executor loss, no checkpoint write) but
   does NOT truncate the logical plan — composed DAGs that need the
-  plan-size cut (curated_corpus_v4/v5's gate) should not run in this
-  mode; it exists for callers that want recoverability without a
-  checkpoint dir and whose plans stay small.
+  plan-size cut must not run in this mode: measured on
+  curated_corpus_v5's gate, merely BUILDING the cache OOMs the driver
+  heap (CachedRDDBuilder.cachedName stringifies the full tree) even
+  at sf0.001, so the curation gates reject persist with a ValueError.
+  It exists for callers that want recoverability without a checkpoint
+  dir and whose plans stay small.
 
 ``release()`` frees a materialized frame's storage once every consumer
 is done with it — the round-5 ADVICE finding: eager checkpoints pinned

@@ -2657,6 +2657,21 @@ def _curated_corpus_dag(
     nb = ts.domain_blocklist_filter(nrm, list(_BLOCKLIST))
     if span_gate_frac is not None and span_trim_band is not None:
         raise ValueError("span_gate_frac and span_trim_band are exclusive")
+    if span_gate_frac is not None or span_trim_band is not None:
+        from logpipe.materialize import materialize_mode
+
+        # measured, not theoretical: persist keeps the gate's full
+        # logical tree inside InMemoryRelation, and merely BUILDING the
+        # cache (CachedRDDBuilder.cachedName stringifies the plan)
+        # OOMs the driver heap on this composed DAG even at sf0.001 —
+        # fail with the reason instead
+        if materialize_mode(spark) == "persist":
+            raise ValueError(
+                "curated corpus span gates need a checkpoint materialize "
+                "mode (local/reliable): persist does not truncate the "
+                "logical plan and the composed DAG OOMs the driver "
+                "stringifying it (set spark.logpipe.materialize.mode)"
+            )
     if span_trim_band is not None:
         from logpipe.materialize import materialize, release
 

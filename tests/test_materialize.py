@@ -121,6 +121,42 @@ def test_iterative_clustering_reliable_mode(spark, docs):
     assert rel == local
 
 
+def test_curated_corpus_v5_reliable_mode(spark):
+    """The full composed curation DAG — three materialize() sites (nb,
+    the trim table, the gated corpus) plus the clustering iterations in
+    its tail — under RELIABLE checkpoints: identical per-bucket stats,
+    and the lineage-cut pin (checkpoint leaf, zero downstream
+    FileScans) holds in this mode too."""
+    from logpipe.plans.driver_queries import curated_corpus_v5
+
+    local = _rows(curated_corpus_v5(spark, "/root/testdata/sf0.001"))
+    spark.conf.set(MODE_CONF, "reliable")
+    try:
+        df = curated_corpus_v5(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan
+        assert plan.count("FileScan") == 0
+        assert _rows(df) == local
+    finally:
+        spark.conf.unset(MODE_CONF)
+
+
+def test_curated_corpus_span_gates_reject_persist(spark):
+    """persist does not truncate the logical plan, and on the composed
+    span-gated DAG merely BUILDING the cache OOMs the driver heap
+    (CachedRDDBuilder stringifies the full tree) — the builders fail
+    fast with the reason instead of OOMing. Raises BEFORE any job."""
+    from logpipe.plans.driver_queries import curated_corpus_v4, curated_corpus_v5
+
+    spark.conf.set(MODE_CONF, "persist")
+    try:
+        for builder in (curated_corpus_v4, curated_corpus_v5):
+            with pytest.raises(ValueError, match="checkpoint materialize"):
+                builder(spark, "/root/testdata/sf0.001")
+    finally:
+        spark.conf.unset(MODE_CONF)
+
+
 def test_invalid_mode_rejected(spark):
     with pytest.raises(ValueError):
         materialize(spark.range(3), mode="bogus")
