@@ -425,9 +425,13 @@ def _bench_queries(spark, driver_queries) -> dict:
     """Registry queries + bench-local entries (slope points, retired
     DAG generations kept for round-over-round comparability)."""
     qs = dict(driver_queries.queries())
-    # v3/v4 left the 50-slot driver registry (subsumed by v5) but stay
-    # benched one more round each for the subsumption-ladder comparison
-    qs["curated_corpus_v3"] = driver_queries.curated_corpus_v3
+    # v4 left the 50-slot driver registry (subsumed by v5) but stays
+    # benched one more round for the subsumption-ladder comparison. v3
+    # (two generations superseded) is retired from the sweep — its
+    # final comparability numbers are committed as
+    # BENCH/r6_local_sweep_with_v3.json; only its compile wall is
+    # still tracked (_compile_walls), since that datum is cheap and
+    # plan-size-controlled rather than data-dependent.
     qs["curated_corpus_v4"] = driver_queries.curated_corpus_v4
     qs["curated_corpus_v5_sf0_01"] = _curated_v5_sf0_01
     qs["dedup_exact"] = _dedup_exact
@@ -511,49 +515,58 @@ def _prior_round_timings() -> dict:
 def _fresh_probes(timings: dict) -> dict:
     """Fresh-JVM min-of-3 re-probes for entries whose in-sweep min
     deviates >1.5x (either direction) from the prior committed round.
-    Heavy entries (in-sweep > PROBE_SKIP_SEC) and at most PROBE_MAX
-    probes bound the extra wall."""
+    Every deviation is RECORDED; only light, single-query-probeable
+    entries spawn a JVM. At most PROBE_MAX probes are spawned (skip
+    records don't count toward the budget, so heavy deviators can't
+    starve light ones of their probe), heavy entries (in-sweep >
+    PROBE_SKIP_SEC) are recorded without a probe, and
+    interleave-protocol entries (flagship_sinks_*, not in HEADLINE /
+    _bench_queries) are recorded without a probe — a fresh
+    back-to-back min-of-3 is exactly the drift-dominated protocol the
+    interleave replaced."""
     import subprocess
 
     prior = _prior_round_timings()
+    probeable = set(dict(HEADLINE))
     probes: dict = {}
+    spawned = 0
     for name, now in timings.items():
-        if len(probes) >= PROBE_MAX:
-            break
         was = prior.get(name)
         if not was or not now:
             continue
         ratio = now / was
         if 1 / 1.5 <= ratio <= 1.5:
             continue
-        if now > PROBE_SKIP_SEC:
-            # too heavy to re-probe in a fresh JVM, but the deviation
-            # still belongs in the artifact (heavy composed entries'
-            # min-of-1/2 inherits the full host-steal spread)
-            probes[name] = {
-                "prior_round_sec": was,
-                "in_sweep_sec": now,
-                "ratio": round(ratio, 3),
-                "fresh_session_min3_sec": None,
-                "skipped": f"in-sweep wall > {PROBE_SKIP_SEC}s probe cap",
-            }
-            continue
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--probe", name],
-                capture_output=True, text=True, timeout=600,
-                env=os.environ.copy(),
-            )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")]
-            fresh = json.loads(line[-1])["fresh_min_sec"] if line else None
-        except (subprocess.TimeoutExpired, ValueError, KeyError, IndexError):
-            fresh = None
-        probes[name] = {
+        rec = {
             "prior_round_sec": was,
             "in_sweep_sec": now,
             "ratio": round(ratio, 3),
-            "fresh_session_min3_sec": fresh,
+            "fresh_session_min3_sec": None,
         }
+        if name not in probeable:
+            rec["skipped"] = "interleave-protocol entry (no single-query probe)"
+        elif now > PROBE_SKIP_SEC:
+            # too heavy to re-probe in a fresh JVM, but the deviation
+            # still belongs in the artifact (heavy composed entries'
+            # min-of-1/2 inherits the full host-steal spread)
+            rec["skipped"] = f"in-sweep wall > {PROBE_SKIP_SEC}s probe cap"
+        elif spawned >= PROBE_MAX:
+            rec["skipped"] = f"probe budget ({PROBE_MAX} spawns) exhausted"
+        else:
+            spawned += 1
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--probe", name],
+                    capture_output=True, text=True, timeout=600,
+                    env=os.environ.copy(),
+                )
+                line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+                rec["fresh_session_min3_sec"] = (
+                    json.loads(line[-1])["fresh_min_sec"] if line else None
+                )
+            except (subprocess.TimeoutExpired, ValueError, KeyError, IndexError):
+                pass
+        probes[name] = rec
     return probes
 
 

@@ -19,15 +19,23 @@ recomputing. This module makes the strategy a deployment knob:
 - ``local``   (default): ``df.localCheckpoint()`` — eager, blocks in
   executor storage (MEMORY_AND_DISK), lineage truncated. Right for
   single-node / sandbox runs; fastest.
-- ``reliable``: ``df.checkpoint(eager=True)`` against a real
-  checkpoint dir (``spark.logpipe.materialize.checkpointDir``, or a
-  driver-temp default that a cluster deployment MUST override with a
-  shared path, e.g. HDFS/S3). Survives executor loss; costs a write +
-  re-read of the materialized scalars. Note Spark's reliable
-  checkpoint computes the frame once for the eager count and once for
-  the checkpoint save — acceptable for the id/scalar tables this repo
-  checkpoints, all of which are tiny next to the corpus they derive
-  from.
+- ``reliable``: checkpoint against a real checkpoint dir
+  (``spark.logpipe.materialize.checkpointDir``, or a driver-temp
+  default that a cluster deployment MUST override with a shared path,
+  e.g. HDFS/S3). Survives executor loss; costs a write + re-read.
+  The frame is computed ONCE: a bare ``Dataset.checkpoint(eager=True)``
+  runs the plan twice (the eager count and the checkpoint save), which
+  matters because some call sites checkpoint corpus-sized text (the
+  curation span gates), not just id/scalar tables — so this mode
+  stages through a local checkpoint first and lets both checkpoint
+  jobs read the staged blocks, then frees them. The durability window
+  is the seconds between the two steps (a loss there fails the
+  materialize itself — retryable); after that the data is on shared
+  storage. ``release()`` deletes the checkpoint files (Spark never
+  cleans them during the session unless
+  ``spark.cleaner.referenceTracking.cleanCheckpoints`` is set, which
+  is GC-driven and off by default); the fabricated driver-temp
+  default dir is additionally removed at interpreter exit.
 - ``persist``: ``persist(MEMORY_AND_DISK)`` + eager count. Keeps
   lineage (recomputable after executor loss, no checkpoint write) but
   does NOT truncate the logical plan — composed DAGs that need the
@@ -36,7 +44,12 @@ recomputing. This module makes the strategy a deployment knob:
   heap (CachedRDDBuilder.cachedName stringifies the full tree) even
   at sf0.001, so the curation gates reject persist with a ValueError.
   It exists for callers that want recoverability without a checkpoint
-  dir and whose plans stay small.
+  dir and whose plans stay small. Call sites that NEED the plan cut —
+  iterative loops whose round-``i`` plan embeds round-``i-1``'s, so an
+  un-truncated plan doubles every round — pass ``lineage_cut=True``,
+  which swaps persist for a local checkpoint at that site (documented
+  fallback: those frames are per-round id/scalar tables, and the
+  alternative is exponential analyzer cost by ``max_iter`` 20).
 
 ``release()`` frees a materialized frame's storage once every consumer
 is done with it — the round-5 ADVICE finding: eager checkpoints pinned
@@ -95,20 +108,54 @@ def _ensure_checkpoint_dir(spark: SparkSession) -> None:
     if configured is None:
         # sandbox default; a cluster run MUST point this at shared
         # storage (HDFS/S3) or executor-written checkpoint files are
-        # unreadable across nodes
+        # unreadable across nodes. We fabricated this dir, so we also
+        # remove it at exit — Spark itself never does.
+        import atexit
+        import shutil
+
         configured = os.path.join(
             tempfile.gettempdir(), f"logpipe_ckpt_{os.getpid()}"
         )
+        atexit.register(shutil.rmtree, configured, ignore_errors=True)
     sc.setCheckpointDir(configured)
 
 
-def materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
+def _checkpoint_file(df: DataFrame) -> str | None:
+    """Path of the checkpoint backing a reliably-checkpointed frame
+    (its analyzed plan is a LogicalRDD over the checkpointed RDD)."""
+    try:
+        opt = df._jdf.queryExecution().analyzed().rdd().getCheckpointFile()
+        return opt.get() if opt.isDefined() else None
+    except Exception:  # plan shape drifted across Spark versions
+        return None
+
+
+def _delete_checkpoint(spark: SparkSession, path: str | None) -> None:
+    """Delete one checkpoint's files via the Hadoop FileSystem API (so
+    HDFS/S3 checkpoint dirs clean up the same way local ones do)."""
+    if not path:
+        return
+    jpath = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+
+
+def materialize(
+    df: DataFrame, mode: str | None = None, *, lineage_cut: bool = False
+) -> DataFrame:
     """Eagerly materialize ``df`` and truncate (or pin) its lineage,
     per the session's configured strategy. Returns the materialized
     frame; ``release()`` frees its storage when all consumers are done.
+
+    ``lineage_cut=True`` marks a site that REQUIRES plan truncation
+    (iterative loops — see the module docstring); in ``persist`` mode
+    such sites fall back to a local checkpoint, since persist keeps
+    the logical plan and the loop's plan would double every round.
     """
     spark = df.sparkSession
     mode = (mode or materialize_mode(spark)).lower()
+    if mode == "persist" and lineage_cut:
+        mode = "local"
     if mode == "persist":
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
         out.count()  # eager, matching checkpoint semantics
@@ -116,10 +163,16 @@ def materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
         return out
     if mode == "reliable":
         _ensure_checkpoint_dir(spark)
-        out = df.checkpoint(eager=True)
-        # checkpoint FILES are owned by the ContextCleaner / checkpoint
-        # dir lifecycle; there are no executor blocks to free
-        setattr(out, _RELEASE_ATTR, lambda: None)
+        # stage through a local checkpoint so the plan is computed once;
+        # both reliable-checkpoint jobs (count + save) read the staged
+        # blocks, which are freed as soon as the durable copy exists
+        before = persistent_rdd_ids(spark)
+        staged = df.localCheckpoint()
+        staged_ids = persistent_rdd_ids(spark) - before
+        out = staged.checkpoint(eager=True)
+        release_rdd_ids(spark, staged_ids)
+        ckpt = _checkpoint_file(out)
+        setattr(out, _RELEASE_ATTR, lambda: _delete_checkpoint(spark, ckpt))
         return out
     if mode == "local":
         before = persistent_rdd_ids(spark)
@@ -134,7 +187,8 @@ def release(*dfs: DataFrame) -> None:
     """Free the storage behind frames returned by ``materialize()``.
 
     A LOCAL-mode frame's data is unrecoverable after release (its
-    lineage was truncated) — only release frames no remaining consumer
+    lineage was truncated), and a RELIABLE-mode frame's checkpoint
+    files are deleted — only release frames no remaining consumer
     will touch. Frames not produced by ``materialize()`` are ignored.
     Idempotent per frame."""
     for df in dfs:

@@ -17,10 +17,11 @@ Numeric-parity rules used throughout (Spark double math vs DuckDB):
 EAGER GATES — construction is NOT side-effect free for every entry:
 `flagship_rules_route_counts` (runs four pipelines + parity asserts,
 returns collected rows), `streaming_route_counts` (runs a Structured
-Streaming query against a scratch dir), and `curated_corpus_v5` (the
-span gate materializes eagerly and raises on vacuous branches) all
-execute Spark jobs, and may raise, when the registry callable is
-invoked. Registry consumers that only want a PLAN must use the lazy
+Streaming query against a scratch dir), `curated_corpus_v5` (the
+span gate materializes eagerly and raises on vacuous branches), and
+`dup_span_trim` (materializes the per-(window, doc) span table before
+the removals join) all execute Spark jobs, and may raise, when the
+registry callable is invoked. Registry consumers that only want a PLAN must use the lazy
 helpers instead (`flagship_rules_frame`, the unregistered
 `curated_corpus_v3/v4` builders) — the pattern dump_plans.py follows.
 """
@@ -211,7 +212,13 @@ def flagship_rules_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         honor_k8s_exclude=True,
     )))
     replay = rows(_per_sink_agg(run_pipeline(
-        events_as_transcripts(ev).filter(F.col("conv_id").cast("long") % 25 != 0),
+        # coalesce-to-keep matches the join path's semantics for rows
+        # whose conv_id can't evaluate the rule (NULL / non-numeric):
+        # the join-based exclusion keeps dim misses (~coalesce(excl,
+        # False)), so the replay must keep NULL-predicate rows too
+        events_as_transcripts(ev).filter(
+            F.coalesce(F.col("conv_id").cast("long") % 25 != 0, F.lit(True))
+        ),
         events_k8s_meta(ev), events_tool_meta(ev),
     )))
     if excluded != replay:

@@ -366,6 +366,8 @@ def near_dup_clusters(
             .groupBy("dst")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # lineage_cut: round i's plan embeds round i-1's — without a
+        # real cut (persist keeps the plan) it doubles every round
         new = materialize(
             labels.join(nbr.withColumnRenamed("dst", "doc_id"), "doc_id", "left")
             .select(
@@ -373,7 +375,8 @@ def near_dup_clusters(
                 F.least(
                     F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
                 ).alias("cluster_id"),
-            )
+            ),
+            lineage_cut=True,
         )
         changed = (
             new.alias("a")
@@ -529,7 +532,9 @@ def star_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
         .distinct()
     )
     for _ in range(max_rounds):
-        new = materialize(small_star(large_star(e)))
+        # lineage_cut: each round's edge set is built from the previous
+        # round's — persist would let the plan double per round
+        new = materialize(small_star(large_star(e)), lineage_cut=True)
         converged = new.count() == e.count() and new.exceptAll(e).isEmpty()
         release(e)  # previous round's edge set is dead either way
         e = new

@@ -28,6 +28,13 @@ def test_fresh_probes_band_and_heavy_skip(monkeypatch):
         lambda: {"light_ok": 1.0, "light_dev": 1.0, "heavy_dev": 20.0,
                  "zero": 0.0},
     )
+    # the synthetic entries must look probeable (present in HEADLINE)
+    monkeypatch.setattr(
+        bench, "HEADLINE",
+        bench.HEADLINE
+        + [(n, "collect") for n in
+           ("light_ok", "light_dev", "heavy_dev", "zero", "new_entry")],
+    )
     calls = []
 
     class FakeOut:
@@ -56,3 +63,59 @@ def test_fresh_probes_band_and_heavy_skip(monkeypatch):
     assert "probe cap" in probes["heavy_dev"]["skipped"]
     # exactly one subprocess spawned (the light deviator)
     assert len(calls) == 1 and "--probe" in calls[0]
+
+
+def test_fresh_probes_interleaved_entries_recorded_not_spawned(monkeypatch):
+    """flagship_sinks_uniform/zipf are timed by the interleaved skew
+    protocol and have no _bench_queries entry — a spawned probe would
+    KeyError after a full Spark startup. Their deviations are recorded
+    with a skip reason, zero subprocesses."""
+    monkeypatch.setattr(
+        bench, "_prior_round_timings",
+        lambda: {"flagship_sinks_uniform": 1.0, "flagship_sinks_zipf": 1.0},
+    )
+    import subprocess
+
+    def boom(cmd, **kw):
+        raise AssertionError(f"no probe subprocess expected, got {cmd}")
+
+    monkeypatch.setattr(subprocess, "run", boom)
+    probes = bench._fresh_probes(
+        {"flagship_sinks_uniform": 2.0, "flagship_sinks_zipf": 0.4}
+    )
+    assert set(probes) == {"flagship_sinks_uniform", "flagship_sinks_zipf"}
+    for rec in probes.values():
+        assert rec["fresh_session_min3_sec"] is None
+        assert "interleave" in rec["skipped"]
+
+
+def test_fresh_probes_budget_counts_spawns_only(monkeypatch):
+    """PROBE_MAX bounds SPAWNED probes; skip records (heavy /
+    interleaved) must neither consume the budget nor get dropped once
+    it is exhausted — every deviator leaves evidence."""
+    light = [n for n, _ in bench.HEADLINE][: bench.PROBE_MAX + 1]
+    prior = {n: 1.0 for n in light}
+    prior["heavy_one"] = 20.0
+    monkeypatch.setattr(bench, "_prior_round_timings", lambda: prior)
+    monkeypatch.setattr(
+        bench, "HEADLINE", bench.HEADLINE + [("heavy_one", "collect")]
+    )
+    calls = []
+
+    class FakeOut:
+        stdout = json.dumps({"name": "x", "fresh_min_sec": 1.0})
+
+    import subprocess
+
+    monkeypatch.setattr(
+        subprocess, "run", lambda cmd, **kw: calls.append(cmd) or FakeOut()
+    )
+    timings = {"heavy_one": 40.0}  # deviating heavy skip, listed FIRST
+    timings.update({n: 2.0 for n in light})  # PROBE_MAX+1 light deviators
+    probes = bench._fresh_probes(timings)
+    # the heavy skip didn't consume budget; PROBE_MAX lights probed
+    assert len(calls) == bench.PROBE_MAX
+    # every deviator has a record, including the over-budget light one
+    assert set(probes) == set(light) | {"heavy_one"}
+    exhausted = [r for r in probes.values() if "budget" in r.get("skipped", "")]
+    assert len(exhausted) == 1

@@ -107,9 +107,9 @@ def test_clustering_releases_iteration_checkpoints(spark, docs):
 def test_iterative_clustering_reliable_mode(spark, docs):
     """The weakest helper path — reliable checkpoints inside an
     ITERATIVE operator (per-round label tables, convergence counts,
-    release() as a no-op on checkpoint files) — must produce the
-    identical clustering. This is the cluster-deployment configuration
-    the mode knob exists for."""
+    release() deleting dead rounds' checkpoint files mid-query) — must
+    produce the identical clustering. This is the cluster-deployment
+    configuration the mode knob exists for."""
     from logpipe.traindata.dedup import near_dup_clusters
 
     local = _rows(near_dup_clusters(docs, n=2, k=32, bands=8, threshold=0.3))
@@ -119,6 +119,63 @@ def test_iterative_clustering_reliable_mode(spark, docs):
     finally:
         spark.conf.unset(MODE_CONF)
     assert rel == local
+
+
+def test_iterative_clustering_persist_mode_lineage_cut(spark, docs):
+    """persist keeps the logical plan, so the per-round label tables
+    would double the plan every iteration; the loop sites pass
+    lineage_cut=True, which swaps in a local checkpoint there. The
+    clustering must be identical and the final plan a checkpoint leaf
+    (NOT an InMemoryRelation over an ever-growing tree)."""
+    from logpipe.traindata.dedup import near_dup_clusters
+
+    local = _rows(near_dup_clusters(docs, n=2, k=32, bands=8, threshold=0.3))
+    spark.conf.set(MODE_CONF, "persist")
+    try:
+        out = near_dup_clusters(docs, n=2, k=32, bands=8, threshold=0.3)
+        assert _rows(out) == local
+    finally:
+        spark.conf.unset(MODE_CONF)
+
+
+def test_reliable_release_deletes_checkpoint_files(spark):
+    """Spark never deletes reliable checkpoint files during a session
+    (cleanCheckpoints is off by default and GC-driven anyway); an
+    iterative reliable-mode run would otherwise leak one table per
+    round. release() must delete the files, and the staged local
+    blocks (the compute-once staging copy) must already be gone."""
+    import os
+    from urllib.parse import urlparse
+
+    def rdd_dirs() -> set:
+        # the checkpoint dir is pinned once per SparkContext — discover
+        # the live one rather than assuming this test set it
+        opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+        if not opt.isDefined():
+            return set()
+        root = urlparse(opt.get()).path or opt.get()
+        return {
+            os.path.join(r, d)
+            for r, ds, _ in os.walk(root)
+            for d in ds
+            if d.startswith("rdd-")
+        }
+
+    spark.conf.set(MODE_CONF, "reliable")
+    blocks_before = persistent_rdd_ids(spark)
+    files_before = rdd_dirs()
+    try:
+        m = materialize(spark.range(500).withColumn("x", F.col("id") * 3))
+        assert m.count() == 500
+        # staging blocks freed as soon as the durable copy exists
+        assert not (persistent_rdd_ids(spark) - blocks_before)
+        created = rdd_dirs() - files_before
+        assert created, "reliable materialize must write checkpoint files"
+        release(m)
+        assert not any(os.path.exists(p) for p in created)
+        release(m)  # idempotent
+    finally:
+        spark.conf.unset(MODE_CONF)
 
 
 def test_curated_corpus_v5_reliable_mode(spark):
