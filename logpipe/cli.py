@@ -20,9 +20,13 @@ import json
 
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="logpipe")
-    p.add_argument("--transcripts")
-    p.add_argument("--k8s-meta")
-    p.add_argument("--tool-meta")
+    p.add_argument(
+        "--transcripts",
+        help="input ref: a parquet path, or an Iceberg table identifier "
+             "when the session carries an Iceberg catalog (logpipe.tableio)",
+    )
+    p.add_argument("--k8s-meta", help="k8s dim ref (path or Iceberg table)")
+    p.add_argument("--tool-meta", help="tool dim ref (path or Iceberg table)")
     p.add_argument(
         "--logs-dir",
         help="read docker-runtime JSON log files (S1 tail) as the input "
@@ -131,8 +135,10 @@ def main(argv: list[str] | None = None) -> None:
             "conv_id", "turn_idx", "role", "text", "tool", "ts"
         )
         if args.k8s_meta and args.tool_meta:
-            k8s = spark.read.parquet(args.k8s_meta)
-            tools = spark.read.parquet(args.tool_meta)
+            from logpipe.tableio import read_table
+
+            k8s = read_table(spark, args.k8s_meta)
+            tools = read_table(spark, args.tool_meta)
         else:
             # dims optional in logs mode: un-enriched rows pass through
             # (fluent-bit's missing-key behavior); synth dims keep the
@@ -147,9 +153,14 @@ def main(argv: list[str] | None = None) -> None:
                 "--transcripts/--k8s-meta/--tool-meta required without "
                 "--synth/--logs-dir"
             )
-        transcripts = spark.read.parquet(args.transcripts)
-        k8s = spark.read.parquet(args.k8s_meta)
-        tools = spark.read.parquet(args.tool_meta)
+        # refs route through tableio: a path reads parquet (all
+        # committed runs), a catalog identifier reads the Iceberg
+        # table when the session carries the catalog
+        from logpipe.tableio import read_table
+
+        transcripts = read_table(spark, args.transcripts)
+        k8s = read_table(spark, args.k8s_meta)
+        tools = read_table(spark, args.tool_meta)
 
     # retain=true (the reference's patched sleep-and-keep): batch jobs
     # self-pace, so REPORT the over-rate buckets — but only when a

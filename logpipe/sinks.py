@@ -68,12 +68,18 @@ def write_sinks(
         ).otherwise(F.lit("-")),
     )
     salted = salted_repartition(with_collector, "sink", n_partitions, n_salts)
-    salted.write.mode(mode).partitionBy("sink", "collector").parquet(base_path)
+    # tableio routes by ref shape: parquet dir here (every committed
+    # test), Iceberg snapshot commit when handed a catalog table ref
+    from logpipe.tableio import write_table
+
+    write_table(salted, base_path, mode=mode, partition_by=("sink", "collector"))
 
 
 def read_sink(spark, base_path: str, sink: str) -> DataFrame:
     """Partition-pruned reader for one sink (F13 Match dispatch)."""
-    return spark.read.parquet(base_path).filter(F.col("sink") == sink)
+    from logpipe.tableio import read_table
+
+    return read_table(spark, base_path).filter(F.col("sink") == sink)
 
 
 PAYLOAD_SCHEMA = (
