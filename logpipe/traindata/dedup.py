@@ -1003,24 +1003,46 @@ def duplicate_span_trim(
 
     100TB shape: the span pipeline communicates (md5, id, positions)
     scalars only (duplicate_span_removals); the trim itself is a
-    per-row lambda over the already-scanned token array. Text is
-    scanned twice (span derivation + reassembly). The verdict rejoin
-    is an equi-join on doc_id: at bench scale rm broadcasts (zero
-    payload movement — the plan this repo pins); at full scale rm is
-    dup-docs-sized and the join costs ONE payload shuffle of the
-    corpus — elidable by bucketing the corpus on doc_id
-    (storage-partitioned join), the same co-location answer as every
-    verdict rejoin in this package.
+    per-row mask over the already-scanned token array — kept positions
+    come from ONE ``array_except`` (hash-set membership, O(|toks|+|rm|)
+    per row) mapped back onto the tokens with O(1) ``element_at``. The
+    earlier ``filter(_toks, (x, i) -> !array_contains(rm, i+1))``
+    formulation linear-scanned rm once PER TOKEN — O(|toks|·|rm|) per
+    row, quadratic exactly on the boilerplate-heavy docs this operator
+    targets (a 10k-token doc with most tokens removed ≈ 10⁸ comparisons
+    in one task: a straggler factory at 100×, invisible at sf0.1 —
+    round-6 verdict finding). Text is scanned twice (span derivation +
+    reassembly). The verdict rejoin is an equi-join on doc_id: at bench
+    scale rm broadcasts (zero payload movement — the plan this repo
+    pins); at full scale rm is dup-docs-sized and the join costs ONE
+    payload shuffle of the corpus — ELIDED by bucketing the corpus on
+    doc_id with the bucket count matching shuffle parallelism
+    (storage-partitioned join; demonstrated, not just claimed:
+    tests/test_traindata.py::test_span_trim_bucketed_rejoin pins the
+    zero-payload-exchange plan + identical results over a bucketed
+    corpus, and scripts/bucketed_rejoin_bench.py commits the measured
+    pair), the same co-location answer as every verdict rejoin in this
+    package.
     """
     rm = duplicate_span_removals(
         docs, k=k, min_docs=min_docs, text_col=text_col, spread=spread,
         _materialized=_materialized,
     )
     base = docs.select("doc_id", tokens(F.col(text_col)).alias("_toks"))
+    # kept 1-based positions in original order: sequence(1, n) minus rm.
+    # array_except builds rm's hash set ONCE per row; rm non-null implies
+    # size(_toks) >= k >= 1 (removals only emits docs that had windows),
+    # so sequence(1, size) never sees an empty/descending range. The
+    # transform lambda captures only the plain _toks attribute —
+    # Catalyst inlines captured EXPRESSIONS per element (see
+    # _ngram_windows), attributes are O(1).
+    kept_pos = F.array_except(
+        F.sequence(F.lit(1), F.size("_toks")), F.col("rm")
+    )
     kept = F.when(
         F.col("rm").isNull(), F.col("_toks")
     ).otherwise(
-        F.filter("_toks", lambda x, i: ~F.array_contains(F.col("rm"), i + 1))
+        F.transform(kept_pos, lambda p: F.element_at(F.col("_toks"), p))
     )
     return base.join(rm, "doc_id", "left").select(
         "doc_id",
