@@ -636,6 +636,68 @@ def test_span_trim_plan_materialized_branch_point(spark):
     assert plan.count("FileScan") == 1, plan.count("FileScan")
 
 
+def test_span_trim_bucketed_rejoin(spark, tmp_path):
+    """The 100TB claim, demonstrated instead of stated: every dedup
+    verdict rejoins the corpus on doc_id, and at full scale that
+    equi-join is the family's dominant data movement UNLESS the corpus
+    is stored bucketed on doc_id with the bucket count matching shuffle
+    parallelism — then the corpus side's storage partitioning satisfies
+    the join's required distribution and only the ids+ints verdict side
+    shuffles (storage-partitioned join). Pins BOTH plans with broadcast
+    disabled (so the join shape is the at-scale sort-merge, not the
+    bench-scale broadcast):
+
+    - bucketed corpus: ZERO exchanges carrying text/_toks — every
+      remaining exchange moves (sh, doc_id, poss/count/min) scalars;
+      the one FileScan is the bucketed scan (``Bucketed: true``);
+    - plain parquet:  exactly ONE payload exchange — the corpus token
+      arrays shuffling into the sort-merge join;
+    - identical results row-for-row, so the layout is purely a plan
+      property.
+
+    scripts/bucketed_rejoin_bench.py commits the measured wall pair at
+    sf0.1 (BENCH/r7_bucketed_rejoin.json)."""
+    from logpipe.traindata.dedup import duplicate_span_trim
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    spark.sql("DROP TABLE IF EXISTS corpus_bucketed_t")
+    (
+        docs.write.bucketBy(n_part, "doc_id")
+        .sortBy("doc_id")
+        .option("path", str(tmp_path / "corpus_bucketed"))
+        .mode("overwrite")
+        .saveAsTable("corpus_bucketed_t")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bdocs = spark.table("corpus_bucketed_t")
+        out_b = duplicate_span_trim(bdocs, k=3, min_docs=2)
+        plan = out_b._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan  # the at-scale join shape
+        assert "Bucketed: true" in plan  # the scan USED the layout
+        assert plan.count("FileScan") == 1
+        payload_b = [
+            ln for ln in _exchange_inputs(out_b, spark)
+            if "text#" in ln or "_toks#" in ln
+        ]
+        assert payload_b == [], payload_b
+
+        out_p = duplicate_span_trim(docs, k=3, min_docs=2)
+        payload_p = [
+            ln for ln in _exchange_inputs(out_p, spark)
+            if "text#" in ln or "_toks#" in ln
+        ]
+        assert len(payload_p) == 1, payload_p  # the shuffle bucketing elides
+
+        rows_b = sorted(tuple(r) for r in out_b.collect())
+        rows_p = sorted(tuple(r) for r in out_p.collect())
+        assert rows_b == rows_p and len(rows_b) == 500
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS corpus_bucketed_t")
+
+
 def test_duplicate_span_trim_semantics(spark):
     """Winner rule on a hand-checkable corpus: a k-window shared by >=
     min_docs docs survives only in the lowest-doc_id doc; losers drop
