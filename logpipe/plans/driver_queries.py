@@ -2743,8 +2743,12 @@ def _curated_corpus_dag(
         release(nb, trimmed)
         nb = gated
     if span_gate_frac is not None:
+        stats_held: list[DataFrame] = []
         keep_ids = (
-            duplicate_span_stats(nb.select("doc_id", "text"), k=3, min_docs=2)
+            duplicate_span_stats(
+                nb.select("doc_id", "text"), k=3, min_docs=2,
+                _materialized=stats_held,
+            )
             .filter(F.col("dup_span_frac") <= span_gate_frac)
             .select("doc_id")
         )
@@ -2758,9 +2762,12 @@ def _curated_corpus_dag(
         # mode-injectable (logpipe.materialize) — a cluster run sets
         # reliable mode and this dataset-sized intermediate lands in
         # the checkpoint dir instead of executor-local blocks.
-        from logpipe.materialize import materialize
+        from logpipe.materialize import materialize, release
 
         nb = materialize(nb.join(keep_ids, "doc_id", "left_semi"))
+        # stats' internal per-(window, doc) checkpoint is dead once the
+        # gated frame lands (same pattern as the v5 trim gate)
+        release(*stats_held)
     ld = line_dedup(nb.select("doc_id", "text"))
     ldd = ld.join(nb.select("doc_id", "source"), "doc_id")
     kept = ldd.filter(

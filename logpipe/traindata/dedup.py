@@ -775,12 +775,47 @@ def _derive_spread(df: DataFrame, n_part: int) -> bool:
     return df.rdd.getNumPartitions() < n_part
 
 
+def _span_count_table(
+    docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    spread: bool | None = None,
+) -> DataFrame:
+    """LAZY per-(window, doc) count table: (sh=md5(window), doc_id,
+    cnt=occurrences of that window in that doc). ONE LINEAR CHAIN, one
+    explode pass — tokens, POSITIONAL k-gram windows (NOT distinct:
+    every position counts), explode, groupBy (sh, doc) with map-side
+    partial agg — whose only payload-bearing exchange is the derived
+    spread; every hash exchange carries (md5, id, count) scalars.
+    Exposed for plan pinning; duplicate_span_stats' default shape
+    materializes it before the multiplicity branch."""
+    n_part = _shuffle_partitions(docs)
+    d = docs.select("doc_id", text_col)
+    if spread is None:
+        spread = _derive_spread(d, n_part)
+    if spread:
+        d = d.repartition(n_part)
+    d = d.withColumn("_toks", tokens(F.col(text_col)))
+    spans = d.select(
+        "doc_id",
+        F.when(F.size("_toks") >= k, _ngram_windows(F.col("_toks"), k))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_spans"),
+    )
+    keyed = spans.select("doc_id", F.explode("_spans").alias("span")).withColumn(
+        "sh", F.md5("span")
+    )
+    return keyed.groupBy("sh", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def duplicate_span_stats(
     docs: DataFrame,
     k: int = 3,
     min_docs: int = 2,
     text_col: str = "text",
     spread: bool | None = None,
+    shape: str = "join",
+    _materialized: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Cross-document duplicate-SPAN signal (the exact-substring-dedup
     statistic of Lee et al. 2021, "Deduplicating Training Data Makes
@@ -792,72 +827,71 @@ def duplicate_span_stats(
     corpus-duplicated, the drop/trim signal used ahead of substring
     dedup. Docs with < k tokens report 0 spans, frac 0.0.
 
-    100TB shape — ONE LINEAR CHAIN, one explode pass, no payload in any
-    hash exchange:
+    100TB shape: the per-(window, doc) count table (_span_count_table —
+    one explode pass, scalars in every hash exchange, the derived
+    spread its only payload move) feeds a per-hash multiplicity; both
+    per-doc stats then fall out of the same rows (no second text scan,
+    no verdict join), and a left join back to docs ids restores the
+    < k-token docs. The multiplicity SHAPE is the knob — chosen
+    skew-safe by default, the same default-safety treatment the round-6
+    verdict gave the spread flag:
 
-      explode windows -> groupBy (md5(window), doc_id) count  [per-
-      position counts collapse to per-(window, doc) rows; map-side
-      partial agg; the exchange carries (md5, id, count) scalars]
-      -> window count over md5(window)  [distinct-doc multiplicity
-      without a self-join: the rows are unique per (window, doc), so a
-      partition count IS the distinct-doc count]
-      -> groupBy doc_id: n_spans = sum(cnt), n_dup_spans = sum(cnt
-      where shared)  [both stats fall out of the same rows — no second
-      scan of the text, no verdict join]
-      -> left join back to docs ids (restores < k-token docs).
+    - ``shape="join"`` (default): groupBy(sh) count joined back on the
+      hash, with the count table MATERIALIZED (mode-injectable,
+      logpipe.materialize) at the branch point — without the cut
+      Catalyst re-expands the whole text pipeline per consumer. The
+      join is AQE-skew-splittable: a boilerplate k-gram present in
+      half the corpus lands as many (sh, doc) rows that HASH-SPREAD
+      across reducers, joined against one hot hash row the skew-join
+      rule can replicate — no single-task ceiling (skew fixture pinned
+      in tests/test_traindata.py::test_dup_span_stats_skewed_hash).
+      This is exactly the shape duplicate_span_removals/trim already
+      run, so the statistic and the remedy now share one plan family.
+      ``_materialized`` passes the internal checkpoint up for callers
+      that release it after their own cut lands (the v4 gate).
+    - ``shape="window"``: ``count(1) over (partition by sh)`` on the
+      LAZY chain — zero materialization, one fewer shuffle, the right
+      call for corpora KNOWN boilerplate-free (dashboards over curated
+      output): the window buffers one hash's rows in a single task, so
+      a hot hash is a spill-backed straggler (round-5 ADVICE ceiling;
+      measured straggler class documented in the round-6 verdict).
 
-    Known skew ceiling (round-5 ADVICE): the window count buffers one
-    hash's (sh, doc) rows in a single window task, so a boilerplate
-    k-gram present in a large fraction of docs becomes a spill-backed
-    straggler. The groupBy(sh)+join-back alternative is AQE-skew-
-    splittable but makes Catalyst duplicate the scan subtree per
-    consumer unless the per-(window, doc) table is materialized — the
-    shape duplicate_span_removals implements (it needs that table
-    anyway for position lists). Boilerplate-heavy corpora should gate
-    on removals/trim; this operator stays the zero-materialization
-    single-pass statistic.
-
-    Earlier formulations both lost at scale: a branching DAG (keyed
-    feeding a shared-table groupBy AND a verdict semi-join) makes
-    Catalyst duplicate the scan subtree per consumer — three text
-    scans, and with an upfront repartition(doc_id), three full-text
-    shuffles. The linear chain scans the text ONCE.
+    Earlier formulations lost at scale: a branching DAG (keyed feeding
+    a shared-table groupBy AND a verdict semi-join) made Catalyst
+    duplicate the scan subtree per consumer — three text scans; the
+    round-5→6 answer was window-over-sh (single pass, but the skew
+    ceiling above); round 7 makes the materialized join-back the
+    default and keeps the window as the documented opt-in.
 
     ``spread`` round-robins the (doc_id, text) projection across
-    shuffle-partitions cores before the explode — the operator's only
+    shuffle-partitions cores before the explode — the chain's only
     payload-bearing exchange, there purely for parallelism when the
-    input arrives in fewer splits than cores (single parquet file
-    locally; coalesced scans). The default (None) DERIVES it: spread
-    only if the input's split count is below the shuffle parallelism —
-    so a naturally-split 100TB scan compiles to the zero-payload plan
-    with no caller flag, and the single-file bench input still spreads.
-    Explicit True/False overrides. tests/test_traindata.py pins all
-    three properties (exactly-one / zero / derived-adds-none payload
-    exchanges).
+    input arrives in fewer splits than cores. The default (None)
+    DERIVES it: spread only if the input's split count is below the
+    shuffle parallelism — a naturally-split 100TB scan compiles to the
+    zero-payload plan with no caller flag. Explicit True/False
+    overrides. tests/test_traindata.py pins all three properties
+    (exactly-one / zero / derived-adds-none payload exchanges).
     """
     if k < 1:
         raise ValueError(f"duplicate_span_stats: k must be >= 1, got {k}")
-    n_part = _shuffle_partitions(docs)
-    d = docs.select("doc_id", text_col)
-    if spread is None:
-        spread = _derive_spread(d, n_part)
-    if spread:
-        d = d.repartition(n_part)
-    d = d.withColumn("_toks", tokens(F.col(text_col)))
-    # POSITIONAL k-gram windows (NOT distinct — every position counts)
-    spans = d.select(
-        "doc_id",
-        F.when(F.size("_toks") >= k, _ngram_windows(F.col("_toks"), k))
-        .otherwise(F.array().cast("array<string>"))
-        .alias("_spans"),
-    )
-    keyed = spans.select("doc_id", F.explode("_spans").alias("span")).withColumn(
-        "sh", F.md5("span")
-    )
-    per_sh_doc = keyed.groupBy("sh", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
-    with_nd = per_sh_doc.withColumn(
-        "nd", F.count(F.lit(1)).over(Window.partitionBy("sh"))
-    )
+    if shape not in ("join", "window"):
+        raise ValueError(
+            f"duplicate_span_stats: shape must be 'join' or 'window', got {shape!r}"
+        )
+    per_sh_doc = _span_count_table(docs, k, text_col=text_col, spread=spread)
+    if shape == "join":
+        per_sh_doc = materialize(per_sh_doc)
+        if _materialized is not None:
+            _materialized.append(per_sh_doc)
+        shs = per_sh_doc.groupBy("sh").agg(F.count(F.lit(1)).alias("nd"))
+        with_nd = per_sh_doc.join(shs, "sh")
+    else:
+        # rows are unique per (window, doc), so a partition count IS
+        # the distinct-doc count — no self-join, no materialization
+        with_nd = per_sh_doc.withColumn(
+            "nd", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+        )
     per_doc = with_nd.groupBy("doc_id").agg(
         F.sum("cnt").cast("long").alias("n_spans"),
         F.sum(F.when(F.col("nd") >= min_docs, F.col("cnt")).otherwise(F.lit(0)))

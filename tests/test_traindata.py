@@ -555,7 +555,7 @@ def test_curated_corpus_v5_plan_lineage_cut(spark):
 
 
 def test_dup_span_stats_plan_single_linear_payload_exchange(spark):
-    """duplicate_span_stats is ONE linear chain: with spread=True its
+    """The span-count chain is ONE linear pass: with spread=True its
     only payload-bearing exchange is the round-robin scan-spread (there
     purely for parallelism on few-split inputs); every hash exchange
     carries (md5, doc_id, count) scalars. With spread=False the text
@@ -567,39 +567,110 @@ def test_dup_span_stats_plan_single_linear_payload_exchange(spark):
     exchange — or any payload-bearing HASH exchange — fails here.
     (sf0.01, not the cached sf0.001 fixture — see
     test_traindata_scan_prunes_columns.)
+
+    Round 7: the spread pins target the LAZY count table (the shared
+    subtree of both multiplicity shapes — same structure as the trim
+    pins on _span_position_table); the default JOIN shape additionally
+    pins the materialized branch point (ExistingRDD, no Window, one
+    FileScan for the docs-id restore, zero payload exchanges
+    downstream), and the window OPT-IN pins zero materialization with
+    the spread as its single payload exchange.
     """
-    from logpipe.traindata.dedup import duplicate_span_stats
+    from logpipe.traindata.dedup import _span_count_table, duplicate_span_stats
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
 
     # derived default: the single-file input has fewer splits than
     # shuffle partitions, so the spread kicks in with no caller flag
-    df = duplicate_span_stats(docs, k=3, min_docs=2)
+    sub = _span_count_table(docs, 3)
     payload = [
-        ln for ln in _exchange_inputs(df, spark)
+        ln for ln in _exchange_inputs(sub, spark)
         if "text#" in ln or "span#" in ln or "_toks#" in ln
     ]
     assert len(payload) == 1, payload
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = sub._jdf.queryExecution().executedPlan().toString()
     assert "REPARTITION_BY_NUM" in plan  # the one payload move is the spread
     assert "partial_count" in plan  # scalar aggs combine map-side
 
-    df0 = duplicate_span_stats(docs, k=3, min_docs=2, spread=False)
+    sub0 = _span_count_table(docs, 3, spread=False)
     payload0 = [
-        ln for ln in _exchange_inputs(df0, spark)
+        ln for ln in _exchange_inputs(sub0, spark)
         if "text#" in ln or "span#" in ln or "_toks#" in ln
     ]
     assert payload0 == [], payload0
 
     # derived default on a many-split input (the 100TB scan stand-in):
-    # the operator must add NO payload exchange of its own — the only
+    # the chain must add NO payload exchange of its own — the only
     # one in the plan is the caller's own repartition
-    df32 = duplicate_span_stats(docs.repartition(32), k=3, min_docs=2)
+    sub32 = _span_count_table(docs.repartition(32), 3)
     payload32 = [
-        ln for ln in _exchange_inputs(df32, spark)
+        ln for ln in _exchange_inputs(sub32, spark)
         if "text#" in ln or "span#" in ln or "_toks#" in ln
     ]
     assert len(payload32) == 1, payload32
+
+    # default JOIN shape: materialized branch point, no single-task
+    # window, one FileScan (the docs-id restore), scalars-only
+    # exchanges downstream of the cut
+    df = duplicate_span_stats(docs, k=3, min_docs=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan  # the materialized count table
+    assert "Window" not in plan  # no one-task hot-hash buffer
+    assert plan.count("FileScan") == 1, plan.count("FileScan")
+    payload_j = [
+        ln for ln in _exchange_inputs(df, spark)
+        if "text#" in ln or "span#" in ln or "_toks#" in ln
+    ]
+    assert payload_j == [], payload_j
+
+    # window OPT-IN: zero materialization, the spread is its single
+    # payload exchange, multiplicity via the partition count
+    dfw = duplicate_span_stats(docs, k=3, min_docs=2, shape="window")
+    plan_w = dfw._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan_w
+    assert "Window" in plan_w
+    payload_w = [
+        ln for ln in _exchange_inputs(dfw, spark)
+        if "text#" in ln or "span#" in ln or "_toks#" in ln
+    ]
+    assert len(payload_w) == 1, payload_w
+
+
+def test_dup_span_stats_skewed_hash(spark):
+    """The boilerplate-hash straggler class, as a fixture: ONE k-gram
+    present in half the corpus. The default join shape must (a) compute
+    the same numbers a per-doc replay predicts, (b) compile with no
+    Window over the hash (the round-6-documented one-task buffer) —
+    the hot hash's (sh, doc) rows hash-spread across reducers and the
+    multiplicity join is AQE-skew-splittable. Both shapes agree."""
+    from logpipe.traindata.dedup import duplicate_span_stats
+
+    rows = []
+    for i in range(200):
+        if i % 2 == 0:  # 100 docs share the window "share one boiler"
+            rows.append((i, f"u{i} share one boiler"))
+        else:  # unique 3-gram per doc
+            rows.append((i, f"x{i} y{i} z{i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    df = duplicate_span_stats(docs, k=3, min_docs=2)
+    assert "Window" not in df._jdf.queryExecution().executedPlan().toString()
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_span_frac"])
+        for r in df.collect()
+    }
+    # even docs: windows (u{i} share one), (share one boiler) -> 1 of 2
+    # duplicated; odd docs: one unique window
+    expect = {
+        i: (2, 1, 0.5) if i % 2 == 0 else (1, 0, 0.0) for i in range(200)
+    }
+    assert got == expect
+
+    got_w = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_span_frac"])
+        for r in duplicate_span_stats(docs, k=3, min_docs=2, shape="window").collect()
+    }
+    assert got_w == expect
 
 
 def test_span_trim_plan_materialized_branch_point(spark):
