@@ -21,31 +21,56 @@ parquet branch substitutes in its absence:
 
 Ref classification is syntactic and documented: a ref containing a
 path separator or URI scheme (or ending ``.parquet``) is a filesystem
-path -> parquet; anything else is a table identifier -> requires an
-Iceberg-capable session, else a clear error naming the missing conf.
+path -> parquet; a MULTI-PART dotted identifier (``db.tbl`` /
+``cat.db.tbl``) that does not name an existing local path is a table
+identifier -> requires an Iceberg-capable session, else a clear error
+naming the missing conf. Bare single-segment names (``mydata``) are
+relative paths — the round-6 classification sent them to the Iceberg
+branch, silently breaking ``--transcripts mydata`` invocations that
+had always read a relative directory (round-6 ADVICE). A dotted name
+that is meant as a relative DIRECTORY must be written ``./data.v2``.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def is_table_ref(ref: str) -> bool:
-    """True for catalog table identifiers (``cat.db.tbl``), False for
-    filesystem paths. Syntactic: paths carry a separator or scheme or
-    a ``.parquet`` suffix; table identifiers never do."""
-    return not ("/" in ref or "\\" in ref or "://" in ref or ref.endswith(".parquet"))
+    """True for catalog table identifiers (``cat.db.tbl`` / ``db.tbl``),
+    False for filesystem paths. Paths carry a separator, a URI scheme,
+    or a ``.parquet`` suffix; a bare single-segment name is a relative
+    path (matching what ``spark.read.parquet`` always accepted); and an
+    existing local path wins over the identifier reading even when
+    dotted (use ``./`` to force the path reading of a dotted name that
+    does not exist yet)."""
+    if "/" in ref or "\\" in ref or "://" in ref or ref.endswith(".parquet"):
+        return False
+    if "." not in ref:
+        return False  # bare relative names are paths, not identifiers
+    return not os.path.exists(ref)
+
+
+def _sql_conf_keys(spark: SparkSession) -> set[str]:
+    """Keys of every SQL conf the session will actually resolve —
+    launch-time SparkConf entries AND runtime ``spark.conf.set`` ones
+    (``spark.sql.catalog.*`` is a runtime SQL conf, invisible in the
+    static SparkContext conf — round-6 ADVICE)."""
+    keys = {k for k, _ in spark.sparkContext.getConf().getAll()}
+    keys.update(r["key"] for r in spark.sql("SET").collect())
+    return keys
 
 
 def iceberg_ready(spark: SparkSession) -> bool:
     """True iff this session can serve Iceberg table refs: at least
-    one ``spark.sql.catalog.*`` is configured AND the Iceberg Spark
-    catalog class actually loads (jars on the classpath) — both
+    one ``spark.sql.catalog.*`` is configured (checked against the
+    SESSION conf, so catalogs set at runtime count) AND the Iceberg
+    Spark catalog class actually loads (jars on the classpath) — both
     required, so a configured-but-jarless session fails fast here
     instead of deep inside an analyzer error."""
-    confs = spark.sparkContext.getConf().getAll()
-    has_catalog = any(k.startswith("spark.sql.catalog.") for k, _ in confs)
-    if not has_catalog:
+    if not any(k.startswith("spark.sql.catalog.") for k in _sql_conf_keys(spark)):
         return False
     try:
         spark.sparkContext._jvm.java.lang.Class.forName(

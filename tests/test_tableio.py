@@ -1,28 +1,168 @@
 """tableio: the Iceberg/parquet table-format seam.
 
-The sandbox has no Iceberg runtime, so these tests pin the three
-properties the adapter must hold WITHOUT it: path refs behave exactly
-like the direct parquet writes they replaced, table refs fail fast
-with actionable guidance (not an analyzer stack trace), and the
-readiness probe is honest (False here — no catalog, no jars)."""
+The sandbox has no Iceberg runtime, so these tests pin the properties
+the adapter must hold WITHOUT it: path refs behave exactly like the
+direct parquet writes they replaced, table refs fail fast with
+actionable guidance (not an analyzer stack trace), the readiness probe
+is honest (False here — no catalog, no jars) and reads the SESSION
+conf (runtime-set catalogs count), and the Iceberg branch's writeTo v2
+call sequence / catalog-read routing is pinned by CONTRACT against
+recorders (the branch has zero jar-backed executions in this sandbox —
+round-6 verdict: pin it without jars)."""
 
 import pytest
 
-from logpipe.tableio import is_table_ref, iceberg_ready, read_table, write_table
+from logpipe.tableio import (
+    _sql_conf_keys,
+    is_table_ref,
+    iceberg_ready,
+    read_table,
+    write_table,
+)
 
 
-def test_is_table_ref_classification():
+def test_is_table_ref_classification(tmp_path, monkeypatch):
     assert is_table_ref("catalog.db.events")
-    assert is_table_ref("events")
+    assert is_table_ref("db.events")
     assert not is_table_ref("/data/events.parquet")
     assert not is_table_ref("s3://bucket/events")
     assert not is_table_ref("relative/dir")
     assert not is_table_ref("events.parquet")
     assert not is_table_ref("C:\\data\\events")
+    # round-6 ADVICE: a bare relative name (no dot) is a PATH — the old
+    # classification raised RuntimeError on `--transcripts mydata`
+    assert not is_table_ref("mydata")
+    # ...and an EXISTING dotted relative dir wins over the identifier
+    # reading (write `./data.v2` to force the path reading otherwise)
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "data.v2").mkdir()
+    assert not is_table_ref("data.v2")
+    assert is_table_ref("missing.v2")
+    assert not is_table_ref("./missing.v2")
 
 
 def test_iceberg_not_ready_in_sandbox(spark):
     assert not iceberg_ready(spark)
+
+
+def test_iceberg_ready_sees_runtime_catalog_conf(spark):
+    """spark.sql.catalog.* is a runtime SQL conf: a catalog configured
+    via spark.conf.set AFTER launch must be visible to the readiness
+    probe (round-6 ADVICE — the static SparkContext conf never shows
+    it). With the catalog set, readiness proceeds to the jar check and
+    only THAT fails in this sandbox."""
+    key = "spark.sql.catalog.contract_demo"
+    spark.conf.set(key, "org.apache.iceberg.spark.SparkCatalog")
+    try:
+        assert key in _sql_conf_keys(spark)
+        assert any(
+            k.startswith("spark.sql.catalog.") for k in _sql_conf_keys(spark)
+        )
+        # still not ready: the catalog CLASS can't load (no jars) —
+        # the probe requires both, so this stays honest
+        assert not iceberg_ready(spark)
+    finally:
+        spark.conf.unset(key)
+
+
+class _RecordingWriter:
+    """Stands in for DataFrameWriterV2: records the exact call chain
+    write_table's Iceberg branch makes."""
+
+    def __init__(self, ref):
+        self.ref = ref
+        self.calls = []
+
+    def using(self, fmt):
+        self.calls.append(("using", fmt))
+        return self
+
+    def partitionedBy(self, col, *cols):
+        names = [c._jc.toString() for c in (col, *cols)]
+        self.calls.append(("partitionedBy", tuple(names)))
+        return self
+
+    def createOrReplace(self):
+        self.calls.append(("createOrReplace",))
+
+    def append(self):
+        self.calls.append(("append",))
+
+
+@pytest.fixture
+def iceberg_contract(spark, monkeypatch):
+    """An 'Iceberg-capable' session by contract: readiness stubbed
+    true, DataFrame.writeTo recorded."""
+    import logpipe.tableio as tio
+
+    writers = []
+
+    def fake_write_to(self, ref):
+        w = _RecordingWriter(ref)
+        writers.append(w)
+        return w
+
+    monkeypatch.setattr(tio, "iceberg_ready", lambda s: True)
+    # patch the CONCRETE DataFrame class (pyspark 4's classic DataFrame
+    # subclasses the pyspark.sql.DataFrame ABC with its own writeTo)
+    monkeypatch.setattr(type(spark.range(1)), "writeTo", fake_write_to)
+    return writers
+
+
+def test_iceberg_write_contract_overwrite_partitioned(spark, iceberg_contract):
+    """overwrite + partition_by -> using('iceberg'), partitionedBy with
+    the requested columns in order, then ONE createOrReplace (the
+    single-snapshot-commit overwrite) and nothing else."""
+    df = spark.range(3).selectExpr("id", "cast(id % 2 as string) as sink")
+    write_table(df, "cat.db.events", mode="overwrite", partition_by=("sink", "id"))
+    (w,) = iceberg_contract
+    assert w.ref == "cat.db.events"
+    assert w.calls == [
+        ("using", "iceberg"),
+        ("partitionedBy", ("sink", "id")),
+        ("createOrReplace",),
+    ]
+
+
+def test_iceberg_write_contract_append_unpartitioned(spark, iceberg_contract):
+    """append -> using('iceberg') then append(); no partitionedBy, no
+    createOrReplace (append must never replace a table)."""
+    write_table(spark.range(3), "cat.db.events", mode="append")
+    (w,) = iceberg_contract
+    assert w.calls == [("using", "iceberg"), ("append",)]
+
+
+def test_iceberg_write_contract_rejects_other_modes(spark, iceberg_contract):
+    with pytest.raises(ValueError, match="unsupported mode"):
+        write_table(spark.range(3), "cat.db.events", mode="ignore")
+    (w,) = iceberg_contract
+    assert ("createOrReplace",) not in w.calls
+    assert ("append",) not in w.calls
+
+
+def test_iceberg_read_contract_routes_via_catalog(spark, monkeypatch):
+    """A table ref must be served by spark.read.table(ref) — the
+    catalog path — never spark.read.parquet."""
+    import logpipe.tableio as tio
+    from pyspark.sql import SparkSession
+
+    calls = []
+
+    class _FakeReader:
+        def table(self, ref):
+            calls.append(("table", ref))
+            return "sentinel-df"
+
+        def parquet(self, ref):
+            calls.append(("parquet", ref))
+            return "wrong-branch"
+
+    monkeypatch.setattr(tio, "iceberg_ready", lambda s: True)
+    monkeypatch.setattr(
+        SparkSession, "read", property(lambda self: _FakeReader())
+    )
+    assert read_table(spark, "cat.db.events") == "sentinel-df"
+    assert calls == [("table", "cat.db.events")]
 
 
 def test_table_ref_without_iceberg_raises_actionable_error(spark):
