@@ -130,6 +130,24 @@ def _checkpoint_file(df: DataFrame) -> str | None:
         return None
 
 
+def _checkpoint_dir_entries(spark: SparkSession) -> set[str] | None:
+    """Paths directly under the session's resolved checkpoint dir (one
+    ``rdd-N`` subdir per reliable checkpoint), via the Hadoop FS API so
+    DFS dirs enumerate the same as local ones. None if no dir is set
+    or it can't be listed."""
+    try:
+        opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+        if not opt.isDefined():
+            return None
+        jpath = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(opt.get())
+        fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return set()
+        return {st.getPath().toString() for st in fs.listStatus(jpath)}
+    except Exception:
+        return None
+
+
 def _delete_checkpoint(spark: SparkSession, path: str | None) -> None:
     """Delete one checkpoint's files via the Hadoop FileSystem API (so
     HDFS/S3 checkpoint dirs clean up the same way local ones do)."""
@@ -167,12 +185,43 @@ def materialize(
         # both reliable-checkpoint jobs (count + save) read the staged
         # blocks, which are freed as soon as the durable copy exists
         before = persistent_rdd_ids(spark)
+        dir_before = _checkpoint_dir_entries(spark)
         staged = df.localCheckpoint()
         staged_ids = persistent_rdd_ids(spark) - before
         out = staged.checkpoint(eager=True)
         release_rdd_ids(spark, staged_ids)
         ckpt = _checkpoint_file(out)
-        setattr(out, _RELEASE_ATTR, lambda: _delete_checkpoint(spark, ckpt))
+        if ckpt is not None:
+            targets = [ckpt]
+        else:
+            # plan-shape drift fallback (round-6 ADVICE: a silent None
+            # here leaked checkpoint files — permanently when the user
+            # configured a non-temp checkpointDir): the files created
+            # by THIS checkpoint are the dir delta. Call sites
+            # materialize sequentially on the driver, so the delta is
+            # exactly this frame's rdd-N dir.
+            dir_after = _checkpoint_dir_entries(spark)
+            targets = (
+                sorted(dir_after - dir_before)
+                if dir_after is not None and dir_before is not None
+                else []
+            )
+            if not targets:
+                import warnings
+
+                warnings.warn(
+                    "materialize(reliable): could not resolve the "
+                    "checkpoint path (plan-shape drift) — release() "
+                    "will not delete this frame's checkpoint files",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+
+        def _drop(paths=tuple(targets)):
+            for p in paths:
+                _delete_checkpoint(spark, p)
+
+        setattr(out, _RELEASE_ATTR, _drop)
         return out
     if mode == "local":
         before = persistent_rdd_ids(spark)

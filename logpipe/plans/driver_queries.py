@@ -2688,58 +2688,74 @@ def _curated_corpus_dag(
         # once, then release it as soon as the gated frame lands
         nb = materialize(nb)
         span_held: list[DataFrame] = []
-        trimmed = materialize(
-            duplicate_span_trim(
-                nb.select("doc_id", "text"), k=3, min_docs=2,
-                _materialized=span_held,
+        trimmed = None
+        try:
+            trimmed = materialize(
+                duplicate_span_trim(
+                    nb.select("doc_id", "text"), k=3, min_docs=2,
+                    _materialized=span_held,
+                )
             )
-        )
-        # trim's internal per-(window, doc) checkpoint is dead once the
-        # trimmed table is materialized
-        release(*span_held)
-        tot = (F.col("n_tokens_kept") + F.col("n_tokens_removed")).cast("double")
-        # try_divide: ANSI mode throws on double x/0.0; NULL -> 0.0
-        # matches the oracle's nullif/coalesce exactly (int-over-int
-        # double division is bit-identical across engines)
-        rmf = F.coalesce(
-            F.try_divide(F.col("n_tokens_removed").cast("double"), tot),
-            F.lit(0.0),
-        )
-        verdicts = trimmed.select(
-            "doc_id", F.col("text").alias("_trimmed"), rmf.alias("_rmf")
-        )
-        # branch non-vacuity IS part of the gate's evidence (round-5
-        # verdict task 7): raise, don't assert (survives python -O).
-        # One cheap aggregate over the materialized scalar table.
-        branch = F.when(F.col("_rmf") > hi, "drop").when(
-            F.col("_rmf") > lo, "trim"
-        ).otherwise("keep")
-        counts = {
-            r["branch"]: r["count"]
-            for r in verdicts.select(branch.alias("branch"))
-            .groupBy("branch")
-            .count()
-            .collect()
-        }
-        if not all(counts.get(b) for b in ("keep", "trim", "drop")):
-            raise AssertionError(
-                f"v5 span gate vacuous: branch counts {counts}"
+            # trim's internal per-(window, doc) checkpoint is dead once
+            # the trimmed table is materialized
+            release(*span_held)
+            span_held = []
+            tot = (F.col("n_tokens_kept") + F.col("n_tokens_removed")).cast(
+                "double"
             )
-        gated = (
-            nb.join(verdicts, "doc_id")
-            .filter(F.col("_rmf") <= hi)
-            .select(
-                "doc_id",
-                "source",
-                F.when(F.col("_rmf") > lo, F.col("_trimmed"))
-                .otherwise(F.col("text"))
-                .alias("text"),
+            # try_divide: ANSI mode throws on double x/0.0; NULL -> 0.0
+            # matches the oracle's nullif/coalesce exactly (int-over-int
+            # double division is bit-identical across engines)
+            rmf = F.coalesce(
+                F.try_divide(F.col("n_tokens_removed").cast("double"), tot),
+                F.lit(0.0),
             )
-        )
-        # the lineage cut every downstream stage compiles against —
-        # same plan-size control as v4's gate (ExistingRDD leaf, zero
-        # FileScans downstream, pinned in tests)
-        gated = materialize(gated)
+            verdicts = trimmed.select(
+                "doc_id", F.col("text").alias("_trimmed"), rmf.alias("_rmf")
+            )
+            # branch non-vacuity IS part of the gate's evidence (round-5
+            # verdict task 7): raise, don't assert (survives python -O).
+            # One cheap aggregate over the materialized scalar table.
+            branch = F.when(F.col("_rmf") > hi, "drop").when(
+                F.col("_rmf") > lo, "trim"
+            ).otherwise("keep")
+            counts = {
+                r["branch"]: r["count"]
+                for r in verdicts.select(branch.alias("branch"))
+                .groupBy("branch")
+                .count()
+                .collect()
+            }
+            if not all(counts.get(b) for b in ("keep", "trim", "drop")):
+                raise AssertionError(
+                    f"v5 span gate vacuous: branch counts {counts}"
+                )
+            gated = (
+                nb.join(verdicts, "doc_id")
+                .filter(F.col("_rmf") <= hi)
+                .select(
+                    "doc_id",
+                    "source",
+                    F.when(F.col("_rmf") > lo, F.col("_trimmed"))
+                    .otherwise(F.col("text"))
+                    .alias("text"),
+                )
+            )
+            # the lineage cut every downstream stage compiles against —
+            # same plan-size control as v4's gate (ExistingRDD leaf,
+            # zero FileScans downstream, pinned in tests)
+            gated = materialize(gated)
+        except BaseException:
+            # error path (round-6 ADVICE): anything raising between the
+            # eager materialize calls — the non-vacuity check included —
+            # must not pin nb/trimmed blocks for the rest of the session
+            # (nor, in reliable mode, leave their checkpoint files
+            # behind). release() ignores frames not yet materialized.
+            held = [nb, *span_held]
+            if trimmed is not None:
+                held.append(trimmed)
+            release(*held)
+            raise
         release(nb, trimmed)
         nb = gated
     if span_gate_frac is not None:

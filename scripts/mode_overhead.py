@@ -10,15 +10,27 @@ checkpoint-bearing queries:
                          round, dead rounds released (files deleted)
 - curated_corpus_v5    — the composed DAG: corpus-sized text
                          checkpoints at the span gate
+- dup_span_trim        — the round-6 materialize site: the
+                         per-(window, doc) position-list table at the
+                         winner/loser branch point
+- streaming_route_counts — streaming-adjacent control: the micro-batch
+                         pipeline's own (structured-streaming)
+                         checkpoint is independent of the materialize
+                         knob, so its ratio pins ≈1.0 — a regression
+                         here means the knob leaked into a path it
+                         must not touch
 
 Protocol matches bench.py: one session, pass-major interleaving across
 modes (so host-steal drift hits both modes alike), min-of-N per
-(entry, mode), per-run checkpoint blocks released. The checkpoint dir
-is the sandbox driver-temp default — on a real cluster the write cost
-would additionally include the DFS round-trip, so the local-disk
-number is a LOWER bound on reliable-mode overhead.
+(entry, mode), per-run checkpoint blocks released AND the per-run
+checkpoint-dir file delta deleted (reliable-mode passes otherwise
+accumulate corpus-sized checkpoint copies across the sweep — round-6
+ADVICE). The checkpoint dir is the sandbox driver-temp default — on a
+real cluster the write cost would additionally include the DFS
+round-trip, so the local-disk number is a LOWER bound on
+reliable-mode overhead.
 
-Writes one JSON line; commit as BENCH/r6_mode_overhead.json.
+Writes one JSON line; commit as BENCH/r7_mode_overhead.json.
 """
 
 from __future__ import annotations
@@ -32,6 +44,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from logpipe.materialize import (  # noqa: E402
     MODE_CONF,
+    _checkpoint_dir_entries,
+    _delete_checkpoint,
     persistent_rdd_ids,
     release_rdd_ids,
 )
@@ -40,12 +54,15 @@ ENTRIES = [
     ("minhash_lsh_dups", "noop"),
     ("near_dup_clusters", "noop"),
     ("curated_corpus_v5", "collect"),
+    ("dup_span_trim", "noop"),
+    ("streaming_route_counts", "collect"),
 ]
 PASSES = 3
 
 
 def _run(spark, fn, mode, sf_dir) -> float:
     pre = persistent_rdd_ids(spark)
+    dir_pre = _checkpoint_dir_entries(spark)
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
     if mode == "collect":
@@ -54,6 +71,13 @@ def _run(spark, fn, mode, sf_dir) -> float:
         df.write.format("noop").mode("overwrite").save()
     wall = time.perf_counter() - t0
     release_rdd_ids(spark, persistent_rdd_ids(spark) - pre)
+    # reliable-mode passes leave rdd-N checkpoint dirs behind (the
+    # measured query's consumers are done — delete the per-run delta
+    # so 3 passes x 5 queries don't accumulate corpus-sized copies)
+    dir_post = _checkpoint_dir_entries(spark)
+    if dir_pre is not None and dir_post is not None:
+        for path in sorted(dir_post - dir_pre):
+            _delete_checkpoint(spark, path)
     return wall
 
 

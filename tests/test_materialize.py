@@ -214,6 +214,76 @@ def test_curated_corpus_span_gates_reject_persist(spark):
         spark.conf.unset(MODE_CONF)
 
 
+def test_reliable_release_falls_back_to_dir_delta(spark, monkeypatch):
+    """Plan-shape drift resilience (round-6 ADVICE): if the checkpoint
+    path can't be read off the analyzed plan, release() must still
+    delete the files — the dir delta captured around the checkpoint
+    call is the fallback target. Simulated by forcing the primary
+    resolver to None."""
+    import os
+    from urllib.parse import urlparse
+
+    import logpipe.materialize as mat
+
+    monkeypatch.setattr(mat, "_checkpoint_file", lambda df: None)
+
+    def rdd_dirs() -> set:
+        opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+        if not opt.isDefined():
+            return set()
+        root = urlparse(opt.get()).path or opt.get()
+        return {
+            os.path.join(r, d)
+            for r, ds, _ in os.walk(root)
+            for d in ds
+            if d.startswith("rdd-")
+        }
+
+    spark.conf.set(MODE_CONF, "reliable")
+    files_before = rdd_dirs()
+    try:
+        m = materialize(spark.range(100).withColumn("x", F.col("id") + 1))
+        created = rdd_dirs() - files_before
+        assert created
+        release(m)
+        assert not any(os.path.exists(p) for p in created)
+    finally:
+        spark.conf.unset(MODE_CONF)
+
+
+def test_reliable_release_warns_when_unresolvable(spark, monkeypatch):
+    """When NEITHER resolver works (path unreadable AND dir unlistable)
+    the leak must at least be VISIBLE: materialize warns instead of
+    silently returning a no-op release."""
+    import logpipe.materialize as mat
+
+    monkeypatch.setattr(mat, "_checkpoint_file", lambda df: None)
+    monkeypatch.setattr(mat, "_checkpoint_dir_entries", lambda s: None)
+    spark.conf.set(MODE_CONF, "reliable")
+    try:
+        with pytest.warns(RuntimeWarning, match="checkpoint path"):
+            m = materialize(spark.range(10))
+        release(m)  # no-op, but must not raise
+    finally:
+        spark.conf.unset(MODE_CONF)
+
+
+def test_v5_span_gate_error_path_releases_blocks(spark):
+    """If the gate raises after its eager materialize calls (here: the
+    non-vacuity check, forced with a band no doc can satisfy), the
+    already-checkpointed nb/trimmed/per blocks must NOT stay pinned for
+    the session (round-6 ADVICE) — in reliable mode that would also
+    leak their checkpoint files."""
+    from logpipe.plans.driver_queries import _curated_corpus_dag
+
+    before = persistent_rdd_ids(spark)
+    with pytest.raises(AssertionError, match="vacuous"):
+        _curated_corpus_dag(
+            spark, "/root/testdata/sf0.001", span_trim_band=(0.9995, 0.9999)
+        )
+    assert not (persistent_rdd_ids(spark) - before)
+
+
 def test_invalid_mode_rejected(spark):
     with pytest.raises(ValueError):
         materialize(spark.range(3), mode="bogus")
