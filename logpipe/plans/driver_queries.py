@@ -2434,8 +2434,26 @@ def _curation_tail(kept: DataFrame, gopher_min_tokens: int | None = None) -> Dat
     rates = {f"src{i}": 0.5 for i in range(4)} | {"src4": 2.25, "src5": 2.25}
     mixed = mixture_sample(final, rates)
     packed = pack_chunks(mixed, budget=512, n_buckets=8)
-    return packed.groupBy("bucket").agg(
-        F.countDistinct("chunk").alias("n_chunks"),
+    # n_chunks WITHOUT a second countDistinct: chunk is non-decreasing
+    # along pack_chunks' own (bucket / doc_id, copy) order, so distinct
+    # chunks == chunk-run starts, countable with a lag over the SAME
+    # window spec pack_chunks sorted by (one Window node, no extra
+    # exchange). Two distincts in one aggregate would compile through
+    # RewriteDistinctAggregates into an Expand that (a) multiplies
+    # every row x3 through the final shuffle and (b) assigns grouping-
+    # set ids in allocation order — nondeterministic plan text, the
+    # PLANS.md churn class. One distinct (doc_id) plans as the
+    # deterministic two-phase aggregate.
+    from pyspark.sql.window import Window
+
+    order_cols = ["doc_id"] + (["copy"] if "copy" in packed.columns else [])
+    w = Window.partitionBy("bucket").orderBy(*order_cols)
+    prev_chunk = F.lag("chunk").over(w)
+    new_chunk = (
+        prev_chunk.isNull() | (F.col("chunk") != prev_chunk)
+    ).cast("long")
+    return packed.withColumn("_new_chunk", new_chunk).groupBy("bucket").agg(
+        F.sum("_new_chunk").alias("n_chunks"),
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("doc_id").alias("n_unique_docs"),
         F.sum("n_tokens").alias("total_tokens"),

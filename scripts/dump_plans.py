@@ -2,14 +2,46 @@
 plans, with a one-line reading guide per query (what to look for:
 broadcast joins, absence of exchanges, pushed filters).
 
+Volatile tokens (expression IDs `#N`, `plan_id=N`, checkpoint RDD
+numbers) are normalized at dump time so regenerating at an unchanged
+HEAD is a ZERO diff and a PLANS.md diff shows only real plan changes —
+the round-6 commit buried ~300 real lines under 22.7k lines of
+expression-ID churn (round-6 verdict). Normalization keeps structure:
+`#N` still marks an attribute reference, it just stops encoding the
+session-global allocation order.
+
 Usage: python scripts/dump_plans.py [sf_dir]
 """
 
 from __future__ import annotations
 
+import re
 import sys
 
 sys.path.insert(0, ".")
+
+
+def _normalize(plan: str) -> str:
+    """Strip session-volatile tokens from a formatted plan string.
+
+    - `#123` expression IDs -> `#N` (allocation-order noise; the
+      attribute NAME before the # carries the information)
+    - `plan_id=123` (formatted-mode subquery/exchange tags) -> `=N`
+    - `rdd-123` / `MapPartitionsRDD[123]` RDD numbers -> `-N`/`[N]`
+      (checkpoint leaves embed the session-global RDD counter)
+    - `lambda x_42` higher-order-function variable names -> `x_K`
+      (the suffix is a session-global lambda counter)
+    - localCheckpoint/ExistingRDD callsite line numbers are code
+      positions, not volatile — left as-is.
+
+    Dumping twice at one HEAD must produce byte-identical output
+    (tests/test_dump_plans.py)."""
+    plan = re.sub(r"#\d+", "#N", plan)
+    plan = re.sub(r"plan_id=\d+", "plan_id=N", plan)
+    plan = re.sub(r"\brdd-\d+\b", "rdd-N", plan)
+    plan = re.sub(r"RDD\[\d+\]", "RDD[N]", plan)
+    plan = re.sub(r"\bx_\d+\b", "x_K", plan)
+    return plan
 
 QUERIES = [
     (
@@ -154,8 +186,10 @@ def main() -> None:
     for name, note in QUERIES:
         fn = qs.get(name) or getattr(driver_queries, name)
         df = fn(spark, sf_dir)
-        plan = df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        plan = _normalize(
+            df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            )
         )
         out += [f"## {name}", "", f"What to look for: {note}", "", "```", plan.rstrip(), "```", ""]
     with open("PLANS.md", "w") as f:
