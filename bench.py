@@ -448,6 +448,14 @@ def _bench_queries(spark, driver_queries) -> dict:
     return qs
 
 
+def _span_spread_decision(spark, sf_dir) -> dict:
+    """The derived-spread metadata for the sweep's documents input
+    (see logpipe.traindata.dedup.spread_decision)."""
+    from logpipe.traindata.dedup import spread_decision
+
+    return spread_decision(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _run_entry(spark, qs, name, mode, sf_dir) -> float:
     """One timed pass of one entry; checkpoint blocks the query pinned
     are released afterwards (repeated passes otherwise accumulate dead
@@ -637,6 +645,14 @@ def main() -> None:
                 "flagship_turns_per_sec": flagship_rate,
                 "skew_export": skew,
                 "compile_sec": _compile_walls(spark, sf_dir),
+                # which plan shape the span/dedup family compiled for
+                # THIS input (derived spread: round-robin parallelism
+                # exchange only when the input arrives in fewer splits
+                # than shuffle parallelism) — surfaced so an operator
+                # reads the choice off the run artifact, not PLANS.md
+                "plan_choices": {
+                    "span_family_spread": _span_spread_decision(spark, sf_dir)
+                },
                 # fresh-JVM re-probes for entries deviating >1.5x from
                 # the prior committed round (deviation evidence lives
                 # in this JSON, not in prose)

@@ -775,6 +775,22 @@ def _derive_spread(df: DataFrame, n_part: int) -> bool:
     return df.rdd.getNumPartitions() < n_part
 
 
+def spread_decision(docs: DataFrame) -> dict:
+    """The derived-spread decision for this input, surfaced as run
+    metadata (round-6 verdict task 8: a cluster operator should see
+    which plan shape a run took — zero-payload on naturally-split
+    scans vs the round-robin spread on few-split inputs — without
+    reading PLANS.md). Keys: input_splits, shuffle_partitions, spread.
+    Compiles the scan's physical plan; runs no job."""
+    n_part = _shuffle_partitions(docs)
+    splits = docs.rdd.getNumPartitions()
+    return {
+        "input_splits": splits,
+        "shuffle_partitions": n_part,
+        "spread": splits < n_part,
+    }
+
+
 def _span_count_table(
     docs: DataFrame,
     k: int,

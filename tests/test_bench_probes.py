@@ -119,3 +119,23 @@ def test_fresh_probes_budget_counts_spawns_only(monkeypatch):
     assert set(probes) == set(light) | {"heavy_one"}
     exhausted = [r for r in probes.values() if "budget" in r.get("skipped", "")]
     assert len(exhausted) == 1
+
+
+def test_span_spread_decision_metadata(spark):
+    """bench.py surfaces the derived-spread plan choice in its JSON
+    (round-6 verdict task 8): the fields must carry exactly the inputs
+    of the derivation and agree with it — True on the single-file
+    bench input, False once the input arrives in >= shuffle-partition
+    splits (the 100TB scan stand-in)."""
+    from logpipe.traindata.dedup import spread_decision
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    d = spread_decision(docs)
+    assert set(d) == {"input_splits", "shuffle_partitions", "spread"}
+    assert d["shuffle_partitions"] == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    assert d["spread"] == (d["input_splits"] < d["shuffle_partitions"])
+    assert d["spread"] is True  # the single-file bench reality
+    wide = spread_decision(docs.repartition(d["shuffle_partitions"]))
+    assert wide["spread"] is False
