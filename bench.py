@@ -449,11 +449,20 @@ def _bench_queries(spark, driver_queries) -> dict:
 
 
 def _span_spread_decision(spark, sf_dir) -> dict:
-    """The derived-spread metadata for the sweep's documents input
-    (see logpipe.traindata.dedup.spread_decision)."""
+    """The derived-spread metadata for BOTH span-family sweep inputs
+    (see logpipe.traindata.dedup.spread_decision): the 1x documents
+    scan and the 10x union, which arrives in ~10x the splits and can
+    legitimately derive the OTHER shape — recording only the 1x
+    decision would mislabel half the family's entries (round-7
+    review)."""
     from logpipe.traindata.dedup import spread_decision
 
-    return spread_decision(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return {
+        "documents": spread_decision(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ),
+        "documents_10x": spread_decision(_docs_10x(spark, sf_dir)),
+    }
 
 
 def _run_entry(spark, qs, name, mode, sf_dir) -> float:

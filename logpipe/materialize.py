@@ -73,6 +73,14 @@ CKPT_DIR_CONF = "spark.logpipe.materialize.checkpointDir"
 _MODES = ("local", "reliable", "persist")
 _RELEASE_ATTR = "_logpipe_release"
 
+# Sticky outcome of the reliable-mode checkpoint-path resolver: once
+# _checkpoint_file has succeeded in this process, later materialize
+# calls skip the checkpoint-dir listStatus snapshot that only the
+# drift fallback consumes (None = unknown, first call always lists).
+# If the resolver then fails on a LATER call (drift mid-process), that
+# call has no dir snapshot and takes the visible-warning path.
+_PATH_RESOLVER_WORKS: bool | None = None
+
 
 def materialize_mode(spark: SparkSession) -> str:
     """The session's materialization mode (``local`` unless set)."""
@@ -185,15 +193,24 @@ def materialize(
         # both reliable-checkpoint jobs (count + save) read the staged
         # blocks, which are freed as soon as the durable copy exists
         before = persistent_rdd_ids(spark)
-        dir_before = _checkpoint_dir_entries(spark)
+        # the dir snapshot exists only for the plan-shape-drift
+        # fallback below; once the primary resolver has worked in this
+        # process, stop paying a listStatus (an RPC per materialize on
+        # a DFS checkpoint dir — composed DAGs call this per round)
+        global _PATH_RESOLVER_WORKS
+        dir_before = (
+            None if _PATH_RESOLVER_WORKS else _checkpoint_dir_entries(spark)
+        )
         staged = df.localCheckpoint()
         staged_ids = persistent_rdd_ids(spark) - before
         out = staged.checkpoint(eager=True)
         release_rdd_ids(spark, staged_ids)
         ckpt = _checkpoint_file(out)
         if ckpt is not None:
+            _PATH_RESOLVER_WORKS = True
             targets = [ckpt]
         else:
+            _PATH_RESOLVER_WORKS = False
             # plan-shape drift fallback (round-6 ADVICE: a silent None
             # here leaked checkpoint files — permanently when the user
             # configured a non-temp checkpointDir): the files created

@@ -20,8 +20,11 @@ returns collected rows), `streaming_route_counts` (runs a Structured
 Streaming query against a scratch dir), `curated_corpus_v5` (the
 span gate materializes eagerly and raises on vacuous branches), and
 `dup_span_trim` (materializes the per-(window, doc) span table before
-the removals join) all execute Spark jobs, and may raise, when the
-registry callable is invoked. Registry consumers that only want a PLAN must use the lazy
+the removals join), and `dup_span_stats` (its default join shape
+materializes the count table the same way; the block is driver-owned
+for the session — bench/dump_plans release it by rdd-id delta) all
+execute Spark jobs, and may raise, when the registry callable is
+invoked. Registry consumers that only want a PLAN must use the lazy
 helpers instead (`flagship_rules_frame`, the unregistered
 `curated_corpus_v3/v4` builders) — the pattern dump_plans.py follows.
 """
@@ -2777,28 +2780,36 @@ def _curated_corpus_dag(
         release(nb, trimmed)
         nb = gated
     if span_gate_frac is not None:
-        stats_held: list[DataFrame] = []
-        keep_ids = (
-            duplicate_span_stats(
-                nb.select("doc_id", "text"), k=3, min_docs=2,
-                _materialized=stats_held,
-            )
-            .filter(F.col("dup_span_frac") <= span_gate_frac)
-            .select("doc_id")
-        )
-        # materialize: cut the lineage at the gate. Without it the
-        # span subtree (which consumes nb twice more) rides INSIDE nb's
-        # lineage, and every downstream consumer of nb (line-dedup's
-        # three readers, c4, the tail) re-expands it — measured 222s
-        # wall / 24s plan-compile at sf0.1 vs v3's 85s/5.6s; with the
-        # cut the downstream plan is v3-shaped. Same trade the
-        # clustering iterations already make; the cut point is
-        # mode-injectable (logpipe.materialize) — a cluster run sets
-        # reliable mode and this dataset-sized intermediate lands in
-        # the checkpoint dir instead of executor-local blocks.
         from logpipe.materialize import materialize, release
 
-        nb = materialize(nb.join(keep_ids, "doc_id", "left_semi"))
+        stats_held: list[DataFrame] = []
+        try:
+            keep_ids = (
+                duplicate_span_stats(
+                    nb.select("doc_id", "text"), k=3, min_docs=2,
+                    _materialized=stats_held,
+                )
+                .filter(F.col("dup_span_frac") <= span_gate_frac)
+                .select("doc_id")
+            )
+            # materialize: cut the lineage at the gate. Without it the
+            # span subtree (which consumes nb twice more) rides INSIDE
+            # nb's lineage, and every downstream consumer of nb
+            # (line-dedup's three readers, c4, the tail) re-expands it
+            # — measured 222s wall / 24s plan-compile at sf0.1 vs v3's
+            # 85s/5.6s; with the cut the downstream plan is v3-shaped.
+            # Same trade the clustering iterations already make; the
+            # cut point is mode-injectable (logpipe.materialize) — a
+            # cluster run sets reliable mode and this dataset-sized
+            # intermediate lands in the checkpoint dir instead of
+            # executor-local blocks.
+            nb = materialize(nb.join(keep_ids, "doc_id", "left_semi"))
+        except BaseException:
+            # error path: stats' eager checkpoint must not stay pinned
+            # (nor leak files in reliable mode) if the gate's own
+            # materialize fails — same discipline as the v5 trim gate
+            release(*stats_held)
+            raise
         # stats' internal per-(window, doc) checkpoint is dead once the
         # gated frame lands (same pattern as the v5 trim gate)
         release(*stats_held)

@@ -19,16 +19,13 @@ parquet branch substitutes in its absence:
 - incremental snapshot reads -> file-source streaming
   (streaming/stream_pipeline.py).
 
-Ref classification is syntactic and documented: a ref containing a
-path separator or URI scheme (or ending ``.parquet``) is a filesystem
-path -> parquet; a MULTI-PART dotted identifier (``db.tbl`` /
-``cat.db.tbl``) that does not name an existing local path is a table
-identifier -> requires an Iceberg-capable session, else a clear error
-naming the missing conf. Bare single-segment names (``mydata``) are
-relative paths — the round-6 classification sent them to the Iceberg
-branch, silently breaking ``--transcripts mydata`` invocations that
-had always read a relative directory (round-6 ADVICE). A dotted name
-that is meant as a relative DIRECTORY must be written ``./data.v2``.
+Ref classification is documented on ``is_table_ref``: separators/
+schemes/``.parquet`` are always paths, bare single-segment names are
+always relative paths (round-6 ADVICE: ``--transcripts mydata`` must
+keep reading a directory), and dotted names resolve by session
+capability — tables in an Iceberg-capable session (local filesystem
+state cannot shadow a catalog table), existing-path-wins otherwise,
+``./`` always forcing the path reading.
 """
 
 from __future__ import annotations
@@ -38,18 +35,28 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
-def is_table_ref(ref: str) -> bool:
+def is_table_ref(ref: str, spark: SparkSession | None = None) -> bool:
     """True for catalog table identifiers (``cat.db.tbl`` / ``db.tbl``),
     False for filesystem paths. Paths carry a separator, a URI scheme,
     or a ``.parquet`` suffix; a bare single-segment name is a relative
-    path (matching what ``spark.read.parquet`` always accepted); and an
-    existing local path wins over the identifier reading even when
-    dotted (use ``./`` to force the path reading of a dotted name that
-    does not exist yet)."""
+    path (matching what ``spark.read.parquet`` always accepted).
+
+    Dotted names are ambiguous and resolve by session capability: in an
+    Iceberg-capable session (``spark`` passed and ``iceberg_ready``)
+    they are ALWAYS table identifiers — driver-local filesystem state
+    must never shadow a catalog table (a stray ``db.events`` directory
+    in the driver's CWD silently rerouting a snapshot commit into a
+    relative parquet dir would be a wrong-system write; round-7
+    review). Without an Iceberg session, an existing local path wins
+    over the identifier reading, so ``--transcripts data.v2`` keeps
+    working (round-6 ADVICE). In both regimes ``./data.v2`` forces the
+    path reading."""
     if "/" in ref or "\\" in ref or "://" in ref or ref.endswith(".parquet"):
         return False
     if "." not in ref:
         return False  # bare relative names are paths, not identifiers
+    if spark is not None and iceberg_ready(spark):
+        return True
     return not os.path.exists(ref)
 
 
@@ -95,7 +102,7 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
     """Read ``ref`` — Iceberg catalog table or parquet directory/file,
     chosen by ``is_table_ref``. Both branches are plain scans Catalyst
     prunes and pushes into."""
-    if is_table_ref(ref):
+    if is_table_ref(ref, spark):
         _require_iceberg(spark, ref)
         return spark.read.table(ref)
     return spark.read.parquet(ref)
@@ -112,7 +119,7 @@ def write_table(
     ``overwrite`` maps to createOrReplace (a single snapshot commit,
     the atomicity the reference's per-chunk retry protocol needed
     bookkeeping for) and ``append`` to append."""
-    if is_table_ref(ref):
+    if is_table_ref(ref, df.sparkSession):
         _require_iceberg(df.sparkSession, ref)
         from pyspark.sql import functions as F
 

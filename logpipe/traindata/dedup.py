@@ -783,12 +783,41 @@ def spread_decision(docs: DataFrame) -> dict:
     reading PLANS.md). Keys: input_splits, shuffle_partitions, spread.
     Compiles the scan's physical plan; runs no job."""
     n_part = _shuffle_partitions(docs)
-    splits = docs.rdd.getNumPartitions()
     return {
-        "input_splits": splits,
+        "input_splits": docs.rdd.getNumPartitions(),
         "shuffle_partitions": n_part,
-        "spread": splits < n_part,
+        # the rule itself lives in ONE place (_derive_spread) so this
+        # metadata cannot desynchronize from the plan shape compiled
+        "spread": _derive_spread(docs, n_part),
     }
+
+
+def _span_frame(
+    docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    spread: bool | None = None,
+) -> DataFrame:
+    """The shared head of the span family: (doc_id, _spans) — tokens,
+    POSITIONAL k-gram windows (NOT distinct: every position counts;
+    < k-token docs get an empty array), with the derived spread
+    applied first (the chain's only payload-bearing exchange, there
+    purely for parallelism on few-split inputs). One definition so the
+    stats/removals tables cannot diverge on tokenization, the window
+    guard, or the spread rule (round-7 review)."""
+    n_part = _shuffle_partitions(docs)
+    d = docs.select("doc_id", text_col)
+    if spread is None:
+        spread = _derive_spread(d, n_part)
+    if spread:
+        d = d.repartition(n_part)
+    d = d.withColumn("_toks", tokens(F.col(text_col)))
+    return d.select(
+        "doc_id",
+        F.when(F.size("_toks") >= k, _ngram_windows(F.col("_toks"), k))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_spans"),
+    )
 
 
 def _span_count_table(
@@ -799,25 +828,11 @@ def _span_count_table(
 ) -> DataFrame:
     """LAZY per-(window, doc) count table: (sh=md5(window), doc_id,
     cnt=occurrences of that window in that doc). ONE LINEAR CHAIN, one
-    explode pass — tokens, POSITIONAL k-gram windows (NOT distinct:
-    every position counts), explode, groupBy (sh, doc) with map-side
-    partial agg — whose only payload-bearing exchange is the derived
-    spread; every hash exchange carries (md5, id, count) scalars.
-    Exposed for plan pinning; duplicate_span_stats' default shape
-    materializes it before the multiplicity branch."""
-    n_part = _shuffle_partitions(docs)
-    d = docs.select("doc_id", text_col)
-    if spread is None:
-        spread = _derive_spread(d, n_part)
-    if spread:
-        d = d.repartition(n_part)
-    d = d.withColumn("_toks", tokens(F.col(text_col)))
-    spans = d.select(
-        "doc_id",
-        F.when(F.size("_toks") >= k, _ngram_windows(F.col("_toks"), k))
-        .otherwise(F.array().cast("array<string>"))
-        .alias("_spans"),
-    )
+    explode pass over _span_frame, groupBy (sh, doc) with map-side
+    partial agg — every hash exchange carries (md5, id, count)
+    scalars. Exposed for plan pinning; duplicate_span_stats' default
+    shape materializes it before the multiplicity branch."""
+    spans = _span_frame(docs, k, text_col=text_col, spread=spread)
     keyed = spans.select("doc_id", F.explode("_spans").alias("span")).withColumn(
         "sh", F.md5("span")
     )
@@ -935,24 +950,11 @@ def _span_position_table(
     spread: bool | None = None,
 ) -> DataFrame:
     """LAZY per-(window, doc) position table: (sh=md5(window), doc_id,
-    poss=[1-based window positions]). One linear chain — tokens,
-    positional windows, explode, groupBy (sh, doc) — whose only
-    payload-bearing exchange is the derived spread; every hash exchange
+    poss=[1-based window positions]). One linear chain — one posexplode
+    pass over _span_frame, groupBy (sh, doc) — every hash exchange
     carries (md5, id, int-list) scalars. Exposed for plan pinning;
     duplicate_span_removals materializes it before branching."""
-    n_part = _shuffle_partitions(docs)
-    d = docs.select("doc_id", text_col)
-    if spread is None:
-        spread = _derive_spread(d, n_part)
-    if spread:
-        d = d.repartition(n_part)
-    d = d.withColumn("_toks", tokens(F.col(text_col)))
-    spans = d.select(
-        "doc_id",
-        F.when(F.size("_toks") >= k, _ngram_windows(F.col("_toks"), k))
-        .otherwise(F.array().cast("array<string>"))
-        .alias("_spans"),
-    )
+    spans = _span_frame(docs, k, text_col=text_col, spread=spread)
     keyed = spans.select(
         "doc_id", F.posexplode("_spans").alias("wpos0", "span")
     ).select(

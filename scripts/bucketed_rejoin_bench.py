@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import sys
 import tempfile
 import time
@@ -46,17 +45,13 @@ PASSES = 3
 
 
 def _payload_exchanges(df, spark) -> int:
-    fm = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
+    from logpipe.planinspect import exchange_input_lines
+
+    return sum(
+        1
+        for ln in exchange_input_lines(df)
+        if "text#" in ln or "_toks#" in ln
     )
-    blocks = re.findall(r"\(\d+\) (?:Broadcast)?Exchange\n((?:.+\n)+?)\n", fm)
-    inputs = [
-        next(ln for ln in body.splitlines() if ln.startswith("Input"))
-        for body in blocks
-    ]
-    return sum(1 for ln in inputs if "text#" in ln or "_toks#" in ln)
 
 
 def _run(spark, docs) -> float:

@@ -29,8 +29,10 @@ def _normalize(plan: str) -> str:
     - `plan_id=123` (formatted-mode subquery/exchange tags) -> `=N`
     - `rdd-123` / `MapPartitionsRDD[123]` RDD numbers -> `-N`/`[N]`
       (checkpoint leaves embed the session-global RDD counter)
-    - `lambda x_42` higher-order-function variable names -> `x_K`
-      (the suffix is a session-global lambda counter)
+    - `lambda x_42` / `y_42` / `z_42` higher-order-function variable
+      names -> `x_K`/`y_K`/`z_K` (the suffix is a session-global
+      lambda counter; Catalyst names 1/2/3-arg lambda variables
+      x/y/z, so all three letters occur — zip_with plans carry y_N)
     - localCheckpoint/ExistingRDD callsite line numbers are code
       positions, not volatile — left as-is.
 
@@ -40,7 +42,7 @@ def _normalize(plan: str) -> str:
     plan = re.sub(r"plan_id=\d+", "plan_id=N", plan)
     plan = re.sub(r"\brdd-\d+\b", "rdd-N", plan)
     plan = re.sub(r"RDD\[\d+\]", "RDD[N]", plan)
-    plan = re.sub(r"\bx_\d+\b", "x_K", plan)
+    plan = re.sub(r"\b([xyz])_\d+\b", r"\1_K", plan)
     return plan
 
 QUERIES = [
@@ -183,14 +185,21 @@ def main() -> None:
         "`test_ivf_assign_plan_has_no_global_window`, ...).",
         "",
     ]
+    from logpipe.materialize import persistent_rdd_ids, release_rdd_ids
+
     for name, note in QUERIES:
         fn = qs.get(name) or getattr(driver_queries, name)
+        # eager gates (dup_span_stats' default shape, trim, v5)
+        # checkpoint at CONSTRUCTION: release each query's block delta
+        # after its plan is dumped, like bench._run_entry does
+        pre = persistent_rdd_ids(spark)
         df = fn(spark, sf_dir)
         plan = _normalize(
             df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
             )
         )
+        release_rdd_ids(spark, persistent_rdd_ids(spark) - pre)
         out += [f"## {name}", "", f"What to look for: {note}", "", "```", plan.rstrip(), "```", ""]
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out))

@@ -25,6 +25,8 @@ def test_normalize_token_classes():
         "Scan ExistingRDD rdd-1234[sh#51, poss#52]\n"
         "Arguments: MapPartitionsRDD[22] at localCheckpoint at X.java:0\n"
         "lambdafunction(NOT (lambda x_6#13 = ), lambda x_6#13, false)\n"
+        "zip_with(_toks#4107, s#31, lambdafunction(concat(lambda x_45#88, "
+        "lambda y_46#89), lambda x_45#88, lambda y_46#89, false))\n"
     )
     got = _normalize(raw)
     assert "#4013" not in got and "#4107" not in got and "#99" not in got
@@ -32,6 +34,11 @@ def test_normalize_token_classes():
     assert "rdd-1234" not in got
     assert "RDD[22]" not in got and "RDD[N]" in got
     assert "x_6" not in got and "lambda x_K#N" in got
+    # Catalyst names 2-arg lambda variables x/y (zip_with — the class
+    # the round-7 review caught live in committed PLANS.md): both
+    # letters normalize, keeping the letter (left/right identity)
+    assert "y_46" not in got and "x_45" not in got
+    assert "lambda y_K#N" in got
     # structure preserved: attribute names, operator names, arity
     assert "doc_id#NL" in got
     assert "hashpartitioning(doc_id#NL, 32)" in got

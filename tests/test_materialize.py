@@ -226,6 +226,9 @@ def test_reliable_release_falls_back_to_dir_delta(spark, monkeypatch):
     import logpipe.materialize as mat
 
     monkeypatch.setattr(mat, "_checkpoint_file", lambda df: None)
+    # a prior reliable materialize in this session may have proven the
+    # primary resolver and disabled the dir snapshot — re-arm it
+    monkeypatch.setattr(mat, "_PATH_RESOLVER_WORKS", None)
 
     def rdd_dirs() -> set:
         opt = spark.sparkContext._jsc.sc().getCheckpointDir()
@@ -251,6 +254,31 @@ def test_reliable_release_falls_back_to_dir_delta(spark, monkeypatch):
         spark.conf.unset(MODE_CONF)
 
 
+def test_reliable_skips_dir_listing_once_resolver_proven(spark, monkeypatch):
+    """The checkpoint-dir snapshot exists only for the drift fallback:
+    after the primary path resolver succeeds once, later reliable
+    materialize calls must not pay the listStatus (an RPC per call on
+    a DFS checkpoint dir — round-7 review)."""
+    import logpipe.materialize as mat
+
+    calls = []
+    real = mat._checkpoint_dir_entries
+    monkeypatch.setattr(
+        mat, "_checkpoint_dir_entries", lambda s: (calls.append(1), real(s))[1]
+    )
+    monkeypatch.setattr(mat, "_PATH_RESOLVER_WORKS", None)
+    spark.conf.set(MODE_CONF, "reliable")
+    try:
+        m1 = materialize(spark.range(5))
+        after_first = len(calls)
+        m2 = materialize(spark.range(5))
+        assert after_first == 1
+        assert len(calls) == 1  # second call skipped the snapshot
+        release(m1, m2)
+    finally:
+        spark.conf.unset(MODE_CONF)
+
+
 def test_reliable_release_warns_when_unresolvable(spark, monkeypatch):
     """When NEITHER resolver works (path unreadable AND dir unlistable)
     the leak must at least be VISIBLE: materialize warns instead of
@@ -259,6 +287,7 @@ def test_reliable_release_warns_when_unresolvable(spark, monkeypatch):
 
     monkeypatch.setattr(mat, "_checkpoint_file", lambda df: None)
     monkeypatch.setattr(mat, "_checkpoint_dir_entries", lambda s: None)
+    monkeypatch.setattr(mat, "_PATH_RESOLVER_WORKS", None)
     spark.conf.set(MODE_CONF, "reliable")
     try:
         with pytest.warns(RuntimeWarning, match="checkpoint path"):

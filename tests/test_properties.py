@@ -278,8 +278,17 @@ def test_duplicate_span_stats_matches_python_model(spark, docs_tokens, k):
         frac = round(dup / len(sp), 4) if sp else 0.0
         expected[i] = (len(sp), dup, frac)
 
-    got = {
-        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], round(r["dup_span_frac"], 4))
-        for r in duplicate_span_stats(df, k=k).collect()
-    }
+    # the default (join) shape eagerly checkpoints its count table:
+    # collect it per example or the hypothesis loop pins one block per
+    # generated case in the shared session (round-7 review)
+    from logpipe.materialize import release
+
+    held = []
+    try:
+        got = {
+            r["doc_id"]: (r["n_spans"], r["n_dup_spans"], round(r["dup_span_frac"], 4))
+            for r in duplicate_span_stats(df, k=k, _materialized=held).collect()
+        }
+    finally:
+        release(*held)
     assert got == expected

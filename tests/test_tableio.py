@@ -41,6 +41,26 @@ def test_is_table_ref_classification(tmp_path, monkeypatch):
     assert not is_table_ref("./missing.v2")
 
 
+def test_dotted_ref_ignores_local_fs_in_iceberg_session(
+    tmp_path, monkeypatch, spark
+):
+    """In an Iceberg-capable session a dotted name is ALWAYS a table:
+    a stray driver-local `db.events` directory must not reroute a
+    catalog snapshot commit into a relative parquet dir (round-7
+    review — classification would otherwise depend on the driver's
+    CWD and flip run-to-run). `./` still forces the path reading."""
+    import logpipe.tableio as tio
+
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "db.events").mkdir()
+    # non-Iceberg session (the sandbox reality): existing path wins
+    assert not is_table_ref("db.events", spark)
+    # Iceberg-capable session: catalog wins over local fs state
+    monkeypatch.setattr(tio, "iceberg_ready", lambda s: True)
+    assert is_table_ref("db.events", spark)
+    assert not is_table_ref("./db.events", spark)
+
+
 def test_iceberg_not_ready_in_sandbox(spark):
     assert not iceberg_ready(spark)
 

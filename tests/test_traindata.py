@@ -503,22 +503,12 @@ def test_curated_corpus_v2_plan_shape(spark):
 
 def _exchange_inputs(df, spark):
     """[(block_body_Input_line)] for every (Broadcast)Exchange in the
-    formatted plan."""
-    import re
+    formatted plan (shared robust parser — logpipe.planinspect)."""
+    from logpipe.planinspect import exchange_input_lines, formatted_plan
 
-    formatted = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
-    blocks = re.findall(
-        r"\(\d+\) (?:Broadcast)?Exchange\n((?:.+\n)+?)\n", formatted
-    )
-    assert blocks, formatted
-    return [
-        next(ln for ln in body.splitlines() if ln.startswith("Input"))
-        for body in blocks
-    ]
+    lines = exchange_input_lines(df)
+    assert lines, formatted_plan(df)
+    return lines
 
 
 def test_curated_corpus_v4_plan_lineage_cut(spark):
