@@ -44,14 +44,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # (3 passes x ~180s of entries + skew extras) risks outliving the
 # grading driver's bench window. Light entries keep the full min-of-N.
 HEAVY_PASS_CAP = {
-    # v4 is kept ONE more round for the v5 comparison (the subsumption
-    # ladder v2->v3->v4->v5), min-of-2 matching its r5 protocol; v2,
-    # v3 and the v3/v4 reduced-sf points are retired — v3's 1-pass
-    # entry alone cost 110s of a 297s sweep (its retirement datum, r6
-    # pre-commit sweep) and the composed-DAG sf-pair signal now comes
-    # from v5 (round-5 verdict task 5: >half the r5 sweep wall measured
-    # superseded DAGs)
-    "curated_corpus_v4": 2,
+    # the superseded DAG generations (subsumption ladder
+    # v2->v3->v4->v5) are all retired from the sweep under the
+    # one-round rule — see _bench_queries; the composed-DAG sf-pair
+    # signal comes from v5 (round-5 verdict task 5: >half the r5 sweep
+    # wall measured superseded DAGs)
     "curated_corpus_v5": 2,
     "curated_corpus_v5_sf0_01": 2,
     "simhash_near_dups_10x": 2,
@@ -89,7 +86,6 @@ HEADLINE = [
     ("cosine_lsh_near_dups", "noop"),
     ("cosine_lsh_near_dups_prod", "noop"),
     ("session_gap_stats", "noop"),
-    ("curated_corpus_v4", "collect"),
     ("curated_corpus_v5", "collect"),
     ("curated_corpus_v5_sf0_01", "collect"),
     ("ann_lsh_topk", "collect"),
@@ -425,14 +421,14 @@ def _bench_queries(spark, driver_queries) -> dict:
     """Registry queries + bench-local entries (slope points, retired
     DAG generations kept for round-over-round comparability)."""
     qs = dict(driver_queries.queries())
-    # v4 left the 50-slot driver registry (subsumed by v5) but stays
-    # benched one more round for the subsumption-ladder comparison. v3
-    # (two generations superseded) is retired from the sweep — its
-    # final comparability numbers are committed as
-    # BENCH/r6_local_sweep_with_v3.json; only its compile wall is
-    # still tracked (_compile_walls), since that datum is cheap and
-    # plan-size-controlled rather than data-dependent.
-    qs["curated_corpus_v4"] = driver_queries.curated_corpus_v4
+    # Retired DAG generations follow the one-round rule: each stays
+    # benched ONE round past its registry retirement for the
+    # subsumption-ladder comparison, then leaves the sweep with its
+    # final datum committed — v3's in BENCH/r6_local_sweep_with_v3.json
+    # (110s of a 297s sweep), v4's in BENCH/r7_local_sweep.json
+    # (18.3s of 154.8s). Only compile walls are still tracked
+    # (_compile_walls): cheap, and plan-size-controlled rather than
+    # data-dependent.
     qs["curated_corpus_v5_sf0_01"] = _curated_v5_sf0_01
     qs["dedup_exact"] = _dedup_exact
     qs["minhash_lsh_dups_10x"] = _minhash_10x
