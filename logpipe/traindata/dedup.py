@@ -701,7 +701,11 @@ def simhash_near_dups(
     )
 
 
-def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    _materialized: list[DataFrame] | None = None,
+) -> DataFrame:
     """C4/RefinedWeb-style GLOBAL line-level dedup: every distinct line
     (boilerplate footers, nav text, repeated sentences) survives only in
     the LOWEST-doc_id document containing it, and only at its first
@@ -713,25 +717,36 @@ def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     keeping the row lets callers decide drop-vs-keep downstream.
 
     100TB shape: the winner table groups on md5(line) (map-side
-    partial agg) and carries (hash, winner-id) scalars only; the
-    verdict re-join is an equi-join on that hash; the final reassembly
-    groups on doc_id. Honest accounting (round-6 plan audit): the line
-    explode COMPILES twice — winners subtree + kept subtree, no
-    reusable exchange — i.e. 2x split/explode compute, the deliberate
-    trade against materializing a corpus-sized exploded intermediate
-    (the trim operator materializes its branch point because that
-    table is hashes+ints; this one would be the text itself). Line
-    text crosses (a) the lh verdict join once winners outgrows
-    broadcast (sort-merge, AQE-skew-splittable — chosen over a window
-    on lh, which would buffer a boilerplate line's rows in one task)
-    and (b) the per-doc reassembly exchange — both sized by the line
-    table, neither cross-doc-multiplying.
+    partial agg), carries (hash, winner-id) scalars only, and is
+    MATERIALIZED (mode-injectable, logpipe.materialize — this makes
+    the call eager; ``_materialized`` passes the checkpoint up for
+    callers that can release it): round 7 measured that AQE's skew
+    split only rewrites joins whose children are bare shuffle stages,
+    so the earlier lazy shape — the groupBy(lh) aggregate feeding the
+    verdict join directly — interposed a HashAggregate child and a
+    boilerplate line shared by half the corpus ran its verdict-join
+    partition as one task (the exact straggler the docstring claimed
+    AQE would split). With winners an ExistingRDD leaf, both join
+    children are bare shuffles and the split fires (pinned alongside
+    the span-stats skew fixture). Honest accounting (round-6 plan
+    audit): the line explode still runs twice — winners subtree
+    (eager, once) + kept subtree — the deliberate trade against
+    materializing a corpus-sized exploded intermediate (the trim
+    operator materializes its branch point because that table is
+    hashes+ints; this one would be the text itself). Line text crosses
+    (a) the lh verdict join once winners outgrows broadcast and (b)
+    the per-doc reassembly exchange — both sized by the line table,
+    neither cross-doc-multiplying.
     """
     lines = docs.select(
         "doc_id",
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn("lh", F.md5("line"))
-    winners = lines.groupBy("lh").agg(F.min("doc_id").alias("win_doc"))
+    winners = materialize(
+        lines.groupBy("lh").agg(F.min("doc_id").alias("win_doc"))
+    )
+    if _materialized is not None:
+        _materialized.append(winners)
     kept = (
         lines.join(winners, "lh")
         .filter(F.col("doc_id") == F.col("win_doc"))
@@ -868,18 +883,25 @@ def duplicate_span_stats(
     verdict gave the spread flag:
 
     - ``shape="join"`` (default): groupBy(sh) count joined back on the
-      hash, with the count table MATERIALIZED (mode-injectable,
-      logpipe.materialize) at the branch point — without the cut
-      Catalyst re-expands the whole text pipeline per consumer. The
-      join is AQE-skew-splittable: a boilerplate k-gram present in
-      half the corpus lands as many (sh, doc) rows that HASH-SPREAD
-      across reducers, joined against one hot hash row the skew-join
-      rule can replicate — no single-task ceiling (skew fixture pinned
-      in tests/test_traindata.py::test_dup_span_stats_skewed_hash).
-      This is exactly the shape duplicate_span_removals/trim already
-      run, so the statistic and the remedy now share one plan family.
-      ``_materialized`` passes the internal checkpoint up for callers
-      that release it after their own cut lands (the v4 gate).
+      hash, with BOTH join inputs MATERIALIZED (mode-injectable,
+      logpipe.materialize): the count table at the branch point —
+      without the cut Catalyst re-expands the whole text pipeline per
+      consumer — and the per-hash (sh, nd) scalar table too, because
+      AQE's OptimizeSkewedJoin only rewrites a sort-merge join whose
+      children are BARE shuffle stages: feeding the groupBy(sh)
+      aggregate into the join directly interposes a HashAggregate as
+      the join child and the skew split silently never fires (measured
+      round 7 — the earlier "AQE-skew-splittable" wording claimed the
+      property of a shape that didn't compile to it). With both sides
+      ExistingRDD→shuffle, a boilerplate k-gram present in half the
+      corpus lands as one hot partition the skew rule demonstrably
+      splits (tests/test_traindata.py::test_dup_span_stats_skewed_hash
+      pins ``skew=true`` in the executed plan) — no single-task
+      ceiling. This is exactly the shape duplicate_span_removals/trim
+      run, so the statistic and the remedy share one plan family.
+      ``_materialized`` passes both internal checkpoints up for
+      callers that release them after their own cut lands (the v4
+      gate).
     - ``shape="window"``: ``count(1) over (partition by sh)`` on the
       LAZY chain — zero materialization, one fewer shuffle, the right
       call for corpora KNOWN boilerplate-free (dashboards over curated
@@ -913,9 +935,15 @@ def duplicate_span_stats(
     per_sh_doc = _span_count_table(docs, k, text_col=text_col, spread=spread)
     if shape == "join":
         per_sh_doc = materialize(per_sh_doc)
+        # the per-hash side is materialized too — NOT for reuse (it has
+        # one consumer) but so the multiplicity join's children are both
+        # bare shuffle stages, the only shape OptimizeSkewedJoin rewrites
+        # (an interposed HashAggregate child suppresses the skew split)
+        shs = materialize(
+            per_sh_doc.groupBy("sh").agg(F.count(F.lit(1)).alias("nd"))
+        )
         if _materialized is not None:
-            _materialized.append(per_sh_doc)
-        shs = per_sh_doc.groupBy("sh").agg(F.count(F.lit(1)).alias("nd"))
+            _materialized.extend((per_sh_doc, shs))
         with_nd = per_sh_doc.join(shs, "sh")
     else:
         # rows are unique per (window, doc), so a partition count IS
@@ -1000,21 +1028,27 @@ def duplicate_span_removals(
     window over sh: a boilerplate window shared by a large fraction of
     docs would make the window-exec partition a one-task straggler,
     while the sort-merge join back streams and AQE can skew-split it
-    (round-5 ADVICE skew note). ``_materialized`` collects the
-    internal checkpoint for callers that release it once their own
-    materialization lands (v5's gate; same pattern as
-    minhash_lsh_pairs).
+    (round-5 ADVICE skew note). The winner table is MATERIALIZED too
+    (scalars: sh, nd, win), because the skew split only rewrites joins
+    whose children are bare shuffle stages — the groupBy(sh) aggregate
+    feeding the join directly interposes a HashAggregate child and the
+    split never fires (measured round 7; see duplicate_span_stats).
+    ``_materialized`` collects both internal checkpoints for callers
+    that release them once their own materialization lands (v5's
+    gate; same pattern as minhash_lsh_pairs).
     """
     if k < 1:
         raise ValueError(f"duplicate_span_removals: k must be >= 1, got {k}")
     per = materialize(
         _span_position_table(docs, k, text_col=text_col, spread=spread)
     )
-    if _materialized is not None:
-        _materialized.append(per)
-    shs = per.groupBy("sh").agg(
-        F.count(F.lit(1)).alias("nd"), F.min("doc_id").alias("win")
+    shs = materialize(
+        per.groupBy("sh").agg(
+            F.count(F.lit(1)).alias("nd"), F.min("doc_id").alias("win")
+        )
     )
+    if _materialized is not None:
+        _materialized.extend((per, shs))
     losers = (
         per.join(shs, "sh")
         .filter((F.col("nd") >= min_docs) & (F.col("doc_id") != F.col("win")))

@@ -630,9 +630,15 @@ def test_dup_span_stats_skewed_hash(spark):
     """The boilerplate-hash straggler class, as a fixture: ONE k-gram
     present in half the corpus. The default join shape must (a) compute
     the same numbers a per-doc replay predicts, (b) compile with no
-    Window over the hash (the round-6-documented one-task buffer) —
-    the hot hash's (sh, doc) rows hash-spread across reducers and the
-    multiplicity join is AQE-skew-splittable. Both shapes agree."""
+    Window over the hash (the round-6-documented one-task buffer),
+    and (c) — pinned below in a second, larger fixture — actually get
+    SPLIT by AQE's skew rule (`skew=true` in the executed plan). (c)
+    is why BOTH multiplicity-join inputs are materialized:
+    OptimizeSkewedJoin only rewrites joins whose children are bare
+    shuffle stages, so the earlier shape (groupBy(sh) feeding the join
+    directly, a HashAggregate as the join child) never fired the split
+    — the round-6 "AQE-skew-splittable" docstring claim was refuted by
+    measurement in round 7 and the shape fixed. Both shapes agree."""
     from logpipe.traindata.dedup import duplicate_span_stats
 
     rows = []
@@ -661,6 +667,51 @@ def test_dup_span_stats_skewed_hash(spark):
         for r in duplicate_span_stats(docs, k=3, min_docs=2, shape="window").collect()
     }
     assert got_w == expect
+
+    # (c) the split FIRES: a hot hash big enough to clear the (lowered)
+    # skew thresholds must show `skew=true` on the multiplicity join in
+    # the AQE-final plan. Skew detection reads COMPRESSED map-output
+    # sizes, and a partition of one repeated hash LZ4-compresses ~100x
+    # while the md5 tail is incompressible — so the hot side needs row
+    # VOLUME, not just row share, to be the byte-largest partition:
+    # 150k hot docs vs a 20k unique tail (generated JVM-side via
+    # spark.range, ~8s wall). Thresholds restored afterwards.
+    from logpipe.materialize import release
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    orig = {k: spark.conf.get(k, None) for k in tuned}
+    held: list = []
+    try:
+        for k_, v in tuned.items():
+            spark.conf.set(k_, v)
+        c = F.col("id").cast("string")
+        hot = spark.range(150_000).select(
+            F.col("id").alias("doc_id"),
+            F.lit("share one boiler plate").alias("text"),
+        )
+        tail = spark.range(150_000, 170_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("u"), c, F.lit(" v"), c, F.lit(" w"), c).alias("text"),
+        )
+        df_big = duplicate_span_stats(
+            hot.unionByName(tail), k=3, min_docs=2, _materialized=held
+        )
+        df_big.collect()
+        plan_big = df_big._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan_big, "AQE skew split did not fire"
+    finally:
+        release(*held)
+        for k_, v in orig.items():
+            if v is None:
+                spark.conf.unset(k_)
+            else:
+                spark.conf.set(k_, v)
 
 
 def test_span_trim_plan_materialized_branch_point(spark):
