@@ -701,11 +701,7 @@ def simhash_near_dups(
     )
 
 
-def line_dedup(
-    docs: DataFrame,
-    text_col: str = "text",
-    _materialized: list[DataFrame] | None = None,
-) -> DataFrame:
+def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """C4/RefinedWeb-style GLOBAL line-level dedup: every distinct line
     (boilerplate footers, nav text, repeated sentences) survives only in
     the LOWEST-doc_id document containing it, and only at its first
@@ -717,36 +713,33 @@ def line_dedup(
     keeping the row lets callers decide drop-vs-keep downstream.
 
     100TB shape: the winner table groups on md5(line) (map-side
-    partial agg), carries (hash, winner-id) scalars only, and is
-    MATERIALIZED (mode-injectable, logpipe.materialize — this makes
-    the call eager; ``_materialized`` passes the checkpoint up for
-    callers that can release it): round 7 measured that AQE's skew
-    split only rewrites joins whose children are bare shuffle stages,
-    so the earlier lazy shape — the groupBy(lh) aggregate feeding the
-    verdict join directly — interposed a HashAggregate child and a
-    boilerplate line shared by half the corpus ran its verdict-join
-    partition as one task (the exact straggler the docstring claimed
-    AQE would split). With winners an ExistingRDD leaf, both join
-    children are bare shuffles and the split fires (pinned alongside
-    the span-stats skew fixture). Honest accounting (round-6 plan
-    audit): the line explode still runs twice — winners subtree
-    (eager, once) + kept subtree — the deliberate trade against
-    materializing a corpus-sized exploded intermediate (the trim
-    operator materializes its branch point because that table is
-    hashes+ints; this one would be the text itself). Line text crosses
-    (a) the lh verdict join once winners outgrows broadcast and (b)
-    the per-doc reassembly exchange — both sized by the line table,
-    neither cross-doc-multiplying.
+    partial agg) and carries (hash, winner-id) scalars only; the
+    verdict re-join is SKEW-FREE BY CONSTRUCTION — Catalyst folds the
+    ``doc_id == win_doc`` first-occurrence filter into the join
+    condition, so the join equi-keys are (lh, doc_id) vs (lh,
+    win_doc) and a boilerplate line shared by half the corpus
+    hash-spreads across reducers by doc_id; no hot partition ever
+    forms (verified round 7 by probing the executed plan under
+    lowered skew thresholds: the join compiles as
+    ``SortMergeJoin [doc_id, lh], [win_doc, lh]`` and no partition
+    qualifies as skewed — which is also why this operator does NOT
+    materialize its winner table the way duplicate_span_stats/
+    removals must: their multiplicity joins really do key on the hash
+    alone). Honest accounting (round-6 plan audit): the line explode
+    COMPILES twice — winners subtree + kept subtree, no reusable
+    exchange — i.e. 2x split/explode compute, the deliberate trade
+    against materializing a corpus-sized exploded intermediate (the
+    trim operator materializes its branch point because that table is
+    hashes+ints; this one would be the text itself). Line text
+    crosses (a) the lh verdict join once winners outgrows broadcast
+    and (b) the per-doc reassembly exchange — both sized by the line
+    table, neither cross-doc-multiplying.
     """
     lines = docs.select(
         "doc_id",
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn("lh", F.md5("line"))
-    winners = materialize(
-        lines.groupBy("lh").agg(F.min("doc_id").alias("win_doc"))
-    )
-    if _materialized is not None:
-        _materialized.append(winners)
+    winners = lines.groupBy("lh").agg(F.min("doc_id").alias("win_doc"))
     kept = (
         lines.join(winners, "lh")
         .filter(F.col("doc_id") == F.col("win_doc"))
@@ -934,7 +927,12 @@ def duplicate_span_stats(
         )
     per_sh_doc = _span_count_table(docs, k, text_col=text_col, spread=spread)
     if shape == "join":
+        # each checkpoint lands in _materialized IMMEDIATELY: if the
+        # second eager job fails, the caller's error-path release must
+        # still see the first (the v5 gate's except-path discipline)
         per_sh_doc = materialize(per_sh_doc)
+        if _materialized is not None:
+            _materialized.append(per_sh_doc)
         # the per-hash side is materialized too — NOT for reuse (it has
         # one consumer) but so the multiplicity join's children are both
         # bare shuffle stages, the only shape OptimizeSkewedJoin rewrites
@@ -943,7 +941,7 @@ def duplicate_span_stats(
             per_sh_doc.groupBy("sh").agg(F.count(F.lit(1)).alias("nd"))
         )
         if _materialized is not None:
-            _materialized.extend((per_sh_doc, shs))
+            _materialized.append(shs)
         with_nd = per_sh_doc.join(shs, "sh")
     else:
         # rows are unique per (window, doc), so a partition count IS
@@ -1039,16 +1037,21 @@ def duplicate_span_removals(
     """
     if k < 1:
         raise ValueError(f"duplicate_span_removals: k must be >= 1, got {k}")
+    # each checkpoint lands in _materialized IMMEDIATELY: if the second
+    # eager job fails, the caller's error-path release must still see
+    # the first (the v5 gate's except-path discipline)
     per = materialize(
         _span_position_table(docs, k, text_col=text_col, spread=spread)
     )
+    if _materialized is not None:
+        _materialized.append(per)
     shs = materialize(
         per.groupBy("sh").agg(
             F.count(F.lit(1)).alias("nd"), F.min("doc_id").alias("win")
         )
     )
     if _materialized is not None:
-        _materialized.extend((per, shs))
+        _materialized.append(shs)
     losers = (
         per.join(shs, "sh")
         .filter((F.col("nd") >= min_docs) & (F.col("doc_id") != F.col("win")))

@@ -83,8 +83,12 @@ QUERIES = [
     (
         "line_dedup",
         "one explode, winner groupBy on md5(line) with map-side partial "
-        "agg, equi-join verdict on the hash, per-doc reassembly groupBy — "
-        "line text never crosses a doc-boundary exchange.",
+        "agg, verdict join, per-doc reassembly groupBy — line text never "
+        "crosses a doc-boundary exchange. The verdict join keys show as "
+        "(lh, doc_id)=(lh, win_doc): Catalyst folds the first-occurrence "
+        "filter into the join, which hash-spreads a boilerplate line by "
+        "doc_id — skew-free by construction, no winner materialization "
+        "needed (round-7 probe).",
     ),
     (
         "curated_corpus_v5",

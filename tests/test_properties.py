@@ -238,20 +238,10 @@ def test_line_dedup_matches_python_model(spark, docs_lines):
                 kept.append(ln)
         expected[i] = ("\n".join(kept), len(kept))
 
-    # line_dedup eagerly checkpoints its winner table since round 7:
-    # release per example or the hypothesis loop pins one block per
-    # generated case in the shared session (same hygiene as the span
-    # stats loop below)
-    from logpipe.materialize import release
-
-    held = []
-    try:
-        got = {
-            r["doc_id"]: (r["text"], r["n_lines_kept"])
-            for r in line_dedup(df, _materialized=held).collect()
-        }
-    finally:
-        release(*held)
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines_kept"])
+        for r in line_dedup(df).collect()
+    }
     assert got == expected
 
 
