@@ -463,6 +463,55 @@ def benchmark_contamination(
     )
 
 
+def _large_star(e: DataFrame, held: list[DataFrame]) -> DataFrame:
+    """One large-star round: for each node u emit (v, min(Γ(u) ∪ {u}))
+    for every neighbor v > u. The symmetric-distinct edge view is the
+    BRANCH POINT (consumed by the min-aggregate AND the join side) and
+    is materialized — two longs per row — so the subtree computes once,
+    not per consumer (the package's branch-point rule); the per-node
+    min table is materialized too so the neighbor join's children are
+    both bare shuffle stages and a HUB node (the center of a large
+    near-dup star, this algorithm's natural skew case) is
+    AQE-skew-splittable instead of a one-task straggler (round-7
+    measurement: an aggregate feeding a join directly suppresses the
+    split — see duplicate_span_stats). Checkpoints land in ``held``;
+    the caller releases them once its own round materialization
+    lands."""
+    s = materialize(
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    )
+    held.append(s)
+    mn = materialize(s.groupBy("u").agg(F.min("v").alias("mv")))
+    held.append(mn)
+    m = F.least(F.col("mv"), F.col("u"))
+    return (
+        s.join(mn, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame, held: list[DataFrame]) -> DataFrame:
+    """One small-star round: orient each edge at its larger endpoint;
+    for each u emit (v, min(N(u))) for its smaller neighbors v, plus
+    (u, min). Same materialization discipline as _large_star (oriented
+    view = branch point; min table = bare-shuffle join child for the
+    skew split)."""
+    o = materialize(
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    held.append(o)
+    mn = materialize(o.groupBy("u").agg(F.min("v").alias("m")))
+    held.append(mn)
+    nb = o.join(mn, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    own = mn.select("u", F.col("m").alias("v"))
+    return nb.union(own).filter(F.col("u") != F.col("v")).distinct()
+
+
 def star_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al. 2014, "Connected Components in MapReduce and
@@ -480,9 +529,16 @@ def star_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     Each round is two grouped aggregations over the current edge set
     plus an exact convergence check (count + exceptAll — both cheap:
     the working set is dup nodes only, and the edge count is
-    monotonically non-increasing after the first round). Raises after
-    ``max_rounds`` like the propagation loop: deterministic failure
-    beats silently-wrong clusters.
+    monotonically non-increasing after the first round). Since round 7
+    each half-round materializes its branch point (the symmetric /
+    oriented edge view, two longs per row — previously it compiled
+    into both its consumers) and its per-node min table (so the
+    neighbor join's children are bare shuffle stages and a hub node —
+    this algorithm's natural skew — is AQE-skew-splittable; an
+    aggregate feeding the join directly suppresses the split, measured
+    round 7); the checkpoints are released as soon as the round's edge
+    set lands. Raises after ``max_rounds`` like the propagation loop:
+    deterministic failure beats silently-wrong clusters.
 
     When to use which: near-dup components are usually SHALLOW (many
     copies of one source), where propagation converges in ~2 rounds and
@@ -495,36 +551,6 @@ def star_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     if max_rounds < 1:
         raise ValueError(f"star_components: max_rounds must be >= 1, got {max_rounds}")
 
-    def large_star(e: DataFrame) -> DataFrame:
-        # symmetric view; for each u emit (v, min(Γ(u) ∪ {u})) for v > u
-        s = e.union(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
-        mn = s.groupBy("u").agg(F.min("v").alias("mv"))
-        m = F.least(F.col("mv"), F.col("u"))
-        return (
-            s.join(mn, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), m.alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
-
-    def small_star(e: DataFrame) -> DataFrame:
-        # orient each edge at its larger endpoint; for each u emit
-        # (v, min(N(u))) for its smaller neighbors v, plus (u, min)
-        o = (
-            e.select(
-                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-            )
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
-        mn = o.groupBy("u").agg(F.min("v").alias("m"))
-        nb = o.join(mn, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
-        own = mn.select("u", F.col("m").alias("v"))
-        return nb.union(own).filter(F.col("u") != F.col("v")).distinct()
-
     e = materialize(
         edges.select(F.col(edges.columns[0]).alias("u"),
                      F.col(edges.columns[1]).alias("v"))
@@ -533,8 +559,17 @@ def star_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     )
     for _ in range(max_rounds):
         # lineage_cut: each round's edge set is built from the previous
-        # round's — persist would let the plan double per round
-        new = materialize(small_star(large_star(e)), lineage_cut=True)
+        # round's — persist would let the plan double per round. The
+        # star helpers' inner checkpoints are dead once the round's
+        # edge set lands; try/finally releases them on the error path
+        # too (the v5-gate discipline).
+        held: list[DataFrame] = []
+        try:
+            new = materialize(
+                _small_star(_large_star(e, held), held), lineage_cut=True
+            )
+        finally:
+            release(*held)
         converged = new.count() == e.count() and new.exceptAll(e).isEmpty()
         release(e)  # previous round's edge set is dead either way
         e = new

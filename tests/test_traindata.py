@@ -379,6 +379,63 @@ def test_star_components_diameter_independent(spark):
         star_components(e2, max_rounds=0)
 
 
+def test_large_star_hub_join_skew_splittable(spark):
+    """The star algorithms' natural skew case is a HUB (one source doc
+    with 150k near-copies: every edge touches it). The large-star
+    neighbor join must be AQE-skew-splittable — which requires both
+    join children to be bare shuffle stages (round-7 measurement: the
+    per-node min aggregate feeding the join directly suppresses the
+    split), hence the materialized branch point + min table in
+    _large_star. Pins `skew=true` in the executed plan under lowered
+    thresholds, driving the DataFrame's OWN QueryExecution (df.count()
+    builds a new one, leaving this plan unexecuted)."""
+    from logpipe.materialize import materialize, release
+    from logpipe.traindata.dedup import _large_star
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    orig = {k: spark.conf.get(k, None) for k in tuned}
+    held: list = []
+    e = None
+    try:
+        for k_, v in tuned.items():
+            spark.conf.set(k_, v)
+        # hub 0 with 150k spokes. Spoke ids are xxhash64-derived
+        # (positive): skew detection reads COMPRESSED map-output sizes,
+        # and a contiguous 1..N id range LZ4-compresses below the
+        # detection threshold (measured: it never qualifies), while
+        # hashed ids — the realistic doc_id shape for minhash pair
+        # graphs — fire deterministically.
+        e = materialize(
+            spark.range(1, 150_001).select(
+                F.lit(0).cast("long").alias("u"),
+                F.shiftrightunsigned(F.xxhash64("id"), 1).alias("v"),
+            )
+        )
+        n_spokes = e.select("v").distinct().count()
+        out = _large_star(e, held)
+        qe = out._jdf.queryExecution()
+        n = qe.toRdd().count()
+        # every spoke rewires to the hub's min: one (spoke, 0) row each
+        assert n == n_spokes
+        plan = qe.executedPlan().toString()
+        assert "skew=true" in plan, "hub join did not skew-split"
+    finally:
+        release(*held)
+        if e is not None:
+            release(e)
+        for k_, v in orig.items():
+            if v is None:
+                spark.conf.unset(k_)
+            else:
+                spark.conf.set(k_, v)
+
+
 def test_star_clusters_equal_propagation_clusters(spark, docs):
     """near_dup_clusters_star must reproduce near_dup_clusters exactly
     (same minhash pair graph, same min-id cluster contract)."""
