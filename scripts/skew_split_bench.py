@@ -1,12 +1,17 @@
 """Wall-clock evidence that the round-7 skew-split fix PAYS, not just
 plans: the duplicate-span multiplicity join-back on a boilerplate-heavy
-corpus, with AQE's skew split enabled vs disabled.
+corpus (HOT_DOCS documents sharing one 4-token text — i.e. TWO
+corpus-wide hot 3-gram windows), with AQE's skew split enabled vs
+disabled.
 
 Why disable-vs-enable rather than old-shape-vs-new-shape: with the
 aggregate feeding the join directly (the pre-fix shape), the split
 structurally cannot fire — so `skewJoin.enabled=false` over the FIXED
-shape reproduces the pre-fix execution of this phase exactly (one task
-owns the hot hash's partition) while keeping everything else identical.
+shape reproduces the pre-fix JOIN execution (one task owns each hot
+hash's partition) while keeping everything else identical. One honest
+caveat: the timed region starts AFTER the per-hash aggregate is
+materialized, whereas the pre-fix query computed that aggregate inline
+— so the measured ratio UNDERSTATES the full pre-fix gap.
 
 Protocol (the sweep's rules): the per-(window, doc) count table is
 materialized ONCE (identical bytes for both modes — only join planning
@@ -34,10 +39,10 @@ TAIL_DOCS = 100_000
 PASSES = 3
 
 TUNED = {
-    # sized so the ~1.2M-row hot partition (compressed map output)
-    # clears the threshold and splits into a handful of chunks;
-    # detection reads COMPRESSED sizes and a repeated hash
-    # LZ4-compresses ~100x, hence row volume this large
+    # sized so each ~1.2M-row hot partition (one per hot 3-gram window;
+    # compressed map output) clears the threshold and splits into a
+    # handful of chunks; detection reads COMPRESSED sizes and a
+    # repeated hash LZ4-compresses ~100x, hence row volume this large
     "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
     "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1MB",

@@ -387,53 +387,42 @@ def test_large_star_hub_join_skew_splittable(spark):
     per-node min aggregate feeding the join directly suppresses the
     split), hence the materialized branch point + min table in
     _large_star. Pins `skew=true` in the executed plan under lowered
-    thresholds, driving the DataFrame's OWN QueryExecution (df.count()
-    builds a new one, leaving this plan unexecuted)."""
+    thresholds (conftest.skew_probe_confs), driving the DataFrame's
+    OWN QueryExecution (df.count() builds a new one, leaving this plan
+    unexecuted)."""
     from logpipe.materialize import materialize, release
     from logpipe.traindata.dedup import _large_star
 
-    tuned = {
-        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
-    }
-    orig = {k: spark.conf.get(k, None) for k in tuned}
+    from conftest import skew_probe_confs
+
     held: list = []
     e = None
     try:
-        for k_, v in tuned.items():
-            spark.conf.set(k_, v)
-        # hub 0 with 150k spokes. Spoke ids are xxhash64-derived
-        # (positive): skew detection reads COMPRESSED map-output sizes,
-        # and a contiguous 1..N id range LZ4-compresses below the
-        # detection threshold (measured: it never qualifies), while
-        # hashed ids — the realistic doc_id shape for minhash pair
-        # graphs — fire deterministically.
-        e = materialize(
-            spark.range(1, 150_001).select(
-                F.lit(0).cast("long").alias("u"),
-                F.shiftrightunsigned(F.xxhash64("id"), 1).alias("v"),
+        with skew_probe_confs(spark):
+            # hub 0 with 150k spokes. Spoke ids are xxhash64-derived
+            # (positive): skew detection reads COMPRESSED map-output
+            # sizes, and a contiguous 1..N id range LZ4-compresses
+            # below the detection threshold (measured: it never
+            # qualifies), while hashed ids — the realistic doc_id
+            # shape for minhash pair graphs — fire deterministically.
+            e = materialize(
+                spark.range(1, 150_001).select(
+                    F.lit(0).cast("long").alias("u"),
+                    F.shiftrightunsigned(F.xxhash64("id"), 1).alias("v"),
+                )
             )
-        )
-        n_spokes = e.select("v").distinct().count()
-        out = _large_star(e, held)
-        qe = out._jdf.queryExecution()
-        n = qe.toRdd().count()
-        # every spoke rewires to the hub's min: one (spoke, 0) row each
-        assert n == n_spokes
-        plan = qe.executedPlan().toString()
-        assert "skew=true" in plan, "hub join did not skew-split"
+            n_spokes = e.select("v").distinct().count()
+            out = _large_star(e, held)
+            qe = out._jdf.queryExecution()
+            n = qe.toRdd().count()
+            # every spoke rewires to the hub's min: one (spoke, 0) row
+            assert n == n_spokes
+            plan = qe.executedPlan().toString()
+            assert "skew=true" in plan, "hub join did not skew-split"
     finally:
         release(*held)
         if e is not None:
             release(e)
-        for k_, v in orig.items():
-            if v is None:
-                spark.conf.unset(k_)
-            else:
-                spark.conf.set(k_, v)
 
 
 def test_star_clusters_equal_propagation_clusters(spark, docs):
@@ -732,43 +721,34 @@ def test_dup_span_stats_skewed_hash(spark):
     # while the md5 tail is incompressible — so the hot side needs row
     # VOLUME, not just row share, to be the byte-largest partition:
     # 150k hot docs vs a 20k unique tail (generated JVM-side via
-    # spark.range, ~8s wall). Thresholds restored afterwards.
+    # spark.range, ~8s wall). Thresholds restored by the shared
+    # contextmanager (conftest.skew_probe_confs).
     from logpipe.materialize import release
 
-    tuned = {
-        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
-    }
-    orig = {k: spark.conf.get(k, None) for k in tuned}
+    from conftest import skew_probe_confs
+
     held: list = []
     try:
-        for k_, v in tuned.items():
-            spark.conf.set(k_, v)
-        c = F.col("id").cast("string")
-        hot = spark.range(150_000).select(
-            F.col("id").alias("doc_id"),
-            F.lit("share one boiler plate").alias("text"),
-        )
-        tail = spark.range(150_000, 170_000).select(
-            F.col("id").alias("doc_id"),
-            F.concat(F.lit("u"), c, F.lit(" v"), c, F.lit(" w"), c).alias("text"),
-        )
-        df_big = duplicate_span_stats(
-            hot.unionByName(tail), k=3, min_docs=2, _materialized=held
-        )
-        df_big.collect()
-        plan_big = df_big._jdf.queryExecution().executedPlan().toString()
-        assert "skew=true" in plan_big, "AQE skew split did not fire"
+        with skew_probe_confs(spark):
+            c = F.col("id").cast("string")
+            hot = spark.range(150_000).select(
+                F.col("id").alias("doc_id"),
+                F.lit("share one boiler plate").alias("text"),
+            )
+            tail = spark.range(150_000, 170_000).select(
+                F.col("id").alias("doc_id"),
+                F.concat(
+                    F.lit("u"), c, F.lit(" v"), c, F.lit(" w"), c
+                ).alias("text"),
+            )
+            df_big = duplicate_span_stats(
+                hot.unionByName(tail), k=3, min_docs=2, _materialized=held
+            )
+            df_big.collect()
+            plan_big = df_big._jdf.queryExecution().executedPlan().toString()
+            assert "skew=true" in plan_big, "AQE skew split did not fire"
     finally:
         release(*held)
-        for k_, v in orig.items():
-            if v is None:
-                spark.conf.unset(k_)
-            else:
-                spark.conf.set(k_, v)
 
 
 def test_span_trim_plan_materialized_branch_point(spark):
