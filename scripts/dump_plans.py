@@ -107,9 +107,12 @@ QUERIES = [
         "the winner/loser branch (the ExistingRDD leaf — without the "
         "cut Catalyst re-expands the span pipeline per consumer: two "
         "full text scans, zero ReusedExchange); winner/multiplicity "
-        "via an ordinary groupBy(hash) joined back on the hash "
-        "(AQE-skew-splittable vs a window over a boilerplate hash "
-        "buffering one task), loser positions collapse per doc; the "
+        "via an ordinary groupBy(hash) joined back on the hash, with "
+        "the winner table ALSO materialized (second ExistingRDD leaf) "
+        "— AQE's skew split only rewrites joins over bare shuffle "
+        "stages, so an aggregate feeding the join directly would "
+        "silently suppress it (round-7 measurement; skew=true pinned "
+        "on the stats sibling); loser positions collapse per doc; the "
         "verdict rejoins the corpus as an ids+int-array equi-join "
         "(broadcast at this scale; bucketed co-location at 100TB) and "
         "the trim itself is a per-row array filter. ONE FileScan in "
@@ -117,12 +120,18 @@ QUERIES = [
     ),
     (
         "dup_span_stats",
-        "ONE linear chain, ONE payload-bearing exchange — the leading "
-        "RoundRobinPartitioning spread (parallelism for few-split "
-        "inputs; spread=False drops it and the text moves zero bytes). "
-        "Everything after the explode exchanges (md5, doc_id, count) "
-        "scalars: groupBy (hash, doc) with partial agg, a window count "
-        "over the hash, per-doc sums. Pinned both ways in "
+        "the count table AND the per-hash multiplicity table are both "
+        "materialize()d (two ExistingRDD leaves): the first cuts the "
+        "span pipeline at the branch point, the second makes the "
+        "multiplicity join's children bare shuffle stages — the only "
+        "shape AQE's skew split rewrites (skew=true pinned in "
+        "test_dup_span_stats_skewed_hash). Upstream of the cut (the "
+        "lazy count chain, pinned separately): ONE payload-bearing "
+        "exchange — the leading RoundRobinPartitioning spread "
+        "(parallelism for few-split inputs; derived off on many-split "
+        "scans), everything after the explode exchanging (md5, "
+        "doc_id, count) scalars. The window shape remains an opt-in "
+        "for boilerplate-free corpora. Pinned in "
         "test_dup_span_stats_plan_single_linear_payload_exchange.",
     ),
     (
