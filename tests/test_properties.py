@@ -292,3 +292,54 @@ def test_duplicate_span_stats_matches_python_model(spark, docs_tokens, k):
     finally:
         release(*held)
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_star_components_matches_union_find(spark, edge_list):
+    """star_components == connected components by an independent
+    python union-find, on RANDOM graphs — chains, hubs, forests,
+    parallel edges, self-loops. Added when round 7 rewired the star
+    rounds (branch-point materialization + skew-splittable min-table
+    join): the two fixed fixtures pin diameter and skew; this pins the
+    CONTRACT across shapes. Labels cover exactly the nodes incident to
+    a non-self-loop edge, labeled by component minimum."""
+    from logpipe.materialize import persistent_rdd_ids, release_rdd_ids
+    from logpipe.traindata.dedup import star_components
+
+    real = [(u, v) for u, v in edge_list if u != v]
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in real:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    expected = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edge_list, "u long, v long")
+    # the returned labels hold the internal edge-fixpoint checkpoint
+    # alive: collect, then free the example's block delta (the
+    # hypothesis-loop hygiene pattern used throughout this module)
+    pre = persistent_rdd_ids(spark)
+    try:
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in star_components(df, max_rounds=10).collect()
+        }
+    finally:
+        release_rdd_ids(spark, persistent_rdd_ids(spark) - pre)
+    assert got == expected
