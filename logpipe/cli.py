@@ -10,6 +10,11 @@ With --synth N the input is generated deterministically (smoke/bench
 runs); otherwise the three parquet paths are read. The job is
 bucket-resumable: re-running with the same --manifest skips completed
 buckets and prints the aggregated lineage.
+
+Relayout mode: --bucket-out OUT [--bucket-cols conv_id --bucket-n N
+--bucket-table NAME] reads the input and writes it back BUCKETED
+(tableio.write_table bucket spec), then exits — the one-time storage
+layout that makes key-equal rejoins shuffle-free at scale.
 """
 
 from __future__ import annotations
@@ -38,8 +43,36 @@ def main(argv: list[str] | None = None) -> None:
              "comma-separated; default excludes *fluent-bit*.log — "
              "entrypoint.sh:19-21 plus its path-agnostic complement)",
     )
-    p.add_argument("--out", required=True)
-    p.add_argument("--manifest", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--manifest", default=None)
+    # bucketed-relayout mode: read the input ref, write it back
+    # BUCKETED (tableio.write_table bucket spec) and exit — the one-time
+    # storage layout that makes every key-equal rejoin downstream
+    # shuffle-free (BENCH/r7_bucketed_rejoin.json: 1.69x on the trim
+    # verdict rejoin; tests pin the zero-payload-exchange plan)
+    p.add_argument(
+        "--bucket-out", default=None,
+        help="write the input relaid out bucketed to this ref (path or "
+             "Iceberg table) and exit; no pipeline runs",
+    )
+    p.add_argument(
+        "--bucket-cols", default="conv_id",
+        help="comma-separated bucket column(s) for --bucket-out "
+             "(default conv_id — the transcripts join key; use doc_id "
+             "for a documents corpus)",
+    )
+    p.add_argument(
+        "--bucket-n", type=int, default=None,
+        help="bucket count for --bucket-out (default: the session's "
+             "spark.sql.shuffle.partitions, so the layout satisfies "
+             "the join distribution at that parallelism)",
+    )
+    p.add_argument(
+        "--bucket-table", default=None,
+        help="catalog name for the bucketed path write (default: "
+             "derived from the --bucket-out basename); bucketed reads "
+             "go through spark.table(<name>)",
+    )
     p.add_argument("--buckets", type=int, default=8)
     p.add_argument("--synth", type=int, default=0, help="synthesize N input rows")
     p.add_argument("--master", default=None)
@@ -71,6 +104,8 @@ def main(argv: list[str] | None = None) -> None:
         help="static cluster tag (env LOGPIPE_CLUSTER_NAME)",
     )
     args = p.parse_args(argv)
+    if args.bucket_out is None and not (args.out and args.manifest):
+        p.error("--out and --manifest are required (unless --bucket-out)")
 
     from logpipe import config as C
     from logpipe.manifest import run_resumable
@@ -161,6 +196,30 @@ def main(argv: list[str] | None = None) -> None:
         transcripts = read_table(spark, args.transcripts)
         k8s = read_table(spark, args.k8s_meta)
         tools = read_table(spark, args.tool_meta)
+
+    if args.bucket_out is not None:
+        from logpipe.tableio import write_table
+
+        cols = tuple(c.strip() for c in args.bucket_cols.split(",") if c.strip())
+        n = args.bucket_n or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        name = write_table(
+            transcripts,
+            args.bucket_out,
+            bucket_by=(n, *cols),
+            table_name=args.bucket_table,
+        )
+        print(json.dumps({
+            "bucket_out": args.bucket_out,
+            "bucket_cols": list(cols),
+            "n_buckets": n,
+            # path branch: read back via spark.table(<table>) so the
+            # bucket metadata (catalog entry) serves the scan; Iceberg
+            # branch: table is None — the ref itself is the table and
+            # readers want tableio.SPJ_CONFS set
+            "table": name,
+        }))
+        spark.stop()
+        return
 
     # retain=true (the reference's patched sleep-and-keep): batch jobs
     # self-pace, so REPORT the over-rate buckets — but only when a

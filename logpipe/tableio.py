@@ -26,13 +26,63 @@ keep reading a directory), and dotted names resolve by session
 capability — tables in an Iceberg-capable session (local filesystem
 state cannot shadow a catalog table), existing-path-wins otherwise,
 ``./`` always forcing the path reading.
+
+Bucketed layout (the dedup family's 100TB co-location story): every
+dedup verdict rejoins the corpus on doc_id, and storing the corpus
+bucketed on doc_id with the bucket count matching shuffle parallelism
+makes that rejoin SHUFFLE-FREE — measured 1.69x on the trim rejoin
+with the payload exchange count pinned at zero
+(BENCH/r7_bucketed_rejoin.json, tests/test_traindata.py::
+test_span_trim_bucketed_rejoin). ``write_table(..., bucket_by=(n,
+"doc_id"))`` produces that layout through this seam: the path branch
+writes a Hive-bucketed external table (``bucketBy + sortBy +
+saveAsTable`` — plain ``save()`` cannot carry bucket metadata), the
+Iceberg branch uses the ``bucket(n, col)`` partition transform.
+Reading the layout BACK with its bucketing visible needs the catalog
+entry (``spark.table(name)`` — ``read_table`` on the raw path sees
+only parquet files); on Iceberg the reader side additionally needs
+the storage-partitioned-join session confs (``SPJ_CONFS`` below).
 """
 
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Session confs that let Spark's planner use a V2 (Iceberg) table's
+# bucket(n, col) partition transform to satisfy a join's required
+# distribution — the storage-partitioned join (SPARK-37375, public
+# Spark/Iceberg docs), which is the Iceberg carrier of the same
+# shuffle-elision the Hive-bucketBy path demonstrates in this sandbox
+# (the sandbox has no Iceberg jars, so the SPJ confs are pinned by
+# contract, not executed). requireAllClusterKeysForCoPartition=false
+# additionally lets a bucket on doc_id ALONE satisfy compound-key
+# joins like line_dedup's (lh, doc_id) verdict rejoin — demonstrated
+# executable on the Hive-bucketed branch:
+# tests/test_traindata.py::test_line_dedup_bucketed_rejoin_compound_key.
+SPJ_CONFS = {
+    # read grouped by storage partitions instead of file splits
+    "spark.sql.sources.v2.bucketing.enabled": "true",
+    # align mismatched partition value sets between the two sides
+    "spark.sql.sources.v2.bucketing.pushPartValues.enabled": "true",
+    # let a partitioning on a SUBSET of the join keys co-partition
+    # (doc_id bucket serving a (doc_id, lh) join) — also what the
+    # Hive-bucketed compound-key demonstration requires
+    "spark.sql.requireAllClusterKeysForCoPartition": "false",
+    # Iceberg reader: report the partition grouping to Spark
+    "spark.sql.iceberg.planning.preserve-data-grouping": "true",
+}
+
+
+def enable_spj(spark: SparkSession) -> dict[str, str]:
+    """Apply ``SPJ_CONFS`` to the session and return the previous
+    values (None-valued keys were unset) so a caller can restore."""
+    prev = {k: spark.conf.get(k, None) for k in SPJ_CONFS}
+    for k, v in SPJ_CONFS.items():
+        spark.conf.set(k, v)
+    return prev
 
 
 def is_table_ref(ref: str, spark: SparkSession | None = None) -> bool:
@@ -47,17 +97,53 @@ def is_table_ref(ref: str, spark: SparkSession | None = None) -> bool:
     must never shadow a catalog table (a stray ``db.events`` directory
     in the driver's CWD silently rerouting a snapshot commit into a
     relative parquet dir would be a wrong-system write; round-7
-    review). Without an Iceberg session, an existing local path wins
-    over the identifier reading, so ``--transcripts data.v2`` keeps
-    working (round-6 ADVICE). In both regimes ``./data.v2`` forces the
-    path reading."""
+    review). Without an Iceberg session, an existing path wins over
+    the identifier reading, so ``--transcripts data.v2`` keeps working
+    (round-6 ADVICE) — existence checked against the session's DEFAULT
+    filesystem when it isn't the local one (round-7 ADVICE: Spark
+    resolves relative paths against the default FS, so on an
+    HDFS-default cluster a dotted dir that exists only on HDFS must
+    classify as a path, and a stray driver-local dir must not flip a
+    table read). In both regimes ``./data.v2`` forces the path
+    reading."""
     if "/" in ref or "\\" in ref or "://" in ref or ref.endswith(".parquet"):
         return False
     if "." not in ref:
         return False  # bare relative names are paths, not identifiers
     if spark is not None and iceberg_ready(spark):
         return True
-    return not os.path.exists(ref)
+    return not _ref_exists(spark, ref)
+
+
+def _default_fs(spark: SparkSession):
+    """(Path constructor, default Hadoop FileSystem) for the session,
+    or None when the JVM bridge is unavailable. Separated out so tests
+    can substitute a fake DFS."""
+    try:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        return jvm.org.apache.hadoop.fs.Path, jvm.org.apache.hadoop.fs.FileSystem.get(hconf)
+    except Exception:
+        return None
+
+
+def _ref_exists(spark: SparkSession | None, ref: str) -> bool:
+    """Does ``ref`` exist as a path where SPARK would resolve it? A
+    relative path resolves against the session's default filesystem —
+    only when that is the local one (the sandbox and every committed
+    run) is the driver-local ``os.path.exists`` the right oracle; on a
+    DFS-default cluster the check goes through the Hadoop FileSystem
+    API instead (round-7 ADVICE)."""
+    if spark is not None:
+        bridge = _default_fs(spark)
+        if bridge is not None:
+            mk_path, fs = bridge
+            try:
+                if fs.getScheme() != "file":
+                    return bool(fs.exists(mk_path(ref)))
+            except Exception:
+                pass  # fall back to the local check below
+    return os.path.exists(ref)
 
 
 def _sql_conf_keys(spark: SparkSession) -> set[str]:
@@ -108,33 +194,103 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
     return spark.read.parquet(ref)
 
 
+def derived_table_name(ref: str) -> str:
+    """Catalog-safe table name derived from a path ref's basename —
+    the default metastore entry for a bucketed path write (the entry
+    is what carries the bucket spec; see ``write_table``)."""
+    base = os.path.basename(ref.rstrip("/\\")) or "table"
+    name = re.sub(r"[^A-Za-z0-9_]", "_", base)
+    if name[0].isdigit():
+        name = "t_" + name
+    return name
+
+
 def write_table(
     df: DataFrame,
     ref: str,
     mode: str = "overwrite",
     partition_by: tuple[str, ...] = (),
-) -> None:
+    bucket_by: tuple | None = None,
+    sort_by: tuple[str, ...] | None = None,
+    table_name: str | None = None,
+) -> str | None:
     """Write ``df`` to ``ref``. Parquet branch: the directory write
     every committed test exercises. Iceberg branch: ``writeTo`` v2 —
     ``overwrite`` maps to createOrReplace (a single snapshot commit,
     the atomicity the reference's per-chunk retry protocol needed
-    bookkeeping for) and ``append`` to append."""
+    bookkeeping for) and ``append`` to append.
+
+    ``bucket_by=(n, col, ...)`` writes the BUCKETED layout the dedup
+    family's verdict rejoins want at 100TB (module docstring). The two
+    branches carry it differently:
+
+    - path branch: Hive-bucketed EXTERNAL table — ``bucketBy(n, cols)
+      .sortBy(sort_by or cols)`` with the data at ``ref`` and the
+      bucket metadata in a catalog entry named ``table_name`` (derived
+      from the path basename when omitted). Plain ``.save(path)``
+      cannot write bucketed (Spark requires ``saveAsTable``), and a
+      bucketed read MUST go through ``spark.table(name)`` — the raw
+      path is just parquet files. Returns the table name.
+    - Iceberg branch: the ``bucket(n, col)`` PARTITION TRANSFORM in
+      ``partitionedBy`` (after any identity ``partition_by`` columns),
+      one transform per bucket column. Iceberg sort order is a table
+      property, not a writer call, so ``sort_by``/``table_name`` are
+      rejected here; the reader side needs ``SPJ_CONFS`` for the
+      layout to elide join shuffles. Returns None (the ref IS the
+      table).
+
+    Contract pinned (no jars in the sandbox) in tests/test_tableio.py;
+    the path branch's shuffle-elision is demonstrated end-to-end in
+    tests/test_traindata.py::test_write_table_bucketed_elides_rejoin.
+    """
+    if bucket_by is not None:
+        n_buckets, *bucket_cols = bucket_by
+        if not bucket_cols or not isinstance(n_buckets, int) or n_buckets < 1:
+            raise ValueError(
+                f"write_table: bucket_by must be (n_buckets, col, ...), got {bucket_by!r}"
+            )
     if is_table_ref(ref, df.sparkSession):
         _require_iceberg(df.sparkSession, ref)
         from pyspark.sql import functions as F
+        from pyspark.sql.functions import partitioning as P
 
+        if bucket_by is not None and (sort_by is not None or table_name is not None):
+            raise ValueError(
+                "write_table: sort_by/table_name are path-branch knobs; "
+                "Iceberg sort order is a table property (WRITE ORDERED BY) "
+                "and the ref already names the table"
+            )
         w = df.writeTo(ref).using("iceberg")
-        if partition_by:
-            cols = [F.col(c) for c in partition_by]
-            w = w.partitionedBy(cols[0], *cols[1:])
+        transforms = [F.col(c) for c in partition_by]
+        if bucket_by is not None:
+            transforms += [P.bucket(n_buckets, F.col(c)) for c in bucket_cols]
+        if transforms:
+            w = w.partitionedBy(transforms[0], *transforms[1:])
         if mode == "overwrite":
             w.createOrReplace()
         elif mode == "append":
             w.append()
         else:
             raise ValueError(f"write_table: unsupported mode {mode!r} for tables")
-        return
+        return None
+    if bucket_by is not None:
+        name = table_name or derived_table_name(ref)
+        writer = (
+            df.write.mode(mode)
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*(sort_by if sort_by is not None else tuple(bucket_cols)))
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.option("path", ref).format("parquet").saveAsTable(name)
+        return name
+    if sort_by is not None or table_name is not None:
+        raise ValueError(
+            "write_table: sort_by/table_name only apply to bucketed path "
+            "writes (pass bucket_by)"
+        )
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(ref)
+    return None

@@ -768,7 +768,20 @@ def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     hashes+ints; this one would be the text itself). Line text
     crosses (a) the lh verdict join once winners outgrows broadcast
     and (b) the per-doc reassembly exchange — both sized by the line
-    table, neither cross-doc-multiplying.
+    table, neither cross-doc-multiplying. BOTH are elided by the
+    doc_id-bucketed corpus layout (tableio.write_table bucket spec /
+    cli --bucket-out) even though the verdict join keys on the
+    COMPOUND (lh, doc_id): Spark's default co-partition rule rejects
+    a subset-key bucket, but under
+    ``spark.sql.requireAllClusterKeysForCoPartition=false`` (part of
+    tableio.SPJ_CONFS) hash(doc_id) carries the join — only the
+    scalar winners side shuffles to co-partition, and the reassembly
+    groupBys ride the same storage partitioning: ZERO payload
+    exchanges, pinned in tests/test_traindata.py::
+    test_line_dedup_bucketed_rejoin_compound_key and measured at
+    1.63x on the same scan (exchange kept vs elided, sf0.1,
+    BENCH/r8_line_dedup_bucketed.json — which also records the
+    bucketed scan's fixed-split local handicap separately).
     """
     lines = docs.select(
         "doc_id",
@@ -1143,10 +1156,13 @@ def duplicate_span_trim(
     doc_id with the bucket count matching shuffle parallelism
     (storage-partitioned join; demonstrated, not just claimed:
     tests/test_traindata.py::test_span_trim_bucketed_rejoin pins the
-    zero-payload-exchange plan + identical results over a bucketed
-    corpus, and scripts/bucketed_rejoin_bench.py commits the measured
-    pair), the same co-location answer as every verdict rejoin in this
-    package.
+    zero-payload-exchange plan + identical results over a corpus
+    written through the PRODUCTION path — tableio.write_table's
+    bucket spec, exposed as cli --bucket-out — and
+    scripts/bucketed_rejoin_bench.py commits the measured pair), the
+    same co-location answer as every verdict rejoin in this package
+    (line_dedup demonstrates it under a COMPOUND join key, see its
+    docstring).
     """
     rm = duplicate_span_removals(
         docs, k=k, min_docs=min_docs, text_col=text_col, spread=spread,

@@ -138,6 +138,52 @@ def test_cli_logs_dir_mode_excludes_self(spark, tmp_path, monkeypatch):
     assert contents and all(c == "hello" for c in contents)
 
 
+def test_cli_bucket_out_relayout(spark, tmp_path, monkeypatch):
+    """--bucket-out reads the input and writes it back bucketed through
+    tableio.write_table (the one-time layout for shuffle-free rejoins),
+    printing the layout JSON and running NO pipeline (--out/--manifest
+    not required in this mode, still required otherwise)."""
+    import json
+
+    from logpipe import cli
+
+    monkeypatch.setattr("logpipe.session.get_spark", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    import io
+    from contextlib import redirect_stdout
+
+    spark.sql("DROP TABLE IF EXISTS cli_bucket_t")
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            cli.main(
+                ["--synth", "500",
+                 "--bucket-out", str(tmp_path / "bucketed"),
+                 "--bucket-n", "4", "--bucket-table", "cli_bucket_t"]
+            )
+        info = json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert info == {
+            "bucket_out": str(tmp_path / "bucketed"),
+            "bucket_cols": ["conv_id"],
+            "n_buckets": 4,
+            "table": "cli_bucket_t",
+        }
+        back = spark.table("cli_bucket_t")
+        assert back.count() == 500
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql("DESCRIBE FORMATTED cli_bucket_t").collect()
+        }
+        assert desc.get("Num Buckets") == "4"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cli_bucket_t")
+
+    # without --bucket-out the original contract stands
+    with pytest.raises(SystemExit):
+        cli.main(["--synth", "10"])
+
+
 def test_cli_cluster_name_applies_to_dynamic_plan(spark, tmp_path, monkeypatch):
     """--cluster-name must reach BOTH plans (the reference's
     DICE_CLUSTER_NAME applies regardless of which conf is selected);

@@ -13,7 +13,10 @@ round-6 verdict: pin it without jars)."""
 import pytest
 
 from logpipe.tableio import (
+    SPJ_CONFS,
     _sql_conf_keys,
+    derived_table_name,
+    enable_spj,
     is_table_ref,
     iceberg_ready,
     read_table,
@@ -220,5 +223,127 @@ def test_path_branch_matches_direct_parquet_write(spark, tmp_path):
 
 def test_path_branch_unpartitioned_roundtrip(spark, tmp_path):
     out = str(tmp_path / "flat")
-    write_table(spark.range(7), out)
+    assert write_table(spark.range(7), out) is None
     assert read_table(spark, out).count() == 7
+
+
+def test_ref_exists_uses_default_fs_when_not_local(spark, tmp_path, monkeypatch):
+    """Round-7 ADVICE: Spark resolves relative paths against the
+    session's DEFAULT filesystem. On a DFS-default cluster a dotted
+    dir that exists only on the DFS must classify as a path, and a
+    stray driver-local dir must NOT flip a table read. The sandbox
+    default FS is local (where os.path.exists IS the right oracle —
+    pinned first), so the DFS regime is driven through a fake
+    FileSystem bridge."""
+    import logpipe.tableio as tio
+
+    bridge = tio._default_fs(spark)
+    assert bridge is not None and bridge[1].getScheme() == "file"
+
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "local.only").mkdir()
+
+    class _FakeFS:
+        def getScheme(self):
+            return "hdfs"
+
+        def exists(self, path):
+            return path == "dfs.only"
+
+    monkeypatch.setattr(tio, "_default_fs", lambda s: (lambda p: p, _FakeFS()))
+    # exists on the DFS -> path reading wins
+    assert not is_table_ref("dfs.only", spark)
+    # local-only dir is invisible to the default FS -> table reading
+    assert is_table_ref("local.only", spark)
+    # without a session the local check still applies
+    assert not is_table_ref("local.only")
+
+
+def test_derived_table_name():
+    assert derived_table_name("/data/corpus-v2.bucketed/") == "corpus_v2_bucketed"
+    assert derived_table_name("7days") == "t_7days"
+    assert derived_table_name("/") == "table"
+
+
+def test_spj_confs_roundtrip(spark):
+    """The Iceberg storage-partitioned-join conf set (module docstring:
+    the production-format carrier of the demonstrated bucketed-rejoin
+    elision) must contain the three Spark-side keys the public docs
+    require, apply cleanly, and restore."""
+    assert SPJ_CONFS["spark.sql.sources.v2.bucketing.enabled"] == "true"
+    assert SPJ_CONFS["spark.sql.sources.v2.bucketing.pushPartValues.enabled"] == "true"
+    # the subset-key co-partition rule the compound-key demonstration
+    # (test_line_dedup_bucketed_rejoin_compound_key) runs under
+    assert SPJ_CONFS["spark.sql.requireAllClusterKeysForCoPartition"] == "false"
+    prev = enable_spj(spark)
+    try:
+        for k, v in SPJ_CONFS.items():
+            assert spark.conf.get(k) == v
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition", "true") == "true"
+
+
+def test_iceberg_write_contract_bucket_transform(spark, iceberg_contract):
+    """bucket_by on the Iceberg branch -> the bucket(n, col) PARTITION
+    TRANSFORM (the Iceberg carrier of the Hive-bucketBy layout), after
+    any identity partition columns, then one createOrReplace."""
+    df = spark.range(3).selectExpr("id as doc_id", "cast(id as string) as lang")
+    assert write_table(
+        df, "cat.db.corpus", mode="overwrite",
+        partition_by=("lang",), bucket_by=(32, "doc_id"),
+    ) is None
+    (w,) = iceberg_contract
+    assert w.calls == [
+        ("using", "iceberg"),
+        ("partitionedBy", ("lang", "bucket(32, doc_id)")),
+        ("createOrReplace",),
+    ]
+
+
+def test_iceberg_bucket_rejects_path_only_knobs(spark, iceberg_contract):
+    """Iceberg sort order is a table property, not a writer call, and
+    the ref already names the table — sort_by/table_name must fail
+    loudly instead of silently not applying."""
+    df = spark.range(3).selectExpr("id as doc_id")
+    with pytest.raises(ValueError, match="path-branch"):
+        write_table(df, "cat.db.corpus", bucket_by=(8, "doc_id"), sort_by=("doc_id",))
+    with pytest.raises(ValueError, match="path-branch"):
+        write_table(df, "cat.db.corpus", bucket_by=(8, "doc_id"), table_name="x")
+
+
+def test_write_table_bucket_spec_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="bucket_by"):
+        write_table(spark.range(3), str(tmp_path / "b"), bucket_by=(8,))
+    with pytest.raises(ValueError, match="bucket_by"):
+        write_table(spark.range(3), str(tmp_path / "b"), bucket_by=(0, "id"))
+    with pytest.raises(ValueError, match="bucketed path"):
+        write_table(spark.range(3), str(tmp_path / "b"), sort_by=("id",))
+    with pytest.raises(ValueError, match="bucketed path"):
+        write_table(spark.range(3), str(tmp_path / "b"), table_name="x")
+
+
+def test_path_branch_bucketed_write_roundtrip(spark, tmp_path):
+    """Bucketed path write: external table at the given path, bucket
+    spec in the catalog entry, data readable BOTH ways (spark.table
+    carries the bucketing; the raw path is plain parquet)."""
+    df = spark.range(100).selectExpr("id as doc_id", "cast(id % 3 as string) as s")
+    out = str(tmp_path / "corpus.bucketed")
+    name = write_table(df, out, bucket_by=(4, "doc_id"), table_name="tableio_bkt_t")
+    try:
+        assert name == "tableio_bkt_t"
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+        }
+        assert desc.get("Num Buckets") == "4"
+        assert "doc_id" in desc.get("Bucket Columns", "")
+        assert "doc_id" in desc.get("Sort Columns", "")
+        assert spark.table(name).count() == 100
+        assert read_table(spark, out).count() == 100  # raw path still parquet
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tableio_bkt_t")

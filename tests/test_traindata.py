@@ -805,19 +805,25 @@ def test_span_trim_bucketed_rejoin(spark, tmp_path):
       property.
 
     scripts/bucketed_rejoin_bench.py commits the measured wall pair at
-    sf0.1 (BENCH/r7_bucketed_rejoin.json)."""
+    sf0.1 (BENCH/r7_bucketed_rejoin.json).
+
+    Since round 8 the layout is produced through the PRODUCTION write
+    path — tableio.write_table's bucket spec (exposed from cli.py as
+    --bucket-out) — so this test also pins that a write_table-produced
+    corpus compiles the zero-payload rejoin (round-7 verdict task 1:
+    the demonstrated layout must be producible without raw Spark)."""
+    from logpipe.tableio import write_table
     from logpipe.traindata.dedup import duplicate_span_trim
 
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     spark.sql("DROP TABLE IF EXISTS corpus_bucketed_t")
-    (
-        docs.write.bucketBy(n_part, "doc_id")
-        .sortBy("doc_id")
-        .option("path", str(tmp_path / "corpus_bucketed"))
-        .mode("overwrite")
-        .saveAsTable("corpus_bucketed_t")
-    )
+    assert write_table(
+        docs,
+        str(tmp_path / "corpus_bucketed"),
+        bucket_by=(n_part, "doc_id"),
+        table_name="corpus_bucketed_t",
+    ) == "corpus_bucketed_t"
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         bdocs = spark.table("corpus_bucketed_t")
@@ -845,6 +851,73 @@ def test_span_trim_bucketed_rejoin(spark, tmp_path):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS corpus_bucketed_t")
+
+
+def test_line_dedup_bucketed_rejoin_compound_key(spark, tmp_path):
+    """Round-7 verdict task 3: does doc_id bucketing still elide the
+    corpus-side exchange when the verdict join keys on a COMPOUND key?
+    line_dedup's verdict join is ``SortMergeJoin [doc_id, lh],
+    [win_doc, lh]`` — the bucket satisfies only a strict SUBSET of the
+    join keys, and under Spark's default co-partition rule
+    (``spark.sql.requireAllClusterKeysForCoPartition=true``) the
+    subset partitioning is NOT accepted: the exploded-lines payload
+    still shuffles (pinned below). With the rule relaxed — one of the
+    same SPJ conf family the Iceberg storage-partitioned join needs
+    (tableio.SPJ_CONFS) — hash(doc_id) co-locates every (doc_id, lh)
+    group, Spark shuffles only the scalar winners side by win_doc to
+    match, and the corpus-side payload exchange count drops to ZERO
+    (the reassembly groupBys on doc_id / (doc_id, lh) ride the same
+    storage partitioning). Results are row-identical in all three
+    regimes, so the layout+conf pair is purely a plan property."""
+    from logpipe.tableio import SPJ_CONFS, write_table
+    from logpipe.traindata.dedup import line_dedup
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    spark.sql("DROP TABLE IF EXISTS corpus_bucketed_ld_t")
+    write_table(
+        docs,
+        str(tmp_path / "corpus_bucketed_ld"),
+        bucket_by=(n_part, "doc_id"),
+        table_name="corpus_bucketed_ld_t",
+    )
+    subset_key = "spark.sql.requireAllClusterKeysForCoPartition"
+    assert subset_key in SPJ_CONFS  # the documented carrier of this demo
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bdocs = spark.table("corpus_bucketed_ld_t")
+
+        def payload(df):
+            return [
+                ln for ln in _exchange_inputs(df, spark)
+                if "text#" in ln or "line#" in ln
+            ]
+
+        # default co-partition rule: subset bucket NOT used for the
+        # compound-key join — the lines payload shuffles once
+        out_default = line_dedup(bdocs)
+        assert len(payload(out_default)) == 1, payload(out_default)
+
+        spark.conf.set(subset_key, "false")
+        out_b = line_dedup(bdocs)
+        plan = out_b._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "Bucketed: true" in plan
+        assert payload(out_b) == [], payload(out_b)
+
+        # plain parquet under the same conf: the payload exchange stays
+        # (it is the LAYOUT, not the conf, that elides it)
+        out_p = line_dedup(docs)
+        assert len(payload(out_p)) == 1, payload(out_p)
+
+        rows_b = sorted(tuple(r) for r in out_b.collect())
+        rows_p = sorted(tuple(r) for r in out_p.collect())
+        spark.conf.unset(subset_key)
+        rows_d = sorted(tuple(r) for r in line_dedup(docs).collect())
+        assert rows_b == rows_p == rows_d and len(rows_b) == 500
+    finally:
+        spark.conf.unset(subset_key)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS corpus_bucketed_ld_t")
 
 
 def test_duplicate_span_trim_semantics(spark):
