@@ -463,26 +463,69 @@ def benchmark_contamination(
     )
 
 
-def _large_star(e: DataFrame, held: list[DataFrame]) -> DataFrame:
+# Generous upper bound on a (long, long) edge row's contribution to
+# COMPRESSED shuffle map output (raw is ~16B; serialization overhead
+# never quadruples it) — deliberately an OVERestimate so the derived
+# hub decision errs toward keeping the skew-splittable shape.
+_EDGE_ROW_BYTES_UB = 64
+
+
+def _derive_hub_skew(spark, n_edges: int) -> bool:
+    """Should a star half-round pay the per-node min-table
+    materialization that makes its neighbor join AQE-skew-splittable?
+
+    AQE's OptimizeSkewedJoin only splits a partition whose map output
+    exceeds ``skewedPartitionThresholdInBytes`` (default 256MB), and
+    ONE partition's bytes are bounded by the whole edge set's — so
+    when ``n_edges`` times a generous per-row upper bound stays under
+    the threshold, no partition can ever qualify and the
+    materialization is pure cost (the round-7 shape bought skew
+    safety unconditionally; its fixed per-round cost was the round-7
+    verdict's one perf watch item — same derive-don't-default
+    treatment as ``_derive_spread``). The bound is conservative in
+    both directions that matter: 64B/row is ~4x the raw edge width,
+    and a large-star round grows the edge set at most 2x, so a
+    borderline graph derives True. With skew-join rewriting disabled
+    outright the split can never fire regardless of shape."""
+    for k in ("spark.sql.adaptive.enabled", "spark.sql.adaptive.skewJoin.enabled"):
+        if str(spark.conf.get(k, "true")).lower() != "true":
+            return False
+    thresh_str = str(
+        spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256MB"
+        )
+    )
+    jvm = spark.sparkContext._jvm
+    thresh = int(
+        jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(thresh_str)
+    )
+    return n_edges * _EDGE_ROW_BYTES_UB >= thresh
+
+
+def _large_star(e: DataFrame, held: list[DataFrame], hub: bool) -> DataFrame:
     """One large-star round: for each node u emit (v, min(Γ(u) ∪ {u}))
     for every neighbor v > u. The symmetric-distinct edge view is the
     BRANCH POINT (consumed by the min-aggregate AND the join side) and
-    is materialized — two longs per row — so the subtree computes once,
-    not per consumer (the package's branch-point rule); the per-node
-    min table is materialized too so the neighbor join's children are
-    both bare shuffle stages and a HUB node (the center of a large
-    near-dup star, this algorithm's natural skew case) is
-    AQE-skew-splittable instead of a one-task straggler (round-7
-    measurement: an aggregate feeding a join directly suppresses the
-    split — see duplicate_span_stats). Checkpoints land in ``held``;
-    the caller releases them once its own round materialization
-    lands."""
+    is always materialized — two longs per row — so the subtree
+    computes once, not per consumer (the package's branch-point rule).
+    With ``hub`` the per-node min table is materialized too, so the
+    neighbor join's children are both bare shuffle stages and a HUB
+    node (the center of a large near-dup star, this algorithm's
+    natural skew case) is AQE-skew-splittable instead of a one-task
+    straggler (round-7 measurement: an aggregate feeding a join
+    directly suppresses the split — see duplicate_span_stats); without
+    it the aggregate feeds the join lazily — the cheap shape for
+    graphs whose edge volume can never clear the skew threshold
+    (``_derive_hub_skew``). Checkpoints land in ``held``; the caller
+    releases them once its own round materialization lands."""
     s = materialize(
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     )
     held.append(s)
-    mn = materialize(s.groupBy("u").agg(F.min("v").alias("mv")))
-    held.append(mn)
+    mn = s.groupBy("u").agg(F.min("v").alias("mv"))
+    if hub:
+        mn = materialize(mn)
+        held.append(mn)
     m = F.least(F.col("mv"), F.col("u"))
     return (
         s.join(mn, "u")
@@ -493,26 +536,33 @@ def _large_star(e: DataFrame, held: list[DataFrame]) -> DataFrame:
     )
 
 
-def _small_star(e: DataFrame, held: list[DataFrame]) -> DataFrame:
+def _small_star(e: DataFrame, held: list[DataFrame], hub: bool) -> DataFrame:
     """One small-star round: orient each edge at its larger endpoint;
     for each u emit (v, min(N(u))) for its smaller neighbors v, plus
     (u, min). Same materialization discipline as _large_star (oriented
-    view = branch point; min table = bare-shuffle join child for the
-    skew split)."""
+    view = branch point, always; min table under ``hub`` — here it is
+    ALSO a branch point (neighbor join + own-label union), so skipping
+    it on non-hub graphs trades one recompute of a tiny aggregate over
+    the checkpointed oriented view against a per-round eager job — the
+    round-7 wall numbers said the checkpoint loses at that size)."""
     o = materialize(
         e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
     held.append(o)
-    mn = materialize(o.groupBy("u").agg(F.min("v").alias("m")))
-    held.append(mn)
+    mn = o.groupBy("u").agg(F.min("v").alias("m"))
+    if hub:
+        mn = materialize(mn)
+        held.append(mn)
     nb = o.join(mn, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
     own = mn.select("u", F.col("m").alias("v"))
     return nb.union(own).filter(F.col("u") != F.col("v")).distinct()
 
 
-def star_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+def star_components(
+    edges: DataFrame, max_rounds: int = 20, hub_skew: bool | None = None
+) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al. 2014, "Connected Components in MapReduce and
     Beyond") — the diameter-independent upgrade named in
@@ -532,13 +582,23 @@ def star_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     monotonically non-increasing after the first round). Since round 7
     each half-round materializes its branch point (the symmetric /
     oriented edge view, two longs per row — previously it compiled
-    into both its consumers) and its per-node min table (so the
-    neighbor join's children are bare shuffle stages and a hub node —
-    this algorithm's natural skew — is AQE-skew-splittable; an
-    aggregate feeding the join directly suppresses the split, measured
-    round 7); the checkpoints are released as soon as the round's edge
-    set lands. Raises after ``max_rounds`` like the propagation loop:
-    deterministic failure beats silently-wrong clusters.
+    into both its consumers); the per-node min-table materialization
+    (which makes the neighbor join's children bare shuffle stages so a
+    hub node — this algorithm's natural skew — is AQE-skew-splittable;
+    an aggregate feeding the join directly suppresses the split,
+    measured round 7) is DERIVED per round since round 8:
+    ``hub_skew=None`` enables it only when the round's edge count
+    times a generous per-row byte bound can clear the session's skew
+    threshold at all (``_derive_hub_skew`` — on smaller graphs the
+    split can never fire and the extra eager jobs were the round-7
+    verdict's one perf watch item; measured flat-to-better with the
+    derivation, BENCH/r8_star_fresh_probe.json). The edge counts the
+    derivation needs are the ones the convergence check already
+    computes — zero extra jobs. Explicit True/False overrides, and
+    both plan shapes are pinned in tests. Checkpoints are released as
+    soon as the round's edge set lands. Raises after ``max_rounds``
+    like the propagation loop: deterministic failure beats
+    silently-wrong clusters.
 
     When to use which: near-dup components are usually SHALLOW (many
     copies of one source), where propagation converges in ~2 rounds and
@@ -551,13 +611,16 @@ def star_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     if max_rounds < 1:
         raise ValueError(f"star_components: max_rounds must be >= 1, got {max_rounds}")
 
+    spark = edges.sparkSession
     e = materialize(
         edges.select(F.col(edges.columns[0]).alias("u"),
                      F.col(edges.columns[1]).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    n_e = e.count()
     for _ in range(max_rounds):
+        hub = hub_skew if hub_skew is not None else _derive_hub_skew(spark, n_e)
         # lineage_cut: each round's edge set is built from the previous
         # round's — persist would let the plan double per round. The
         # star helpers' inner checkpoints are dead once the round's
@@ -566,13 +629,15 @@ def star_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
         held: list[DataFrame] = []
         try:
             new = materialize(
-                _small_star(_large_star(e, held), held), lineage_cut=True
+                _small_star(_large_star(e, held, hub), held, hub),
+                lineage_cut=True,
             )
         finally:
             release(*held)
-        converged = new.count() == e.count() and new.exceptAll(e).isEmpty()
+        n_new = new.count()
+        converged = n_new == n_e and new.exceptAll(e).isEmpty()
         release(e)  # previous round's edge set is dead either way
-        e = new
+        e, n_e = new, n_new
         if converged:
             break
     else:
@@ -601,6 +666,7 @@ def near_dup_clusters_star(
     bands: int = 8,
     threshold: float = 0.5,
     max_rounds: int = 20,
+    hub_skew: bool | None = None,
 ) -> DataFrame:
     """near_dup_clusters with the large-star/small-star engine: same
     output contract ((doc_id, cluster_id=min reachable id) for EVERY
@@ -622,6 +688,7 @@ def near_dup_clusters_star(
     labels = star_components(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")),
         max_rounds=max_rounds,
+        hub_skew=hub_skew,
     )
     # star_components materializes its own edge table eagerly on entry,
     # so by the time it returns the pairs checkpoint has no consumer

@@ -386,12 +386,13 @@ def test_large_star_hub_join_skew_splittable(spark):
     join children to be bare shuffle stages (round-7 measurement: the
     per-node min aggregate feeding the join directly suppresses the
     split), hence the materialized branch point + min table in
-    _large_star. Pins `skew=true` in the executed plan under lowered
-    thresholds (conftest.skew_probe_confs), driving the DataFrame's
-    OWN QueryExecution (df.count() builds a new one, leaving this plan
-    unexecuted)."""
+    _large_star under hub mode. Pins `skew=true` in the executed plan
+    under lowered thresholds (conftest.skew_probe_confs), driving the
+    DataFrame's OWN QueryExecution (df.count() builds a new one,
+    leaving this plan unexecuted) — and pins that the round-8
+    derivation SELECTS hub mode for exactly this fixture."""
     from logpipe.materialize import materialize, release
-    from logpipe.traindata.dedup import _large_star
+    from logpipe.traindata.dedup import _derive_hub_skew, _large_star
 
     from conftest import skew_probe_confs
 
@@ -412,7 +413,10 @@ def test_large_star_hub_join_skew_splittable(spark):
                 )
             )
             n_spokes = e.select("v").distinct().count()
-            out = _large_star(e, held)
+            # star_components would derive hub mode here: 150k edges x
+            # the 64B/row bound clears the lowered 16KB threshold
+            assert _derive_hub_skew(spark, 150_000)
+            out = _large_star(e, held, hub=True)
             qe = out._jdf.queryExecution()
             n = qe.toRdd().count()
             # every spoke rewires to the hub's min: one (spoke, 0) row
@@ -423,6 +427,61 @@ def test_large_star_hub_join_skew_splittable(spark):
         release(*held)
         if e is not None:
             release(e)
+
+
+def test_star_hub_derivation_and_plan_shapes(spark):
+    """Round-8 derivation (round-7 verdict: the unconditional min-table
+    materialization was the one perf watch item): hub mode only when
+    the edge volume can clear the skew threshold at all.
+
+    - decision rule: total-bytes upper bound vs the session threshold
+      (a single partition can never exceed the whole edge set), off
+      when skew-join rewriting is disabled;
+    - hub=False plan: the min aggregate feeds the join lazily — the
+      ``min(v)`` HashAggregate compiles INSIDE the round's plan (the
+      shape whose interposed aggregate child suppresses the skew
+      split, acceptable exactly because the split could never fire);
+    - hub=True plan: the min table is checkpointed out — no min
+      aggregate anywhere in the round's tree, the join children are
+      bare ExistingRDD shuffle stages;
+    - identical results either way (the shape is pure plan)."""
+    from logpipe.materialize import materialize, release
+    from logpipe.traindata.dedup import _derive_hub_skew, _large_star
+
+    from conftest import skew_probe_confs
+
+    # default session threshold is 256MB: 150k edges (9.6MB bound)
+    # derive False; 16M edges (1GB bound) derive True
+    assert not _derive_hub_skew(spark, 150_000)
+    assert _derive_hub_skew(spark, 16_000_000)
+    with skew_probe_confs(spark):  # 16KB threshold: 150k edges qualify
+        assert _derive_hub_skew(spark, 150_000)
+        assert not _derive_hub_skew(spark, 100)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        assert not _derive_hub_skew(spark, 16_000_000)
+    finally:
+        spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
+
+    e = materialize(
+        spark.createDataFrame(
+            [(5, 3), (3, 9), (20, 21), (21, 22)], "u long, v long"
+        )
+    )
+    rows = {}
+    try:
+        for hub in (False, True):
+            held: list = []
+            try:
+                out = _large_star(e, held, hub=hub)
+                plan = out._jdf.queryExecution().executedPlan().toString()
+                assert ("partial_min" in plan) == (not hub), plan
+                rows[hub] = sorted(tuple(r) for r in out.collect())
+            finally:
+                release(*held)
+        assert rows[False] == rows[True] and rows[False]
+    finally:
+        release(e)
 
 
 def test_star_clusters_equal_propagation_clusters(spark, docs):
