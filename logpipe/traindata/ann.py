@@ -202,7 +202,16 @@ def cosine_lsh_near_dups(
     # cut the Arrow bucket kernel (and the embedding scan under it)
     # runs twice. The table is (vec_id, table, bucket) int scalars.
     # Same duplicated-subtree fix as dedup.py's minhash/simhash joins;
-    # ann_lsh_topk's use of _banded has single consumers and stays lazy.
+    # ann_lsh_topk's use of _banded has single consumers and stays lazy
+    # (and its query side BROADCASTS, so no shuffle exists to skew).
+    # Skew audit (round 8): past broadcast scale the candidate join's
+    # children are projections of this checkpoint — bare shuffle
+    # stages, no interposed aggregate, so a hot hyperplane bucket is
+    # AQE-skew-splittable (pinned:
+    # test_cosine_lsh_bucket_join_children_bare; the executable
+    # skew=true pin for the class lives on the minhash band join,
+    # test_minhash_band_join_skew_splittable — see dedup.py
+    # _band_candidates for the quadratic-output honesty note).
     from logpipe.materialize import materialize
 
     banded = materialize(_banded(emb, n_planes, n_tables, dim))

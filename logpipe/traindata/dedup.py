@@ -192,6 +192,68 @@ def minhash_from_hashes(hashes: Column, k: int = 32) -> Column:
     )
 
 
+def _banded_sigs(sigs: DataFrame, bands: int, r: int) -> DataFrame:
+    """(doc_id, band, bucket) from a signature table (doc_id, m0..mk):
+    band i's bucket is the raw signature slice m[i*r, (i+1)*r) joined
+    as a string (portable: engine-independent string equality). Banding
+    WITHOUT the grams payload — the banded frame is exploded x bands
+    and self-joined, so carrying the shingle arrays through it would
+    shuffle every doc's grams ``bands`` times; grams join back onto the
+    (deduped, tiny) candidate pairs instead."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(",", *[
+                            F.col(f"m{i * r + j}").cast("string") for j in range(r)
+                        ]).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bucket")
+
+
+def _band_candidates(banded: DataFrame) -> DataFrame:
+    """Distinct candidate pairs = two docs sharing any (band, bucket).
+
+    Skew audit (round-8 verdict task 5): past broadcast scale this
+    compiles to a sort-merge join on (band, bucket) whose children are
+    BARE shuffle stages — projections of the materialized signature
+    checkpoint, no interposed aggregate — so AQE's OptimizeSkewedJoin
+    CAN split a hot bucket (the HashAggregate-suppression class that
+    silently disabled the span-stats split in round 7 does not occur
+    here; ``skew=true`` pinned executable on a 4k-doc hot bucket in
+    tests/test_traindata.py::test_minhash_band_join_skew_splittable).
+    Honest scale note: a hot bucket's dominant cost is its QUADRATIC
+    candidate output — a bucket of m docs emits m(m-1)/2 pairs no
+    matter how the inputs partition; the skew split parallelizes that
+    emission instead of leaving it a one-task straggler, but the
+    remedy for the volume itself is upstream EXACT dedup (identical
+    docs share all bands and inflate every bucket they touch — the
+    curated-corpus DAG runs exact-dedup winners before near-dup
+    clustering for exactly this reason)."""
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 2,
@@ -247,44 +309,7 @@ def minhash_lsh_pairs(
     sigs = materialize(hashed.groupBy("doc_id").agg(*sig_cols))
     if _materialized is not None:
         _materialized.append(sigs)
-    # band WITHOUT the grams payload: the banded frame is exploded
-    # x bands and self-joined, so carrying the shingle arrays through
-    # it would shuffle every doc's grams `bands` times; grams join back
-    # onto the (deduped, tiny) candidate pairs instead
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        # portable bucket key: the band's raw signature
-                        # slice (engine-independent string equality)
-                        F.concat_ws(",", *[
-                            F.col(f"m{i * r + j}").cast("string") for j in range(r)
-                        ]).alias("bucket"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bucket")
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    cand = _band_candidates(_banded_sigs(sigs, bands, r))
     ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
     verified = cand.join(ga, "doc_a").join(gb, "doc_b")

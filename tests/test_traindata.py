@@ -484,6 +484,95 @@ def test_star_hub_derivation_and_plan_shapes(spark):
         release(e)
 
 
+def test_minhash_band_join_skew_splittable(spark):
+    """Round-7 verdict task 5 (the HashAggregate-suppression audit,
+    applied to the banded LSH self-join): a HOT BUCKET — thousands of
+    near-identical docs sharing one (band, bucket) — must be
+    AQE-skew-splittable, which holds because the join children are
+    projections of the MATERIALIZED signature table (bare shuffle
+    stages; the round-7 suppression class needs an aggregate feeding
+    the join directly). Pins ``skew=true`` in the executed plan on a
+    4k-doc hot bucket vs an 800-doc unique tail — and this fixture has
+    BOTH sides of the self-join skewed on the same partition, so it
+    also pins that AQE handles the self-join case, not just the
+    one-side-skewed span-stats shape. k=4/bands=1 keeps the emitted
+    candidate set at one hot group (~8M pairs — the quadratic output a
+    hot bucket costs REGARDLESS of partitioning; see _band_candidates'
+    docstring for why upstream exact dedup, not the skew split, is the
+    remedy for that volume)."""
+    from logpipe.materialize import materialize, release
+    from logpipe.traindata.dedup import _band_candidates, _banded_sigs
+
+    from conftest import skew_probe_confs
+
+    sigs = None
+    try:
+        with skew_probe_confs(spark):
+            hot = spark.range(4000).select(
+                F.shiftrightunsigned(F.xxhash64("id"), 1).alias("doc_id"),
+                *[F.lit(1).cast("long").alias(f"m{i}") for i in range(4)],
+            )
+            tail = spark.range(4000, 4800).select(
+                F.shiftrightunsigned(F.xxhash64("id"), 1).alias("doc_id"),
+                *[F.col("id").cast("long").alias(f"m{i}") for i in range(4)],
+            )
+            sigs = materialize(hot.unionByName(tail))
+            cand = _band_candidates(_banded_sigs(sigs, bands=1, r=4))
+            qe = cand._jdf.queryExecution()
+            n = qe.toRdd().count()
+            assert n == 4000 * 3999 // 2  # the hot bucket's pair count
+            plan = qe.executedPlan().toString()
+            assert "skew=true" in plan, "band self-join did not skew-split"
+    finally:
+        if sigs is not None:
+            release(sigs)
+
+
+def _join_subtree(plan: str, header_match: str) -> str:
+    """The indented subtree under the first plan line containing
+    ``header_match`` (tree-string indentation parsing: children are
+    the following lines whose operator column sits deeper)."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if header_match in ln:
+            depth = ln.index(header_match)
+            sub = []
+            for nxt in lines[i + 1:]:
+                body = nxt.lstrip(" +-:*(0123456789)")
+                col = len(nxt) - len(body)
+                if col <= depth:
+                    break
+                sub.append(nxt)
+            return "\n".join(sub)
+    raise AssertionError(f"{header_match!r} not found in plan:\n{plan}")
+
+
+def test_cosine_lsh_bucket_join_children_bare(spark, emb):
+    """The cosine-LSH candidate self-join is the same skew class as the
+    minhash band join (hot hyperplane bucket -> quadratic candidates,
+    skew-splittable emission): pin that past broadcast scale it
+    compiles as a sort-merge join on (table, bucket) whose subtree
+    contains NO aggregate between the shuffle and the materialized
+    banded table (Scan ExistingRDD x2) — the bare-shuffle-children
+    property the round-7 suppression finding made load-bearing. The
+    dropDuplicates aggregate sits ABOVE the join and groups on
+    (id_a, id_b), which does not contain the join keys, so it cannot
+    suppress the split either (round-7 matrix probe)."""
+    from logpipe.traindata.ann import cosine_lsh_near_dups
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = cosine_lsh_near_dups(emb, threshold=0.4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        sub = _join_subtree(plan, "SortMergeJoin [table#")
+        assert "HashAggregate" not in sub, sub
+        assert sub.count("Scan ExistingRDD") == 2, sub
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
 def test_star_clusters_equal_propagation_clusters(spark, docs):
     """near_dup_clusters_star must reproduce near_dup_clusters exactly
     (same minhash pair graph, same min-id cluster contract)."""
