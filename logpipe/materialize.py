@@ -63,6 +63,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,6 +81,16 @@ _RELEASE_ATTR = "_logpipe_release"
 # If the resolver then fails on a LATER call (drift mid-process), that
 # call has no dir snapshot and takes the visible-warning path.
 _PATH_RESOLVER_WORKS: bool | None = None
+
+# The snapshot -> materialize -> snapshot windows attribute per-call
+# deltas (persistent-RDD ids in local mode, checkpoint-dir entries in
+# the reliable drift fallback) to THIS frame; a concurrent materialize
+# in another driver thread would land its ids/dirs inside the window
+# and release() would then free a LIVE frame's blocks or delete its
+# checkpoint files (round-7 ADVICE). One process-wide lock serializes
+# the windows — materialize is driver-side and seconds-scale, so the
+# serialization cost is noise next to the jobs it runs.
+_MATERIALIZE_LOCK = threading.Lock()
 
 
 def materialize_mode(spark: SparkSession) -> str:
@@ -191,21 +202,32 @@ def materialize(
         _ensure_checkpoint_dir(spark)
         # stage through a local checkpoint so the plan is computed once;
         # both reliable-checkpoint jobs (count + save) read the staged
-        # blocks, which are freed as soon as the durable copy exists
-        before = persistent_rdd_ids(spark)
-        # the dir snapshot exists only for the plan-shape-drift
-        # fallback below; once the primary resolver has worked in this
-        # process, stop paying a listStatus (an RPC per materialize on
-        # a DFS checkpoint dir — composed DAGs call this per round)
-        global _PATH_RESOLVER_WORKS
-        dir_before = (
-            None if _PATH_RESOLVER_WORKS else _checkpoint_dir_entries(spark)
-        )
-        staged = df.localCheckpoint()
-        staged_ids = persistent_rdd_ids(spark) - before
-        out = staged.checkpoint(eager=True)
+        # blocks, which are freed as soon as the durable copy exists.
+        # The whole snapshot->checkpoint->snapshot window holds the
+        # module lock so a concurrent driver thread's checkpoint can't
+        # be attributed to this frame (round-7 ADVICE).
+        with _MATERIALIZE_LOCK:
+            before = persistent_rdd_ids(spark)
+            # the dir snapshot exists only for the plan-shape-drift
+            # fallback below; once the primary resolver has worked in
+            # this process, stop paying a listStatus (an RPC per
+            # materialize on a DFS checkpoint dir — composed DAGs call
+            # this per round)
+            global _PATH_RESOLVER_WORKS
+            dir_before = (
+                None if _PATH_RESOLVER_WORKS else _checkpoint_dir_entries(spark)
+            )
+            staged = df.localCheckpoint()
+            staged_ids = persistent_rdd_ids(spark) - before
+            out = staged.checkpoint(eager=True)
+            ckpt = _checkpoint_file(out)
+            # fallback-path dir delta snapshotted INSIDE the lock so a
+            # concurrent thread's rdd-N dir cannot land in it; skipped
+            # entirely when the primary resolver worked
+            dir_after_locked = (
+                None if ckpt is not None else _checkpoint_dir_entries(spark)
+            )
         release_rdd_ids(spark, staged_ids)
-        ckpt = _checkpoint_file(out)
         if ckpt is not None:
             _PATH_RESOLVER_WORKS = True
             targets = [ckpt]
@@ -214,10 +236,10 @@ def materialize(
             # plan-shape drift fallback (round-6 ADVICE: a silent None
             # here leaked checkpoint files — permanently when the user
             # configured a non-temp checkpointDir): the files created
-            # by THIS checkpoint are the dir delta. Call sites
-            # materialize sequentially on the driver, so the delta is
-            # exactly this frame's rdd-N dir.
-            dir_after = _checkpoint_dir_entries(spark)
+            # by THIS checkpoint are the dir delta, snapshotted INSIDE
+            # the lock window above so a concurrent thread's rdd-N dir
+            # cannot land in it (round-7 ADVICE).
+            dir_after = dir_after_locked
             targets = (
                 sorted(dir_after - dir_before)
                 if dir_after is not None and dir_before is not None
@@ -241,12 +263,34 @@ def materialize(
         setattr(out, _RELEASE_ATTR, _drop)
         return out
     if mode == "local":
-        before = persistent_rdd_ids(spark)
-        out = df.localCheckpoint()
-        new_ids = persistent_rdd_ids(spark) - before
+        with _MATERIALIZE_LOCK:  # same delta-attribution window guard
+            before = persistent_rdd_ids(spark)
+            out = df.localCheckpoint()
+            new_ids = persistent_rdd_ids(spark) - before
         setattr(out, _RELEASE_ATTR, lambda: release_rdd_ids(spark, new_ids))
         return out
     raise ValueError(f"materialize: mode must be one of {_MODES}, got {mode!r}")
+
+
+def attach_release(df: DataFrame, *deps: DataFrame) -> DataFrame:
+    """Make ``release(df)`` also release ``deps`` — for operators that
+    return a LAZY frame reading internal checkpoints the caller cannot
+    see (round-7 ADVICE: eager-by-default operators whose callers do
+    not thread ``_materialized`` silently pinned those blocks for the
+    session; with the hook, the result frame owns its dependencies'
+    lifecycle). Chains with any hook already on ``df`` (a materialized
+    frame keeps freeing its own storage first), and chains THROUGH
+    frames: releasing a frame that was itself attach_release'd walks
+    its hook. Idempotent like release()."""
+    prev = getattr(df, _RELEASE_ATTR, None)
+
+    def _chain():
+        if prev is not None:
+            prev()
+        release(*deps)
+
+    setattr(df, _RELEASE_ATTR, _chain)
+    return df
 
 
 def release(*dfs: DataFrame) -> None:

@@ -212,7 +212,7 @@ def cosine_lsh_near_dups(
     # skew=true pin for the class lives on the minhash band join,
     # test_minhash_band_join_skew_splittable — see dedup.py
     # _band_candidates for the quadratic-output honesty note).
-    from logpipe.materialize import materialize
+    from logpipe.materialize import attach_release, materialize
 
     banded = materialize(_banded(emb, n_planes, n_tables, dim))
     a, b = banded.alias("a"), banded.alias("b")
@@ -236,11 +236,14 @@ def cosine_lsh_near_dups(
     # no guard band to reason about (a previous two-phase design needed
     # a threshold - 5e-5 - 1e-9 band to avoid dropping boundary pairs)
     exact = F.round(seq_cosine_udf(F.col("ea"), F.col("eb")), 4)
-    return (
+    # the result reads the banded checkpoint lazily: release(result)
+    # frees it (round-7 ADVICE lifecycle hook)
+    return attach_release(
         cand.join(ea, "id_a")
         .join(eb, "id_b")
         .select("id_a", "id_b", exact.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        .filter(F.col("cosine") >= threshold),
+        banded,
     )
 
 

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from logpipe.materialize import materialize, release
+from logpipe.materialize import attach_release, materialize, release
 from logpipe.traindata.textstats import fingerprint, tokens
 
 
@@ -272,7 +272,10 @@ def minhash_lsh_pairs(
     (the clustering variants) pass a list to collect the internal
     signature checkpoint, then ``release()`` it once their own
     materialization lands — otherwise the dead signature blocks stay
-    pinned for the rest of the session (round-5 ADVICE finding).
+    pinned for the rest of the session (round-5 ADVICE finding). When
+    NOT passed, the checkpoint attaches to the returned frame instead:
+    ``release(result)`` frees it (round-7 ADVICE — external callers of
+    the bare API no longer leak per call).
     """
     r = k // bands
     spark = docs.sparkSession
@@ -317,9 +320,12 @@ def minhash_lsh_pairs(
         F.size(F.array_intersect("ga", "gb")).cast("double")
         / F.size(F.array_union("ga", "gb")).cast("double")
     )
-    return verified.select(
+    out = verified.select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+    if _materialized is None:
+        attach_release(out, sigs)
+    return out
 
 
 def near_dup_clusters(
@@ -423,12 +429,15 @@ def near_dup_clusters(
             f"raise max_iter or switch to alternating large/small star"
         )
     release(edges)
-    return (
+    # the result is a lazy join over the final labels checkpoint: hand
+    # its lifecycle to the caller (release(result) frees the labels)
+    return attach_release(
         docs.select("doc_id")
         .join(labels, "doc_id", "left")
         .select(
             "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
-        )
+        ),
+        labels,
     )
 
 
@@ -681,7 +690,9 @@ def star_components(
         .join(labels.select("doc_id"), "doc_id", "left_anti")
         .withColumn("cluster_id", F.col("doc_id"))
     )
-    return labels.unionByName(roots)
+    # the label frame reads the fixpoint edge checkpoint lazily:
+    # release(result) frees it (round-7 ADVICE lifecycle hook)
+    return attach_release(labels.unionByName(roots), e)
 
 
 def near_dup_clusters_star(
@@ -718,12 +729,15 @@ def near_dup_clusters_star(
     # star_components materializes its own edge table eagerly on entry,
     # so by the time it returns the pairs checkpoint has no consumer
     release(pairs)
-    return (
+    # labels carries star_components' lifecycle hook (its fixpoint edge
+    # checkpoint); chain it onto the final frame
+    return attach_release(
         docs.select("doc_id")
         .join(labels, "doc_id", "left")
         .select(
             "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
-        )
+        ),
+        labels,
     )
 
 
@@ -823,8 +837,11 @@ def simhash_near_dups(
     # near-identical corpora) never shuffles. A band-duplicated pair
     # has the same hamming in every copy, so filter-then-dedup keeps
     # exactly the pairs dedup-then-filter kept.
-    return cand.filter(F.col("hamming") <= max_hamming).dropDuplicates(
-        ["doc_a", "doc_b"]
+    return attach_release(
+        cand.filter(F.col("hamming") <= max_hamming).dropDuplicates(
+            ["doc_a", "doc_b"]
+        ),
+        sigs,
     )
 
 
@@ -1034,7 +1051,10 @@ def duplicate_span_stats(
       run, so the statistic and the remedy share one plan family.
       ``_materialized`` passes both internal checkpoints up for
       callers that release them after their own cut lands (the v4
-      gate).
+      gate); when NOT passed, the checkpoints attach to the returned
+      frame — ``release(result)`` frees them (round-7 ADVICE: the
+      eager default must not leak blocks to callers of the old lazy
+      API).
     - ``shape="window"``: ``count(1) over (partition by sh)`` on the
       LAZY chain — zero materialization, one fewer shuffle, the right
       call for corpora KNOWN boilerplate-free (dashboards over curated
@@ -1066,13 +1086,13 @@ def duplicate_span_stats(
             f"duplicate_span_stats: shape must be 'join' or 'window', got {shape!r}"
         )
     per_sh_doc = _span_count_table(docs, k, text_col=text_col, spread=spread)
+    own: list[DataFrame] = []  # checkpoints the RESULT owns if no caller list
     if shape == "join":
         # each checkpoint lands in _materialized IMMEDIATELY: if the
         # second eager job fails, the caller's error-path release must
         # still see the first (the v5 gate's except-path discipline)
         per_sh_doc = materialize(per_sh_doc)
-        if _materialized is not None:
-            _materialized.append(per_sh_doc)
+        (own if _materialized is None else _materialized).append(per_sh_doc)
         # the per-hash side is materialized too — NOT for reuse (it has
         # one consumer) but so the multiplicity join's children are both
         # bare shuffle stages, the only shape OptimizeSkewedJoin rewrites
@@ -1080,8 +1100,7 @@ def duplicate_span_stats(
         shs = materialize(
             per_sh_doc.groupBy("sh").agg(F.count(F.lit(1)).alias("nd"))
         )
-        if _materialized is not None:
-            _materialized.append(shs)
+        (own if _materialized is None else _materialized).append(shs)
         with_nd = per_sh_doc.join(shs, "sh")
     else:
         # rows are unique per (window, doc), so a partition count IS
@@ -1095,7 +1114,7 @@ def duplicate_span_stats(
         .cast("long")
         .alias("n_dup_spans"),
     )
-    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+    out = docs.select("doc_id").join(per_doc, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
         F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
@@ -1107,6 +1126,10 @@ def duplicate_span_stats(
             4,
         ).alias("dup_span_frac"),
     )
+    # no caller-managed list: the result frame owns the checkpoints —
+    # release(result) frees them (round-7 ADVICE: the old lazy API's
+    # external callers leaked two pinned blocks per call)
+    return attach_release(out, *own)
 
 
 def _span_position_table(
@@ -1173,31 +1196,33 @@ def duplicate_span_removals(
     split never fires (measured round 7; see duplicate_span_stats).
     ``_materialized`` collects both internal checkpoints for callers
     that release them once their own materialization lands (v5's
-    gate; same pattern as minhash_lsh_pairs).
+    gate; same pattern as minhash_lsh_pairs); when not passed they
+    attach to the returned frame — ``release(result)`` frees them.
     """
     if k < 1:
         raise ValueError(f"duplicate_span_removals: k must be >= 1, got {k}")
     # each checkpoint lands in _materialized IMMEDIATELY: if the second
     # eager job fails, the caller's error-path release must still see
-    # the first (the v5 gate's except-path discipline)
+    # the first (the v5 gate's except-path discipline); with no caller
+    # list the RESULT owns them (release(result) frees — round-7 ADVICE)
+    own: list[DataFrame] = []
+    sink = own if _materialized is None else _materialized
     per = materialize(
         _span_position_table(docs, k, text_col=text_col, spread=spread)
     )
-    if _materialized is not None:
-        _materialized.append(per)
+    sink.append(per)
     shs = materialize(
         per.groupBy("sh").agg(
             F.count(F.lit(1)).alias("nd"), F.min("doc_id").alias("win")
         )
     )
-    if _materialized is not None:
-        _materialized.append(shs)
+    sink.append(shs)
     losers = (
         per.join(shs, "sh")
         .filter((F.col("nd") >= min_docs) & (F.col("doc_id") != F.col("win")))
         .select("doc_id", F.explode("poss").alias("wpos"))
     )
-    return losers.groupBy("doc_id").agg(
+    out = losers.groupBy("doc_id").agg(
         F.array_sort(
             F.array_distinct(
                 F.flatten(
@@ -1208,6 +1233,7 @@ def duplicate_span_removals(
             )
         ).alias("rm")
     )
+    return attach_release(out, *own)
 
 
 def duplicate_span_trim(
@@ -1276,9 +1302,16 @@ def duplicate_span_trim(
     ).otherwise(
         F.transform(kept_pos, lambda p: F.element_at(F.col("_toks"), p))
     )
-    return base.join(rm, "doc_id", "left").select(
-        "doc_id",
-        F.concat_ws(" ", kept).alias("text"),
-        F.size(kept).cast("long").alias("n_tokens_kept"),
-        F.coalesce(F.size("rm"), F.lit(0)).cast("long").alias("n_tokens_removed"),
+    # chain rm's lifecycle hook (set when no _materialized list was
+    # passed) onto the result: release(result) frees the removals
+    # checkpoints; with a caller-managed list rm carries no hook and
+    # this is a no-op
+    return attach_release(
+        base.join(rm, "doc_id", "left").select(
+            "doc_id",
+            F.concat_ws(" ", kept).alias("text"),
+            F.size(kept).cast("long").alias("n_tokens_kept"),
+            F.coalesce(F.size("rm"), F.lit(0)).cast("long").alias("n_tokens_removed"),
+        ),
+        rm,
     )

@@ -8,6 +8,11 @@ checkpoint-bearing queries:
 - minhash_lsh_dups     — one scalar checkpoint (signature table)
 - near_dup_clusters    — iterative: one checkpoint per propagation
                          round, dead rounds released (files deleted)
+- near_dup_clusters_star — the operator with the most checkpoints per
+                         unit work (branch points + round edge sets,
+                         plus derived min tables on hub graphs;
+                         round-7 verdict task 7 asked for its
+                         reliable-mode datum)
 - curated_corpus_v5    — the composed DAG: corpus-sized text
                          checkpoints at the span gate
 - dup_span_trim        — the round-6 materialize site: the
@@ -30,7 +35,7 @@ real cluster the write cost would additionally include the DFS
 round-trip, so the local-disk number is a LOWER bound on
 reliable-mode overhead.
 
-Writes one JSON line; commit as BENCH/r7_mode_overhead.json.
+Writes one JSON line; commit as BENCH/r{N}_mode_overhead.json.
 """
 
 from __future__ import annotations
@@ -53,6 +58,7 @@ from logpipe.materialize import (  # noqa: E402
 ENTRIES = [
     ("minhash_lsh_dups", "noop"),
     ("near_dup_clusters", "noop"),
+    ("near_dup_clusters_star", "noop"),
     ("curated_corpus_v5", "collect"),
     ("dup_span_trim", "noop"),
     ("streaming_route_counts", "collect"),

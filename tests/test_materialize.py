@@ -92,7 +92,9 @@ def test_clustering_releases_iteration_checkpoints(spark, docs):
     """near_dup_clusters materializes pairs/edges/labels per round;
     after the query is fully consumed only the FINAL labels table (the
     returned frame's one dependency) may remain pinned — the round-5
-    ADVICE accumulation (sigs + pairs + every round's labels) is gone."""
+    ADVICE accumulation (sigs + pairs + every round's labels) is gone.
+    Since round 8 that final dependency is attached to the result:
+    release(result) frees it too."""
     from logpipe.traindata.dedup import near_dup_clusters
 
     before = persistent_rdd_ids(spark)
@@ -102,6 +104,44 @@ def test_clustering_releases_iteration_checkpoints(spark, docs):
     assert len(residue) <= 1, (
         f"expected at most the final labels checkpoint pinned, got {residue}"
     )
+    release(out)
+    assert not (persistent_rdd_ids(spark) & residue)
+
+
+def test_result_release_hooks_free_internal_checkpoints(spark, docs):
+    """Round-7 ADVICE: eager-by-default operators whose callers do not
+    thread _materialized must not leak their internal checkpoints for
+    the session — the returned frame owns them, and release(result)
+    frees every block the call pinned. Pinned on the three operator
+    families the ADVICE named or that share the pattern (span stats +
+    trim chain, LSH signatures, star fixpoint edges, ANN banding)."""
+    from logpipe.traindata.ann import cosine_lsh_near_dups
+    from logpipe.traindata.dedup import (
+        duplicate_span_stats,
+        duplicate_span_trim,
+        minhash_lsh_pairs,
+        near_dup_clusters_star,
+        simhash_near_dups,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cases = [
+        lambda: duplicate_span_stats(docs, k=3, min_docs=2),
+        lambda: duplicate_span_trim(docs, k=3, min_docs=2),
+        lambda: minhash_lsh_pairs(docs, n=2, k=32, bands=8, threshold=0.3),
+        lambda: near_dup_clusters_star(docs, n=2, k=32, bands=8, threshold=0.3),
+        lambda: simhash_near_dups(docs),
+        lambda: cosine_lsh_near_dups(emb, threshold=0.4),
+    ]
+    for build in cases:
+        before = persistent_rdd_ids(spark)
+        out = build()
+        assert out.count() >= 0
+        pinned = persistent_rdd_ids(spark) - before
+        assert pinned, "each of these operators materializes internally"
+        release(out)
+        assert not (persistent_rdd_ids(spark) & pinned), build
+        release(out)  # idempotent, including the chained hook
 
 
 def test_iterative_clustering_reliable_mode(spark, docs):
@@ -311,6 +351,35 @@ def test_v5_span_gate_error_path_releases_blocks(spark):
             spark, "/root/testdata/sf0.001", span_trim_band=(0.9995, 0.9999)
         )
     assert not (persistent_rdd_ids(spark) - before)
+
+
+def test_concurrent_materialize_attribution(spark):
+    """Round-7 ADVICE: the snapshot->materialize->snapshot delta
+    windows are serialized by a module lock, so two driver threads
+    materializing concurrently can never attribute each other's blocks
+    — releasing one frame must leave the other fully alive."""
+    import threading
+
+    results: dict[str, object] = {}
+
+    def make(name, n):
+        results[name] = materialize(
+            spark.range(n).withColumn("x", F.md5(F.col("id").cast("string")))
+        )
+
+    threads = [
+        threading.Thread(target=make, args=(f"t{i}", 50_000 + i))
+        for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # release all but t3; the survivor must still be readable from its
+    # (truncated-lineage) blocks
+    release(*(results[k] for k in ("t0", "t1", "t2")))
+    assert results["t3"].count() == 50_003
+    release(results["t3"])
 
 
 def test_invalid_mode_rejected(spark):
