@@ -183,10 +183,15 @@ def main(argv: list[str] | None = None) -> None:
             k8s = synth_k8s_meta(spark)
             tools = synth_tool_meta(spark)
     else:
-        if not (args.transcripts and args.k8s_meta and args.tool_meta):
+        # relayout mode touches only the input; the dims are pipeline
+        # inputs and must not be demanded just to rewrite the layout
+        dims_needed = args.bucket_out is None
+        if not args.transcripts or (
+            dims_needed and not (args.k8s_meta and args.tool_meta)
+        ):
             p.error(
                 "--transcripts/--k8s-meta/--tool-meta required without "
-                "--synth/--logs-dir"
+                "--synth/--logs-dir (--bucket-out needs only --transcripts)"
             )
         # refs route through tableio: a path reads parquet (all
         # committed runs), a catalog identifier reads the Iceberg
@@ -194,8 +199,9 @@ def main(argv: list[str] | None = None) -> None:
         from logpipe.tableio import read_table
 
         transcripts = read_table(spark, args.transcripts)
-        k8s = read_table(spark, args.k8s_meta)
-        tools = read_table(spark, args.tool_meta)
+        if dims_needed:
+            k8s = read_table(spark, args.k8s_meta)
+            tools = read_table(spark, args.tool_meta)
 
     if args.bucket_out is not None:
         from logpipe.tableio import write_table

@@ -179,6 +179,24 @@ def test_cli_bucket_out_relayout(spark, tmp_path, monkeypatch):
     finally:
         spark.sql("DROP TABLE IF EXISTS cli_bucket_t")
 
+    # relayout from a parquet path needs ONLY --transcripts (the dims
+    # are pipeline inputs, not layout inputs)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "docs_in"))
+    spark.sql("DROP TABLE IF EXISTS cli_bucket_docs_t")
+    try:
+        with redirect_stdout(io.StringIO()):
+            cli.main(
+                ["--transcripts", str(tmp_path / "docs_in"),
+                 "--bucket-out", str(tmp_path / "docs_bucketed"),
+                 "--bucket-cols", "doc_id", "--bucket-n", "4",
+                 "--bucket-table", "cli_bucket_docs_t"]
+            )
+        assert spark.table("cli_bucket_docs_t").count() == 500
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cli_bucket_docs_t")
+
     # without --bucket-out the original contract stands
     with pytest.raises(SystemExit):
         cli.main(["--synth", "10"])
