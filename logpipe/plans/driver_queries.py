@@ -5,6 +5,19 @@ oracle ANSI-SQL for DuckDB over the same parquet views, or None for
 non-SQL-expressible ops). Column names and types are aligned between
 both sides (the driver sorts columns by name and value-hashes).
 
+Since round 8 the gates live in three section modules — imported here
+in the CANONICAL registration order, so ``queries()`` yields the same
+50-name sequence the previous single-file layout did (the driver's
+correctness window is order-sensitive):
+
+- logpipe.plans.q_pipeline  — flagship routing, parsers, stitch,
+  throttle, enrich, relational, sessionization;
+- logpipe.plans.q_traindata — text analysis, PII, dedup families,
+  span dedup, media, sampling (also exports the per-operator oracle
+  CTE builders the composed DAGs reuse);
+- logpipe.plans.q_curation  — curated-corpus v2..v5, streaming,
+  simhash + cosine/ANN similarity.
+
 Numeric-parity rules used throughout (Spark double math vs DuckDB):
 - counts -> CAST(... AS BIGINT) both sides;
 - sums of doubles -> exact DECIMAL(18,2) accumulation, single final
@@ -31,3191 +44,40 @@ helpers instead (`flagship_rules_frame`, the unregistered
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
-from logpipe.operators import parse
-from logpipe.plans.pipeline import run_pipeline
-from logpipe.sources.events import (
-    events_as_transcripts,
-    events_k8s_meta,
-    events_tool_meta,
-    load_events,
+from logpipe.plans.registry import (  # noqa: F401  (public machinery)
+    QueryFn,
+    _REGISTRY,
+    _docs,
+    oracle_sql,
+    queries,
+    register,
 )
 
-QueryFn = Callable[[SparkSession, str], DataFrame]
+# Import the gate modules IN ORDER (this is what populates the
+# registry), then re-export their names so every pre-split consumer —
+# `from logpipe.plans.driver_queries import curated_corpus_v3`,
+# dump_plans' `getattr(driver_queries, "flagship_rules_frame")`,
+# bench's direct gate imports — keeps working unchanged. setdefault:
+# the machinery names above win; later modules never shadow earlier
+# ones (no name is defined twice across the sections — asserted).
+from logpipe.plans import q_pipeline as _q_pipeline  # noqa: E402
+from logpipe.plans import q_traindata as _q_traindata  # noqa: E402
+from logpipe.plans import q_curation as _q_curation  # noqa: E402
 
-_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
-
-
-def register(name: str, sql: str | None):
-    def deco(fn: QueryFn):
-        _REGISTRY[name] = (fn, sql)
-        return fn
-
-    return deco
-
-
-def queries() -> dict[str, QueryFn]:
-    return {k: v[0] for k, v in _REGISTRY.items()}
-
-
-def oracle_sql() -> dict[str, str]:
-    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
-
-
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
-
-
-# ---------------------------------------------------------------------------
-# 1. Flagship: full pipeline route + per-sink counts (SURVEY §3.1, F12/F13)
-# ---------------------------------------------------------------------------
-
-# shared oracle model of sources/events.py's enrichment derivation —
-# ONE definition so the routing/identity modulus rules can't drift
-# between the flagship / LogEvent / Size() oracles
-_EVENTS_BASE_CTE = """
-  SELECT user_id, event_id, event_type,
-         substring(props, 1, 51200) AS content,
-         epoch_ns(ts) AS ts_nanos,
-         CASE WHEN user_id % 7 <> 0 THEN md5('docker-' || CAST(user_id AS VARCHAR)) END AS docker_id,
-         CASE WHEN event_type = 'purchase' AND (user_id % 16) % 4 <> 3
-              THEN md5('cid-tool-' || CAST(user_id % 16 AS VARCHAR)) END AS tool_cid,
-         (user_id % 5 = 0 OR user_id % 10 = 7) AS has_export,
-         (user_id % 10 IN (3, 7)) AS has_job,
-         'job-' || CAST(user_id AS VARCHAR) AS define_tag
-  FROM events
-  WHERE props IS NOT NULL AND length(props) > 0
-"""
-
-_FLAGSHIP_SQL = f"""
-WITH t AS ({_EVENTS_BASE_CTE}), s AS (
-  SELECT 'export' AS sink, content FROM t WHERE has_export
-  UNION ALL
-  SELECT CASE WHEN has_job THEN 'job' ELSE 'container' END AS sink, content FROM t
-)
-SELECT sink,
-       CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(length(content)) AS BIGINT) AS content_bytes
-FROM s GROUP BY sink
-"""
-
-
-@register("flagship_route_counts", _FLAGSHIP_SQL)
-def flagship_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_events(spark, sf_dir)
-    out = run_pipeline(
-        events_as_transcripts(ev), events_k8s_meta(ev), events_tool_meta(ev)
-    )
-    return out.groupBy("sink").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.length("content")).alias("content_bytes"),
-    )
-
-
-# K8S-Logging.Exclude (conf/ds/fluent-bit.conf:55): annotated pods
-# (uid%25==0 in the dim) opt out of collection entirely — the oracle is
-# the flagship with the exclusion predicate applied at the source
-_K8S_EXCLUDE_SQL = _FLAGSHIP_SQL.replace(
-    "WHERE props IS NOT NULL", "WHERE user_id % 25 <> 0 AND props IS NOT NULL"
-)
-
-
-def k8s_exclude_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship with honor_k8s_exclude=True: rows of pods annotated
-    fluentbit.io/exclude are dropped after the enrich join.
-
-    UNREGISTERED since round 6 — its registry slot was spent on
-    dup_span_trim (round-5 verdict task 3); the exclusion semantics are
-    now gated as an in-run parity assert inside
-    flagship_rules_route_counts (join-based exclusion vs an independent
-    source-predicate replay, the established fold pattern), and
-    _K8S_EXCLUDE_SQL remains for local crosschecks."""
-    ev = load_events(spark, sf_dir)
-    out = run_pipeline(
-        events_as_transcripts(ev), events_k8s_meta(ev), events_tool_meta(ev),
-        honor_k8s_exclude=True,
-    )
-    return out.groupBy("sink").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.length("content")).alias("content_bytes"),
-    )
-
-
-# Config-driven rewrite_tag engine (operators/rewrite.py): the flagship
-# router re-DECLARED as the reference's conf text (fluent-bit.conf:181-193)
-# and run through the generic cascade — must hit the SAME oracle as the
-# hardcoded route(). The DYNAMIC-map pipeline's registry slot
-# (plans/dynamic.py — the reference's mutable-record data model) was
-# folded here in round 5 (it was the 4th gate on one oracle): its
-# aggregate is computed in the same run and asserted row-identical
-# before the rules aggregate is returned, the same fold pattern as the
-# hardcoded router / ECI identity path. pytest (test_dynamic.py) still
-# proves dynamic==typed row-for-row pre-aggregation.
-def _per_sink_agg(out: DataFrame) -> DataFrame:
-    return out.groupBy("sink").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.length("content")).alias("content_bytes"),
-    )
-
-
-def flagship_rules_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The rules-router flagship aggregate as a lazy frame — the plan
-    surface for PLANS.md (the registered gate below collects it for the
-    in-run dynamic-parity assert, so ITS returned frame is a local
-    relation with no pipeline plan left to inspect)."""
-    from logpipe.operators.rewrite import route_with_rules
-
-    ev = load_events(spark, sf_dir)
-    return _per_sink_agg(
-        run_pipeline(
-            events_as_transcripts(ev), events_k8s_meta(ev), events_tool_meta(ev),
-            router_fn=route_with_rules,
-        )
-    )
-
-
-@register("flagship_rules_route_counts", _FLAGSHIP_SQL)
-def flagship_rules_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logpipe.plans.dynamic import run_dynamic_pipeline
-
-    def rows(agg: DataFrame) -> list:
-        return sorted(
-            (r["sink"], r["n_rows"], r["content_bytes"]) for r in agg.collect()
-        )
-
-    ev = load_events(spark, sf_dir)
-    rules = rows(flagship_rules_frame(spark, sf_dir))
-    dynamic = rows(
-        _per_sink_agg(
-            run_dynamic_pipeline(
-                events_as_transcripts(ev), events_k8s_meta(ev), events_tool_meta(ev)
+for _mod in (_q_pipeline, _q_traindata, _q_curation):
+    for _name, _val in vars(_mod).items():
+        if _name.startswith("__"):
+            continue
+        _prev = globals().setdefault(_name, _val)
+        if _prev is not _val and _name not in (
+            # shared imports each section module legitimately re-holds
+            "F", "Window", "DataFrame", "SparkSession", "annotations",
+            "parse", "run_pipeline", "register", "_docs", "_REGISTRY",
+            "events_as_transcripts", "events_k8s_meta",
+            "events_tool_meta", "load_events",
+        ):
+            raise ImportError(
+                f"driver_queries re-export collision on {_name!r}: "
+                f"{_prev!r} vs {_val!r} — rename one"
             )
-        )
-    )
-    # not a bare assert: this parity check IS the folded dynamic-plan
-    # gate and must survive python -O
-    if rules != dynamic:
-        raise AssertionError(
-            f"dynamic-map pipeline diverged from rules pipeline: {dynamic} != {rules}"
-        )
-    # folded K8S-Logging.Exclude gate (round 6 — its registry slot went
-    # to dup_span_trim): the pipeline's JOIN-based exclusion (annotated
-    # pods dropped after the enrich join, honor_k8s_exclude=True) must
-    # equal an INDEPENDENT source-predicate replay (the dim's
-    # annotation rule, uid%25==0, applied to the transcripts before the
-    # ordinary pipeline) — the same two-implementation property the
-    # retired _K8S_EXCLUDE_SQL oracle checked cross-engine.
-    excluded = rows(_per_sink_agg(run_pipeline(
-        events_as_transcripts(ev), events_k8s_meta(ev), events_tool_meta(ev),
-        honor_k8s_exclude=True,
-    )))
-    replay = rows(_per_sink_agg(run_pipeline(
-        # coalesce-to-keep matches the join path's semantics for rows
-        # whose conv_id can't evaluate the rule (NULL / non-numeric):
-        # the join-based exclusion keeps dim misses (~coalesce(excl,
-        # False)), so the replay must keep NULL-predicate rows too
-        events_as_transcripts(ev).filter(
-            F.coalesce(F.col("conv_id").cast("long") % 25 != 0, F.lit(True))
-        ),
-        events_k8s_meta(ev), events_tool_meta(ev),
-    )))
-    if excluded != replay:
-        raise AssertionError(
-            f"k8s-exclude join path diverged from source-predicate replay: "
-            f"{excluded} != {replay}"
-        )
-    if excluded == rules:
-        raise AssertionError(
-            "k8s-exclude parity is vacuous: exclusion dropped no rows"
-        )
-    # return the already-collected rows so the driver's collect doesn't
-    # re-run the cascade a third time
-    return spark.createDataFrame(
-        rules, "sink string, n_rows bigint, content_bytes bigint"
-    )
-
-
-# A FOUR-stage config the hardcoded router can't express — proves the
-# engine is rule-driven, exercises first-match keep=false short-circuit
-# AND a second re-injection round (erda.log.job copies re-enter the
-# cascade and may emit job.audited, the in_emitter loop of
-# plugins/filter_rewrite_tag).
-_REWRITE_ENGINE_CONF = """
-[FILTER]
-    name rewrite_tag
-    match kube.*
-    Rule $collector .+ erda.log.export true
-[FILTER]
-    name rewrite_tag
-    match kube.*
-    Rule $define_tag .+ erda.log.job false
-[FILTER]
-    name rewrite_tag
-    match kube.*
-    Rule $etype ^purch erda.log.audit true
-[FILTER]
-    name rewrite_tag
-    match erda.log.job
-    Rule $etype ^purch job.audited true
-"""
-
-_REWRITE_ENGINE_SQL = """
-WITH t AS (
-  SELECT user_id % 5 = 0 AS has_export,
-         (user_id % 10) IN (3, 7) AS has_job,
-         event_type LIKE 'purch%' AS is_purch
-  FROM events
-), s AS (
-  SELECT 'container' AS route FROM t WHERE NOT has_job
-  UNION ALL SELECT 'erda.log.export' FROM t WHERE has_export
-  UNION ALL SELECT 'erda.log.job' FROM t WHERE has_job
-  UNION ALL SELECT 'erda.log.audit' FROM t WHERE NOT has_job AND is_purch
-  UNION ALL SELECT 'job.audited' FROM t WHERE has_job AND is_purch
-)
-SELECT route, CAST(count(*) AS BIGINT) AS n_rows FROM s GROUP BY route
-"""
-
-
-@register("rewrite_engine_route_counts", _REWRITE_ENGINE_SQL)
-def rewrite_engine_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logpipe.operators.rewrite import apply_rewrite_tags, parse_rewrite_tag_conf
-
-    ev = load_events(spark, sf_dir)
-    df = ev.select(
-        F.concat(F.lit("kube."), F.col("event_type")).alias("tag"),
-        F.when(F.col("user_id") % 5 == 0, F.lit("coll")).alias("collector"),
-        F.when((F.col("user_id") % 10).isin(3, 7), F.lit("job")).alias("define_tag"),
-        F.col("event_type").alias("etype"),
-    )
-    out = apply_rewrite_tags(df, parse_rewrite_tag_conf(_REWRITE_ENGINE_CONF))
-    return out.select(
-        F.when(F.col("tag").startswith("kube."), F.lit("container"))
-        .otherwise(F.col("tag"))
-        .alias("route")
-    ).groupBy("route").agg(F.count(F.lit(1)).alias("n_rows"))
-
-
-# ECI sidecar chain (plans/eci.py, conf/eci/fluent-bit.conf): truncate ->
-# stitch -> path identity -> cpuset lookup -> erda grok -> static fields
-# -> route with a collector (export keep=true dup). The stitch=False
-# variant's registry slot was folded (round-3 verdict's 50-row driver
-# window): its per-row identity path is pytest-gated in tests/test_eci.py
-# and nested inside this stitched gate.
-# ECI with the stitcher ON: props lines never match the java firstline
-# regex, so each conv folds into ONE group (grp=0 orphan) whose
-# identity comes from the FIRST turn (the stitcher keeps the firstline
-# record's tool -> cpuset lookup -> container id)
-_ECI_STITCHED_SQL = """
-WITH t AS (
-  SELECT user_id, event_id, event_type, substring(props, 1, 51200) AS txt
-  FROM events
-  WHERE props IS NOT NULL AND length(props) > 0
-), g AS (
-  SELECT user_id,
-         string_agg(txt, chr(10) ORDER BY event_id) AS content,
-         arg_min(event_type, event_id) AS first_role
-  FROM t GROUP BY user_id
-), r AS (
-  SELECT content,
-         CASE WHEN first_role = 'purchase' AND (user_id % 16) % 4 <> 3
-              THEN md5('cid-tool-' || CAST(user_id % 16 AS VARCHAR))
-              ELSE '' END AS id
-  FROM g
-), s AS (
-  SELECT 'export' AS sink, content, id FROM r
-  UNION ALL
-  SELECT 'container' AS sink, content, id FROM r
-)
-SELECT sink,
-       CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(length(content)) AS BIGINT) AS content_bytes,
-       CAST(sum(length(id)) AS BIGINT) AS id_bytes
-FROM s GROUP BY sink
-"""
-
-
-@register("eci_stitched_route_counts", _ECI_STITCHED_SQL)
-def eci_stitched_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """run_eci_pipeline with stitch=True: the stitch -> first-line
-    identity -> cpuset lookup -> route composition in one gate."""
-    from logpipe.plans.eci import run_eci_pipeline
-
-    ev = load_events(spark, sf_dir)
-    out = run_eci_pipeline(
-        events_as_transcripts(ev), events_tool_meta(ev),
-        collector="collector-9", stitch=True,
-    )
-    return out.groupBy("sink").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.length("content")).alias("content_bytes"),
-        F.sum(F.length("id")).alias("id_bytes"),
-    )
-
-
-_MERGE_LOG_SQL = """
-WITH lines AS (
-  SELECT event_id,
-         CASE WHEN event_id % 5 <> 0 THEN props
-              ELSE 'plain ' || props END AS line
-  FROM events
-)
-SELECT event_id,
-       CASE WHEN json_valid(line)
-            THEN (CASE WHEN json_type(line) = 'OBJECT'
-                       THEN json_extract_string(line, '$.k') END)
-       END AS log_processed_k
-FROM lines
-"""
-
-
-@register("merge_log_processed", _MERGE_LOG_SQL)
-def merge_log_processed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2 Merge_Log On + Merge_Log_Key log_processed
-    (conf/ds/fluent-bit.conf:52-53): JSON-object log bodies merge into
-    the record as log_processed_* keys; non-JSON bodies (every 5th
-    event here gets a 'plain ' prefix) leave the record untouched."""
-    from logpipe.operators.reshape import build_map
-    from logpipe.plans.dynamic import merge_log
-
-    ev = load_events(spark, sf_dir)
-    line = F.when(F.col("event_id") % 5 != 0, F.col("props")).otherwise(
-        F.concat(F.lit("plain "), F.col("props"))
-    )
-    rec = build_map({"log": line})
-    out = ev.select("event_id", merge_log(rec).alias("rec"))
-    return out.select(
-        "event_id", F.col("rec").getItem("log_processed_k").alias("log_processed_k")
-    )
-
-
-# ---------------------------------------------------------------------------
-# 2. LogEvent projection (O4, out_erda/outerda.go:73-118) — scalar fields
-# ---------------------------------------------------------------------------
-
-_LOG_EVENT_SQL = f"""
-WITH t AS ({_EVENTS_BASE_CTE}), r AS (
-  SELECT *, coalesce(docker_id, tool_cid, '') AS rid FROM t
-), s AS (
-  SELECT 'export' AS sink, * FROM r WHERE has_export
-  UNION ALL
-  SELECT CASE WHEN has_job THEN 'job' ELSE 'container' END AS sink, * FROM r
-), proj AS (
-  SELECT CASE WHEN sink = 'job' THEN 'job' ELSE 'container' END AS source,
-         CASE WHEN sink = 'job' THEN define_tag ELSE rid END AS id,
-         'stdout' AS stream,
-         content,
-         CAST(0 AS BIGINT) AS "offset",
-         ts_nanos AS "timestamp",
-         sink
-  FROM s
-)
-SELECT proj.*,
-       CAST(strlen(content) + strlen(id) + strlen(source) + strlen(stream)
-            AS BIGINT) AS scalar_bytes
-FROM proj
-"""
-
-
-@register("log_event_projection", _LOG_EVENT_SQL)
-def log_event_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O4 LogEvent projection + O5 Size() accounting in one gate (fold
-    per the round-3 verdict — the 50-row driver window). scalar_bytes
-    is the shipped event_size operator (out_erda/sender.go:26-32) over
-    the scalar fields; tag bytes are zeroed here because the tag map
-    carries md5/collector salts the flagship oracle reproduces instead
-    (the Σ(len(k)+len(v)) tag term is pytest-gated,
-    tests/test_reshape.py::test_event_size_accounting)."""
-    from logpipe.operators.project import event_size
-
-    ev = load_events(spark, sf_dir)
-    out = run_pipeline(
-        events_as_transcripts(ev), events_k8s_meta(ev), events_tool_meta(ev)
-    )
-    sized = event_size(
-        out.withColumn("tags", F.from_json(F.lit("{}"), "map<string,string>"))
-    )
-    return sized.select(
-        "source", "id", "stream", "content", "offset", "timestamp", "sink",
-        F.col("event_bytes").cast("long").alias("scalar_bytes"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# 3. P2 truncate-log (conf/ds/parsers.conf:6-10)
-# ---------------------------------------------------------------------------
-
-_TRUNCATE_SQL = """
-SELECT doc_id,
-       substring(text, 1, 120) AS content,
-       CAST(length(substring(text, 1, 120)) AS BIGINT) AS content_len
-FROM documents
-"""
-
-
-@register("truncate_log", _TRUNCATE_SQL)
-def truncate_log(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    c = parse.truncate_log(F.col("text"), 120)
-    return d.select(
-        "doc_id", c.alias("content"), F.length(c).cast("long").alias("content_len")
-    )
-
-
-# ---------------------------------------------------------------------------
-# 4. P1 erda-info grok (conf/ds/parsers.conf:1-4) over constructed lines
-# ---------------------------------------------------------------------------
-
-_ERDA_RE_SQL = (
-    "([Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|DEBU|[Ii]nfo|INFO"
-    "|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR))"
-    "(.*?)\\[([\\w|\\-|_]*?)\\,"
-    "(\\{?\\w{8}-?\\w{4}-?\\w{4}-?\\w{4}-?\\w{12}\\}?)?([\\,|\\w|\\-|_|=]*?)\\]"
-)
-
-_ERDA_LINE_SQL = """
-  SELECT event_id,
-         upper(event_type) || ' [svc-' || CAST(user_id % 8 AS VARCHAR) || ',' ||
-         CASE WHEN event_id % 3 = 0 THEN
-           substring(md5(props),1,8) || '-' || substring(md5(props),9,4) || '-' ||
-           substring(md5(props),13,4) || '-' || substring(md5(props),17,4) || '-' ||
-           substring(md5(props),21,12)
-         ELSE '' END || ',k=v] ' || props AS line
-  FROM events
-"""
-
-_ERDA_EXTRACT_SQL = f"""
-WITH lines AS ({_ERDA_LINE_SQL})
-SELECT event_id,
-       regexp_extract(line, '{_ERDA_RE_SQL}', 1) AS level,
-       regexp_extract(line, '{_ERDA_RE_SQL}', 4) AS request_id
-FROM lines
-"""
-
-# erda_info_extract also gates the scalar function layer
-# (helps.go/remote.go utilities), folded in to keep queries() within the
-# driver's 50-row correctness window: basic-auth base64 (helps.go:73-76)
-# + URL host/path join with slash normalization (remote.go:164-166,
-# remote_test.go:65-91) over the same events rows.
-_ERDA_EXTRACT_SCALAR_SQL = f"""
-WITH src AS (SELECT * FROM events), lines AS (
-  SELECT event_id, user_id, event_type, props,
-         upper(event_type) || ' [svc-' || CAST(user_id % 8 AS VARCHAR) || ',' ||
-         CASE WHEN event_id % 3 = 0 THEN
-           substring(md5(props),1,8) || '-' || substring(md5(props),9,4) || '-' ||
-           substring(md5(props),13,4) || '-' || substring(md5(props),17,4) || '-' ||
-           substring(md5(props),21,12)
-         ELSE '' END || ',k=v] ' || props AS line
-  FROM src
-)
-SELECT event_id,
-       regexp_extract(line, '{_ERDA_RE_SQL}', 1) AS level,
-       regexp_extract(line, '{_ERDA_RE_SQL}', 4) AS request_id,
-       'Basic ' || to_base64(encode('user-' || CAST(user_id AS VARCHAR)
-                                    || ':' || md5(props))) AS auth,
-       regexp_replace('http://collector-' || CAST(user_id % 4 AS VARCHAR) || '///',
-                      '/+$', '') || '/' ||
-       regexp_replace('//collect/logs/' || event_type, '^/+', '') AS url
-FROM lines
-"""
-
-
-def _erda_line_expr() -> F.Column:
-    m = F.md5(F.col("props"))
-    uuid = F.concat_ws(
-        "-",
-        F.substring(m, 1, 8), F.substring(m, 9, 4), F.substring(m, 13, 4),
-        F.substring(m, 17, 4), F.substring(m, 21, 12),
-    )
-    return F.concat(
-        F.upper("event_type"), F.lit(" [svc-"), (F.col("user_id") % 8).cast("string"),
-        F.lit(","), F.when(F.col("event_id") % 3 == 0, uuid).otherwise(F.lit("")),
-        F.lit(",k=v] "), F.col("props"),
-    )
-
-
-def _erda_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_events(spark, sf_dir)
-    return ev.select("event_id", _erda_line_expr().alias("line"))
-
-
-@register("erda_info_extract", _ERDA_EXTRACT_SCALAR_SQL)
-def erda_info_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1 grok extraction + the scalar function layer in one gate
-    (fold per the round-3 verdict: the driver checks at most 50
-    queries, so the scalar layer rides the same rows instead of its
-    own registry slot). Scalar assertions stay operator-direct:
-    functions.basic_auth_header / host_join_path, pytest-gated in
-    tests/test_reshape.py as well."""
-    from logpipe.functions import basic_auth_header, host_join_path
-
-    ev = load_events(spark, sf_dir)
-    lines = ev.select(
-        "event_id", "user_id", "event_type", "props",
-        _erda_line_expr().alias("line"),
-    )
-    return lines.select(
-        "event_id",
-        parse.erda_level(F.col("line")).alias("level"),
-        parse.erda_request_id(F.col("line")).alias("request_id"),
-        basic_auth_header(
-            F.concat(F.lit("user-"), F.col("user_id").cast("string")),
-            F.md5(F.col("props")),
-        ).alias("auth"),
-        host_join_path(
-            F.concat(F.lit("http://collector-"), (F.col("user_id") % 4).cast("string"), F.lit("///")),
-            F.concat(F.lit("//collect/logs/"), F.col("event_type")),
-        ).alias("url"),
-    )
-
-
-@register("erda_info_vectorized", _ERDA_EXTRACT_SQL)
-def erda_info_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same extraction via the Arrow-vectorized pandas UDF (zero
-    per-row Python) — identical output, same oracle."""
-    lines = _erda_lines(spark, sf_dir)
-    g = parse.erda_info_pandas()(F.col("line"))
-    return lines.select(
-        "event_id", g["level"].alias("level"), g["request_id"].alias("request_id")
-    )
-
-
-# K8S-Logging.Parser (conf/ds/fluent-bit.conf:54): per-pod parser
-# annotation off the k8s dim, applied to the log body, extracted keys
-# merged as parsed_* (absent on no-match / no annotation)
-_ERDA_LINE_EXPR_SQL = """
-           upper(event_type) || ' [svc-' || CAST(user_id % 8 AS VARCHAR) || ',' ||
-           CASE WHEN event_id % 3 = 0 THEN
-             substring(md5(props),1,8) || '-' || substring(md5(props),9,4) || '-' ||
-             substring(md5(props),13,4) || '-' || substring(md5(props),17,4) || '-' ||
-             substring(md5(props),21,12)
-           ELSE '' END || ',k=v] ' || props
-"""
-
-_CRI_RE_SQL = "^([^ ]+) (stdout|stderr) ([^ ]*) (.*)$"
-
-_K8S_PARSER_SQL = f"""
-WITH base AS (
-  SELECT event_id, user_id, event_type, props, ts,
-         CASE WHEN user_id % 9 = 1 THEN 'erda-info'
-              WHEN user_id % 9 = 2 THEN 'cri' END AS parser
-  FROM events
-), lines AS (
-  SELECT event_id, parser,
-         CASE WHEN parser = 'cri' THEN
-           strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z ' ||
-           CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END || ' F ' || props
-         ELSE {_ERDA_LINE_EXPR_SQL}
-         END AS line
-  FROM base
-)
-SELECT event_id, parser,
-  CASE WHEN parser = 'erda-info' THEN nullif(regexp_extract(line, '{_ERDA_RE_SQL}', 1), '') END AS parsed_level,
-  CASE WHEN parser = 'erda-info' THEN nullif(regexp_extract(line, '{_ERDA_RE_SQL}', 4), '') END AS parsed_request_id,
-  CASE WHEN parser = 'cri' THEN nullif(regexp_extract(line, '{_CRI_RE_SQL}', 2), '') END AS parsed_stream,
-  CASE WHEN parser = 'cri' THEN nullif(regexp_extract(line, '{_CRI_RE_SQL}', 4), '') END AS parsed_log
-FROM lines
-"""
-
-
-@register("k8s_parser_annotation", _K8S_PARSER_SQL)
-def k8s_parser_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-pod parser annotation: the k8s dim names a parser
-    ('erda-info' / 'cri' / none), applied to the record's log body by
-    annotation_parse; extracted keys merge as parsed_* map keys.
-    Lines are built cri-shaped for cri-annotated pods, erda-shaped
-    otherwise, so both parser branches extract real values."""
-    from logpipe.operators.reshape import build_map
-    from logpipe.plans.dynamic import annotation_parse
-
-    ev = load_events(spark, sf_dir)
-    dim = events_k8s_meta(ev).select("conv_id", "k8s_parser")
-    joined = ev.withColumn("conv_id", F.col("user_id").cast("string")).join(
-        F.broadcast(dim), "conv_id", "left"
-    )
-    cri_line = F.concat(
-        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z "),
-        F.when(F.col("event_id") % 2 == 0, "stdout").otherwise("stderr"),
-        F.lit(" F "), F.col("props"),
-    )
-    line = F.when(F.col("k8s_parser") == "cri", cri_line).otherwise(_erda_line_expr())
-    rec = build_map({"log": line})
-    out = joined.select(
-        "event_id",
-        F.col("k8s_parser").alias("parser"),
-        annotation_parse(rec, F.col("k8s_parser")).alias("rec"),
-    )
-    return out.select(
-        "event_id", "parser",
-        F.col("rec").getItem("parsed_level").alias("parsed_level"),
-        F.col("rec").getItem("parsed_request_id").alias("parsed_request_id"),
-        F.col("rec").getItem("parsed_stream").alias("parsed_stream"),
-        F.col("rec").getItem("parsed_log").alias("parsed_log"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# 5. P5 CRI parse (conf/ds/parsers.conf:25-30) over constructed lines
-# ---------------------------------------------------------------------------
-
-_CRI_SQL = r"""
-WITH lines AS (
-  SELECT event_id,
-         strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z ' ||
-         CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END ||
-         ' F ' || props AS line
-  FROM events
-)
-SELECT event_id,
-       regexp_extract(line, '^([^ ]+) (stdout|stderr) ([^ ]*) (.*)$', 1) AS cri_time,
-       regexp_extract(line, '^([^ ]+) (stdout|stderr) ([^ ]*) (.*)$', 2) AS stream,
-       regexp_extract(line, '^([^ ]+) (stdout|stderr) ([^ ]*) (.*)$', 3) AS logtag,
-       regexp_extract(line, '^([^ ]+) (stdout|stderr) ([^ ]*) (.*)$', 4) AS log
-FROM lines
-"""
-
-
-@register("cri_parse", _CRI_SQL)
-def cri_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_events(spark, sf_dir)
-    line = F.concat(
-        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z "),
-        F.when(F.col("event_id") % 2 == 0, "stdout").otherwise("stderr"),
-        F.lit(" F "), F.col("props"),
-    )
-    lines = ev.select("event_id", line.alias("line"))
-    s = parse.parse_cri(F.col("line"))
-    return lines.select(
-        "event_id",
-        s["time"].alias("cri_time"), s["stream"].alias("stream"),
-        s["logtag"].alias("logtag"), s["log"].alias("log"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# 6. F3 multiline stitch (sessionization; conf/eci/fluent-bit.conf:41-45)
-# ---------------------------------------------------------------------------
-
-# half the props lines count as 'firstline' -> real group mixing
-_STITCH_OP_RE = '^\\{"k": [0-4]'
-
-_STITCH_SQL = f"""
-WITH t AS (
-  SELECT CAST(user_id AS VARCHAR) AS conv_id,
-         CAST(event_id AS INT) AS turn_idx,
-         props AS text
-  FROM events
-), marked AS (
-  SELECT conv_id, turn_idx, text,
-         CAST(sum(CASE WHEN regexp_matches(text, '{_STITCH_OP_RE}') THEN 1 ELSE 0 END)
-              OVER (PARTITION BY conv_id ORDER BY turn_idx
-                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
-  FROM t
-)
-SELECT conv_id, grp,
-       CAST(min(turn_idx) AS INT) AS turn_idx,
-       string_agg(text, chr(10) ORDER BY turn_idx) AS text,
-       CAST(count(*) AS INT) AS n_lines
-FROM marked GROUP BY conv_id, grp
-"""
-
-
-@register("multiline_stitch", _STITCH_SQL)
-def multiline_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3 gate, operator-direct: runs the shipped
-    operators/stitch.py::stitch_multiline end-to-end (formerly two
-    registry slots — an inline-window demo plus this operator gate —
-    merged per the round-3 verdict's 50-row driver window)."""
-    from logpipe.operators.stitch import stitch_multiline
-
-    ev = load_events(spark, sf_dir)
-    t = ev.select(
-        F.col("user_id").cast("string").alias("conv_id"),
-        F.col("event_id").cast("int").alias("turn_idx"),
-        F.col("props").alias("text"),
-        F.lit("user").alias("role"),
-        F.lit(None).cast("string").alias("tool"),
-        F.col("ts"),
-    )
-    out = stitch_multiline(t, firstline_re=_STITCH_OP_RE)
-    return out.select("conv_id", "grp", "turn_idx", "text", "n_lines")
-
-
-# F3 with the java multiline grammar (conf/eci/fluent-bit.conf:41-45,
-# flb_ml_parser_java.c): synthetic lines cycle through datetime
-# firstlines, frame lines, Caused by, a DATETIME-LESS exception header
-# ('Exception in thread', which must anchor its own group — the case
-# the datetime grammar mis-splits), and '... N more' markers. The
-# oracle replays the continuation regex in DuckDB (RE2 and Java regex
-# agree on this alternation) over the same window.
-_JAVA_CONT_RE_SQL = (
-    "^[\\t ]+at[\\t ]+|^[\\t ]*Caused by:|^[\\t ]*Suppressed:"
-    "|^[\\t ]*\\.\\.\\. \\d+ (more|common frames omitted)"
-    "|^[\\t ]*nested exception is"
-)
-
-_JAVA_LINE_SQL = """
-  SELECT user_id, event_id,
-         CASE event_id % 5
-           WHEN 0 THEN '2024-01-02 03:04:05 INFO ok ' || props
-           WHEN 1 THEN chr(9) || 'at com.example.Svc.run(Svc.java:'
-                       || CAST(event_id % 100 AS VARCHAR) || ')'
-           WHEN 2 THEN 'Caused by: java.io.IOException: ' || substring(props, 1, 20)
-           WHEN 3 THEN 'Exception in thread "main" ' || substring(props, 1, 16)
-           ELSE chr(9) || '... ' || CAST(event_id % 7 AS VARCHAR) || ' more'
-         END AS line
-  FROM events
-"""
-
-_JAVA_STITCH_SQL = f"""
-WITH lines AS ({_JAVA_LINE_SQL}), marked AS (
-  SELECT user_id, event_id, line,
-         CAST(sum(CASE WHEN NOT regexp_matches(line, '{_JAVA_CONT_RE_SQL}')
-                       THEN 1 ELSE 0 END)
-              OVER (PARTITION BY user_id ORDER BY event_id
-                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
-  FROM lines
-)
-SELECT user_id, grp,
-       string_agg(line, chr(10) ORDER BY event_id) AS stitched,
-       CAST(min(event_id) AS BIGINT) AS first_event,
-       CAST(count(*) AS BIGINT) AS n_lines
-FROM marked GROUP BY user_id, grp
-"""
-
-
-@register("java_multiline_stitch", _JAVA_STITCH_SQL)
-def java_multiline_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logpipe.operators.stitch import java_group_start
-
-    ev = load_events(spark, sf_dir)
-    m = F.col("event_id") % 5
-    line = (
-        F.when(m == 0, F.concat(F.lit("2024-01-02 03:04:05 INFO ok "), F.col("props")))
-        .when(m == 1, F.concat(
-            F.lit("\tat com.example.Svc.run(Svc.java:"),
-            (F.col("event_id") % 100).cast("string"), F.lit(")")))
-        .when(m == 2, F.concat(
-            F.lit("Caused by: java.io.IOException: "),
-            F.substring("props", 1, 20)))
-        .when(m == 3, F.concat(
-            F.lit('Exception in thread "main" '), F.substring("props", 1, 16)))
-        .otherwise(F.concat(
-            F.lit("\t... "), (F.col("event_id") % 7).cast("string"), F.lit(" more")))
-    )
-    lines = ev.select("user_id", "event_id", line.alias("line"))
-    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    marked = lines.withColumn(
-        "grp", F.sum(java_group_start("line").cast("int")).over(w).cast("long")
-    )
-    return marked.groupBy("user_id", "grp").agg(
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("event_id", "line"))),
-                lambda x: x["line"],
-            ),
-        ).alias("stitched"),
-        F.min("event_id").alias("first_event"),
-        F.count(F.lit(1)).alias("n_lines"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# 7. F1 throttle: drop variant + audit aggregate (throttle.c:98-107)
-# ---------------------------------------------------------------------------
-
-_THROTTLE_DROP_SQL = """
-WITH numbered AS (
-  SELECT user_id, event_id,
-         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
-                            ORDER BY event_id) AS rn
-  FROM events
-)
-SELECT user_id,
-       CAST(count(*) AS BIGINT) AS kept,
-       CAST(min(event_id) AS BIGINT) AS first_event
-FROM numbered WHERE rn <= 3 GROUP BY user_id
-"""
-
-
-@register("throttle_drop", _THROTTLE_DROP_SQL)
-def throttle_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drop-mode throttle: keep first `rate` records per (key, window).
-
-    The reference's retain=false path (throttle.c:98-107); rate=3/day
-    here so the small SFs actually drop. Uses the shipped operator so
-    the oracle gates operators/throttle.py itself.
-    """
-    from logpipe.operators.throttle import throttle_drop as op_drop
-
-    ev = load_events(spark, sf_dir)
-    kept = op_drop(
-        ev, rate=3, key="user_id", ts_col="ts", order_col="event_id", bucket="day"
-    )
-    return kept.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("kept"),
-        F.min("event_id").cast("long").alias("first_event"),
-    )
-
-
-_THROTTLE_AUDIT_SQL = """
-SELECT user_id,
-       CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
-       CAST(count(*) AS BIGINT) AS n
-FROM events
-GROUP BY date_trunc('day', ts), user_id
-HAVING count(*) > 3
-"""
-
-
-@register("throttle_audit", _THROTTLE_AUDIT_SQL)
-def throttle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audit aggregate: windows exceeding the rate (retain=true mode
-    keeps rows, so correctness-wise throttling is an audit metric).
-    Uses the shipped operator so the oracle gates it directly."""
-    from logpipe.operators.throttle import throttle_audit as op_audit
-
-    ev = load_events(spark, sf_dir)
-    return op_audit(ev, rate=3, key="user_id", ts_col="ts", bucket="day")
-
-
-# ---------------------------------------------------------------------------
-# 8. F2/F4 broadcast enrichment join (relational parity on TPC-H dims)
-# ---------------------------------------------------------------------------
-
-_ENRICH_JOIN_SQL = """
-SELECT r.r_name,
-       CAST(count(*) AS BIGINT) AS n_customers,
-       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
-FROM customer c
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-JOIN region r ON n.n_regionkey = r.r_regionkey
-GROUP BY r.r_name
-"""
-
-
-@register("broadcast_enrich_join", _ENRICH_JOIN_SQL)
-def broadcast_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    r = spark.read.parquet(f"{sf_dir}/region.parquet")
-    return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total_acctbal"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# 9. TPC-H Q1-style aggregate (map-side partial agg showcase)
-# ---------------------------------------------------------------------------
-
-_Q1_SQL = """
-SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-       CAST(count(*) AS BIGINT) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus
-"""
-
-
-@register("tpch_q1", _Q1_SQL)
-def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-            .cast("double")
-            .alias("sum_disc_price"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# 10. Top-k per group (window sort/limit)
-# ---------------------------------------------------------------------------
-
-_TOPK_SQL = """
-SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
-FROM (
-  SELECT o_orderpriority, o_orderkey, o_totalprice,
-         row_number() OVER (PARTITION BY o_orderpriority
-                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
-  FROM orders
-)
-WHERE rn <= 3
-"""
-
-
-@register("topk_orders", _TOPK_SQL)
-def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return (
-        o.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 3)
-        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
-    )
-
-
-# ---------------------------------------------------------------------------
-# 11. Fact-to-fact shuffle join + anti join (SURVEY §2 'Joins' beyond
-#     broadcast lookups — the two join shapes the enrich path never uses)
-# ---------------------------------------------------------------------------
-
-_SUPPLIED_QTY_SQL = """
-SELECT r.r_name,
-       CAST(count(*) AS BIGINT) AS n_items,
-       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
-FROM lineitem l
-JOIN supplier s ON l.l_suppkey = s.s_suppkey
-JOIN nation n ON s.s_nationkey = n.n_nationkey
-JOIN region r ON n.n_regionkey = r.r_regionkey
-GROUP BY r.r_name
-"""
-
-
-@register("supplied_qty_per_region", _SUPPLIED_QTY_SQL)
-def supplied_qty_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact-side join with NO broadcast hint on supplier — AQE picks
-    the strategy from runtime sizes (broadcast at test SFs, shuffled
-    hash at scale); nation/region stay explicit broadcasts."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    r = spark.read.parquet(f"{sf_dir}/region.parquet")
-    return (
-        li.join(s, li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("qty"),
-        )
-    )
-
-
-_PROMO_SQL = """
-SELECT CAST(100.0 * CAST(sum(CASE WHEN p.p_type = 'ECONOMY'
-             THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
-                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
-             ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
-       / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-       AS DOUBLE) AS economy_revenue_pct,
-       CAST(count(*) AS BIGINT) AS n_items
-FROM lineitem l
-JOIN part p ON l.l_partkey = p.p_partkey
-WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-"""
-
-
-@register("promo_revenue_ratio", _PROMO_SQL)
-def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape over part x lineitem: revenue share of one part
-    type inside a date window — exact decimal accumulation, one final
-    double division (deterministic: both operands are exact)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    p = spark.read.parquet(f"{sf_dir}/part.parquet")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")
-    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
-    econ = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(
-        F.lit(0.00).cast("decimal(18,2)")
-    )
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        )
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .agg(
-            (
-                F.lit(100.0)
-                * F.sum(econ).cast("double")
-                / F.sum(rev).cast("double")
-            ).alias("economy_revenue_pct"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-
-
-_ANTI_JOIN_SQL = """
-SELECT o_orderpriority,
-       CAST(count(*) AS BIGINT) AS n_orders
-FROM orders o
-WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
-GROUP BY o_orderpriority
-"""
-
-
-@register("orders_without_lineitems", _ANTI_JOIN_SQL)
-def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join — the incremental-processing shape (skip keys
-    already present in another table, e.g. already-emitted chunks in a
-    resume). One shuffle on the key; no row widening."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return (
-        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# 12. Time-gap sessionization (F3's time-based complement)
-# ---------------------------------------------------------------------------
-
-_SESSION_SQL = """
-WITH marked AS (
-  SELECT user_id, event_id, ts,
-         CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_start
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
-), sess AS (
-  SELECT user_id, event_id, ts,
-         CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY event_id
-                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-  FROM marked
-)
-SELECT user_id, session_id,
-       CAST(count(*) AS BIGINT) AS n_turns,
-       CAST(min(event_id) AS BIGINT) AS first_turn,
-       min(ts) AS start_ts,
-       CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS BIGINT) AS span_sec
-FROM sess GROUP BY user_id, session_id
-"""
-
-
-@register("session_gap_stats", _SESSION_SQL)
-def session_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization over events (30-min gap): per-session
-    turn count, first turn, start, span."""
-    from logpipe.operators.stitch import session_stats
-
-    ev = load_events(spark, sf_dir).select(
-        F.col("user_id"), F.col("event_id"), F.col("ts")
-    )
-    out = session_stats(
-        ev, gap_sec=1800, key="user_id", ts_col="ts", order_col="event_id"
-    )
-    return out.select(
-        "user_id",
-        F.col("session_id").cast("long").alias("session_id"),
-        "n_turns",
-        F.col("first_turn").cast("long").alias("first_turn"),
-        "start_ts",
-        "span_sec",
-    )
-
-
-# ===========================================================================
-# Training-data pipeline operators (dedup / similarity / text analysis)
-# ===========================================================================
-
-_WORDS_SQL = (
-    "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
-)
-
-# --- text analysis --------------------------------------------------------
-
-# PII redaction (traindata/textstats.py::redact_pii): the synthetic
-# docs carry no PII, so the query embeds deterministic emails / IPv4s /
-# digit runs derived from doc_id, then redacts — the oracle replays the
-# same construction and the same RE2-compatible rules with the 'g' flag.
-def _pii_suffix_sql(lead: str) -> str:
-    """The deterministic PII seed (email + IPv4 + long digit run) with a
-    caller-chosen lead-in expression — ONE definition for the standalone
-    PII gate, curated_corpus_v2, and curated_corpus_v3 (review finding:
-    near-identical copies could drift and silently make a stage
-    vacuous)."""
-    return (
-        lead + " || CAST(doc_id AS VARCHAR)"
-        " || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.example.com ip 10.'"
-        " || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)"
-        " || ' acct 123456789' || CAST(doc_id AS VARCHAR)"
-    )
-
-
-def _pii_suffix_cols(lead: str) -> list:
-    """Spark twin of _pii_suffix_sql (same shared-definition rule)."""
-    d_ = F.col("doc_id").cast("string")
-    return [
-        F.lit(lead), d_,
-        F.lit("@mail"), (F.col("doc_id") % 5).cast("string"),
-        F.lit(".example.com ip 10."), (F.col("doc_id") % 256).cast("string"),
-        F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
-        F.lit(" acct 123456789"), d_,
-    ]
-
-
-_PII_TEXT_SQL = "substring(text, 1, 40) || " + _pii_suffix_sql("' contact user'")
-
-_PII_SQL = f"""
-WITH t AS (SELECT doc_id, {_PII_TEXT_SQL} AS txt FROM documents)
-SELECT doc_id,
-       regexp_replace(regexp_replace(regexp_replace(txt,
-         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
-         '\\b(\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g'),
-         '\\b\\d{{9,}}\\b', '<NUM>', 'g') AS redacted,
-       CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
-       CAST(len(regexp_extract_all(txt, '\\b(\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS BIGINT) AS n_ipv4,
-       CAST(len(regexp_extract_all(txt, '\\b\\d{{9,}}\\b')) AS BIGINT) AS n_longnum
-FROM t
-"""
-
-
-def _pii_text_expr() -> F.Column:
-    return F.concat(
-        F.substring("text", 1, 40), *_pii_suffix_cols(" contact user")
-    )
-
-
-@register("pii_redaction", _PII_SQL)
-def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logpipe.traindata import textstats as ts
-
-    t = _docs(spark, sf_dir).select("doc_id", _pii_text_expr().alias("txt"))
-    counts = ts.pii_counts(F.col("txt"))
-    return t.select(
-        "doc_id",
-        ts.redact_pii(F.col("txt")).alias("redacted"),
-        counts["email"].alias("n_email"),
-        counts["ipv4"].alias("n_ipv4"),
-        counts["longnum"].alias("n_longnum"),
-    )
-
-
-# Per-domain URL stats (textstats.py::extract_domains): embedded
-# deterministic URLs, exploded to (domain, n_urls, n_docs).
-_DOMAIN_TEXT_SQL = (
-    "substring(text, 1, 30) || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)"
-    " || '.example.com/p/' || CAST(doc_id AS VARCHAR)"
-    " || ' and http://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.net/x'"
-)
-
-_DOMAIN_SQL = f"""
-WITH t AS (SELECT doc_id, {_DOMAIN_TEXT_SQL} AS txt FROM documents),
-u AS (
-  SELECT doc_id, unnest(regexp_extract_all(txt, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
-  FROM t
-)
-SELECT domain,
-       CAST(count(*) AS BIGINT) AS n_urls,
-       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-FROM u GROUP BY domain
-"""
-
-
-@register("domain_stats", _DOMAIN_SQL)
-def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logpipe.traindata import textstats as ts
-
-    txt = F.concat(
-        F.substring("text", 1, 30),
-        F.lit(" see https://site"), (F.col("doc_id") % 7).cast("string"),
-        F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
-        F.lit(" and http://cdn"), (F.col("doc_id") % 3).cast("string"),
-        F.lit(".net/x"),
-    )
-    t = _docs(spark, sf_dir).select("doc_id", txt.alias("txt"))
-    return (
-        t.select("doc_id", F.explode(ts.extract_domains(F.col("txt"))).alias("domain"))
-        .groupBy("domain")
-        .agg(
-            F.count(F.lit(1)).alias("n_urls"),
-            F.countDistinct("doc_id").alias("n_docs"),
-        )
-    )
-
-
-# Global line-level dedup (dedup.line_dedup, the C4/RefinedWeb
-# boilerplate-removal step): constructed multi-line text where every
-# doc shares a footer line with its doc_id%7 class (plus any naturally
-# repeated word-lines) — a line survives only in the lowest-doc_id doc
-# containing it, at its first position there.
-_LINE_DEDUP_TEXT_SQL = (
-    "replace(text, ' the ', chr(10)) || chr(10) || 'footer-' "
-    "|| CAST(doc_id % 7 AS VARCHAR)"
-)
-
-def _line_dedup_ctes(src: str, out: str = "ld") -> str:
-    """CTE chain replaying dedup.line_dedup over ``src`` (doc_id, text
-    [, passthrough cols are NOT carried — re-join on doc_id]); emits
-    ``{out}`` = (doc_id, text, n_lines_kept). ONE definition shared by
-    the standalone gate and curated_corpus_v3 so the semantics cannot
-    drift."""
-    return f"""
-{out}_l AS (
-  SELECT doc_id,
-         unnest(string_split(text, chr(10))) AS line,
-         generate_subscripts(string_split(text, chr(10)), 1) AS pos
-  FROM {src}
-), {out}_keyed AS (
-  SELECT doc_id, pos, line, md5(line) AS lh FROM {out}_l
-), {out}_w AS (
-  SELECT lh, min(doc_id) AS win_doc FROM {out}_keyed GROUP BY lh
-), {out}_kept AS (
-  SELECT k.doc_id, k.lh, min(k.pos) AS pos, min(k.line) AS line
-  FROM {out}_keyed k JOIN {out}_w w ON k.lh = w.lh AND k.doc_id = w.win_doc
-  GROUP BY k.doc_id, k.lh
-), {out}_re AS (
-  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
-         CAST(count(*) AS BIGINT) AS n_lines_kept
-  FROM {out}_kept GROUP BY doc_id
-), {out} AS (
-  SELECT s.doc_id, coalesce(r.text, '') AS text,
-         coalesce(r.n_lines_kept, 0) AS n_lines_kept
-  FROM {src} s LEFT JOIN {out}_re r ON s.doc_id = r.doc_id
-)"""
-
-
-_LINE_DEDUP_SQL = f"""
-WITH t AS (SELECT doc_id, {_LINE_DEDUP_TEXT_SQL} AS text FROM documents),
-{_line_dedup_ctes("t")}
-SELECT doc_id, text, n_lines_kept FROM ld
-"""
-
-
-@register("line_dedup", _LINE_DEDUP_SQL)
-def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global line-level dedup (C4 §2.2's boilerplate removal at corpus
-    scope): full reassembled text hash-matched per doc, so the winner
-    rule, first-occurrence rule, and in-order reassembly are all
-    value-gated."""
-    from logpipe.traindata.dedup import line_dedup
-
-    txt = F.concat(
-        F.expr("replace(text, ' the ', chr(10))"),
-        F.lit("\nfooter-"), (F.col("doc_id") % 7).cast("string"),
-    )
-    d = _docs(spark, sf_dir).select("doc_id", txt.alias("text"))
-    return line_dedup(d)
-
-
-def _dup_span_ctes(src: str, out: str = "ds", k: int = 3, min_docs: int = 2) -> str:
-    """CTE chain replaying dedup.duplicate_span_stats over ``src``
-    (doc_id, text); emits ``{out}`` = (doc_id, n_spans, n_dup_spans,
-    dup_span_frac). POSITIONAL k-gram windows (NOT deduped — every
-    position counts), shared table on md5(window) with a distinct-doc
-    threshold, per-position verdict join. ONE definition shared by the
-    standalone gate and curated_corpus_v4's span gate."""
-    terms = " || ' ' || ".join(
-        "words[i]" if j == 0 else f"words[i+{j}]" for j in range(k)
-    )
-    window = f"[{terms} for i in generate_series(1, len(words)-{k - 1})]"
-    return f"""
-{out}_w AS (
-  SELECT doc_id, {_WORDS_SQL} AS words FROM {src}
-), {out}_ke AS (
-  SELECT doc_id,
-         md5(unnest(CASE WHEN len(words) >= {k} THEN {window} ELSE [] END)) AS sh
-  FROM {out}_w
-), {out}_sh AS (
-  SELECT sh FROM {out}_ke GROUP BY sh HAVING count(DISTINCT doc_id) >= {min_docs}
-), {out}_fl AS (
-  SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
-  FROM {out}_ke k JOIN {out}_sh USING (sh) GROUP BY k.doc_id
-), {out} AS (
-  SELECT w.doc_id,
-         CAST(greatest(len(w.words) - {k - 1}, 0) AS BIGINT) AS n_spans,
-         CAST(coalesce(f.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
-         round(coalesce(CAST(f.n_dup_spans AS DOUBLE)
-                        / CAST(greatest(len(w.words) - {k - 1}, 0) AS DOUBLE),
-                        0.0), 4) AS dup_span_frac
-  FROM {out}_w w LEFT JOIN {out}_fl f USING (doc_id)
-)"""
-
-
-_DUP_SPAN_SQL = f"""
-WITH {_dup_span_ctes("documents", out="ds", k=3, min_docs=2).lstrip()}
-SELECT doc_id, n_spans, n_dup_spans, dup_span_frac FROM ds
-"""
-
-
-def _dup_span_trim_ctes(src: str, out: str = "dt", k: int = 3, min_docs: int = 2) -> str:
-    """CTE chain replaying dedup.duplicate_span_trim over ``src``
-    (doc_id, text); emits ``{out}`` = (doc_id, text, n_tokens_kept,
-    n_tokens_removed). Winner rule: a k-token window shared by >=
-    min_docs docs survives only in the lowest-doc_id doc containing it;
-    losers drop every covered token and reassemble with single spaces
-    (the operator is whitespace-normalizing by construction). Parallel
-    unnests zip positionally in DuckDB, so wpos lines up with its
-    window text. ONE definition shared by the standalone gate and
-    curated_corpus_v5's trim branch."""
-    terms = " || ' ' || ".join(
-        "words[i]" if j == 0 else f"words[i+{j}]" for j in range(k)
-    )
-    series = f"generate_series(1, len(words)-{k - 1})"
-    # dt_w and dt_pg are each referenced twice; DuckDB inlines
-    # non-recursive CTEs per reference (the round-4 finding that made
-    # the un-hinted v3 oracle re-run its closure), so both are
-    # MATERIALIZED — essential when this chain sits inside the composed
-    # v5 oracle.
-    return f"""
-{out}_w AS MATERIALIZED (
-  SELECT doc_id, {_WORDS_SQL} AS words FROM {src}
-), {out}_ke AS (
-  SELECT doc_id,
-         unnest(CASE WHEN len(words) >= {k} THEN [i for i in {series}] ELSE [] END) AS wpos,
-         md5(unnest(CASE WHEN len(words) >= {k} THEN [{terms} for i in {series}] ELSE [] END)) AS sh
-  FROM {out}_w
-), {out}_pg AS MATERIALIZED (
-  SELECT sh, doc_id, list(wpos) AS poss FROM {out}_ke GROUP BY sh, doc_id
-), {out}_shs AS (
-  SELECT sh, count(*) AS nd, min(doc_id) AS win FROM {out}_pg GROUP BY sh
-), {out}_lw AS (
-  SELECT pg.doc_id, unnest(pg.poss) AS wpos
-  FROM {out}_pg pg JOIN {out}_shs s USING (sh)
-  WHERE s.nd >= {min_docs} AND pg.doc_id <> s.win
-), {out}_rm AS (
-  SELECT doc_id, list(DISTINCT tpos) AS rmset
-  FROM (SELECT doc_id, unnest(generate_series(wpos, wpos + {k - 1})) AS tpos
-        FROM {out}_lw)
-  GROUP BY doc_id
-), {out}_kept AS (
-  SELECT w.doc_id,
-         CASE WHEN rm.rmset IS NULL THEN w.words
-              ELSE [w.words[i] for i in generate_series(1, len(w.words))
-                    if NOT list_contains(rm.rmset, i)]
-         END AS kw,
-         coalesce(len(rm.rmset), 0) AS n_rm
-  FROM {out}_w w LEFT JOIN {out}_rm rm USING (doc_id)
-), {out} AS (
-  SELECT doc_id,
-         coalesce(array_to_string(kw, ' '), '') AS text,
-         CAST(len(kw) AS BIGINT) AS n_tokens_kept,
-         CAST(n_rm AS BIGINT) AS n_tokens_removed
-  FROM {out}_kept
-)"""
-
-
-_DUP_SPAN_TRIM_SQL = f"""
-WITH {_dup_span_trim_ctes("documents", out="dt", k=3, min_docs=2).lstrip()}
-SELECT doc_id, text, n_tokens_kept, n_tokens_removed FROM dt
-"""
-
-
-@register("dup_span_trim", _DUP_SPAN_TRIM_SQL)
-def dup_span_trim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring span dedup — Lee et al. 2021's actual remedy
-    (round-5 verdict missing #1: the stats operator measured the signal
-    and v4 dropped docs on it, but nothing REMOVED the duplicated spans
-    and reassembled). Every reassembled text + kept/removed count is
-    value-hashed against the DuckDB positional replay. The slot came
-    from folding k8s_exclude_route_counts into
-    flagship_rules_route_counts as an in-run parity assert (the
-    established fold pattern)."""
-    from logpipe.traindata.dedup import duplicate_span_trim
-
-    return duplicate_span_trim(_docs(spark, sf_dir), k=3, min_docs=2)
-
-
-@register("dup_span_stats", _DUP_SPAN_SQL)
-def dup_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-document duplicate-SPAN statistic (Lee et al. 2021's
-    exact-substring-dedup signal) as a DRIVER gate — round-4 verdict's
-    top task: the operator was pytest/bench-only because the 50-slot
-    registry was full; the fold of the dynamic-plan flagship slot freed
-    this one. Every per-doc (n_spans, n_dup_spans, dup_span_frac) is
-    value-hashed against the DuckDB positional-window replay."""
-    from logpipe.traindata.dedup import duplicate_span_stats
-
-    return duplicate_span_stats(_docs(spark, sf_dir), k=3, min_docs=2)
-
-
-# Multimodal family (traindata/multimodal.py) as a DRIVER gate — the
-# last operator family with zero driver-visible rows (round-4 verdict
-# missing #3). The media table is the deterministic synth (payload =
-# repeated md5 bytes), so all three ops are oracle-able in pure SQL:
-#   decode_features  -> n_bytes + first feature (byte/255);
-#   resize_image 8x8 -> full resized payload as hex — the NN gather
-#     out[p] = raw[((yi*W + xj) % len)] needs only the 64 SAMPLED
-#     bytes, so the oracle indexes the hex string directly and never
-#     materializes the W*H grid;
-#   frame_sample     -> per-video frame count (ceil(len/16)).
-_MEDIA_SQL = """
-WITH m AS (
-  SELECT id,
-         CASE WHEN id % 3 = 0 THEN 'image'
-              WHEN id % 3 = 1 THEN 'audio'
-              ELSE 'video' END AS kind,
-         repeat(md5('media-42-' || CAST(id AS VARCHAR)), CAST(id % 8 + 1 AS INT)) AS hx,
-         CAST((id % 64 + 1) * 16 AS BIGINT) AS w,
-         CAST((id % 48 + 1) * 16 AS BIGINT) AS h,
-         CAST(16 * (id % 8 + 1) AS BIGINT) AS plen
-  FROM range(256) t(id)
-), rs AS (
-  SELECT id,
-         CASE WHEN kind = 'image' THEN
-           array_to_string(
-             [substr(hx,
-                     2 * CAST((((i // 8) * h // 8) * w + ((i % 8) * w // 8)) % plen AS INT) + 1,
-                     2)
-              for i in generate_series(0, 63)], '')
-         END AS payload_hex
-  FROM m
-)
-SELECT m.id AS media_id, m.kind,
-       m.plen AS n_bytes,
-       round(CAST(('0x' || substr(m.hx, 1, 2))::INT AS DOUBLE) / 255.0, 4) AS feat0,
-       rs.payload_hex,
-       CAST(CASE WHEN m.kind = 'video' THEN (m.plen + 15) // 16 ELSE 0 END AS BIGINT) AS n_frames
-FROM m JOIN rs ON m.id = rs.id
-"""
-
-
-@register("media_resize_fingerprint", _MEDIA_SQL)
-def media_resize_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three multimodal ops in one gated pass over the 256-row
-    deterministic media table: Arrow decode features (first byte / 255),
-    the full 8x8 nearest-neighbor resized payload (hex, so every output
-    BYTE is value-hashed), and the frame_sample fan-out count per row.
-    Non-image rows carry NULL payload_hex; non-video rows 0 frames —
-    both branches non-vacuous by construction (id % 3 kinds)."""
-    from logpipe.traindata.multimodal import (
-        decode_features,
-        frame_sample,
-        resize_image,
-        synth_media,
-    )
-
-    media = synth_media(spark, n_rows=256, seed=42)
-    feats = decode_features(media).select(
-        "media_id",
-        "kind",
-        "n_bytes",
-        F.round(F.element_at("features", 1), 4).alias("feat0"),
-    )
-    resized = resize_image(media, 8, 8).select(
-        "media_id", F.lower(F.hex("payload")).alias("payload_hex")
-    )
-    frames = frame_sample(media).groupBy("media_id").agg(
-        F.count(F.lit(1)).alias("n_frames")
-    )
-    return (
-        feats.join(resized, "media_id")
-        .join(frames, "media_id", "left")
-        .select(
-            "media_id",
-            "kind",
-            "n_bytes",
-            "feat0",
-            "payload_hex",
-            F.coalesce("n_frames", F.lit(0)).cast("long").alias("n_frames"),
-        )
-    )
-
-
-# Gopher-style composite keep gate (textstats.gopher_keep): thresholds
-# chosen so BOTH branches occur on the word-soup corpus.
-def _gopher_ctes(src: str, out: str = "gk", min_tokens: int = 50) -> str:
-    """CTE chain replaying textstats.gopher_signals/gopher_keep over
-    ``src`` (doc_id, text); emits ``{out}`` = (doc_id, n_tokens,
-    alpha_ratio, dup_bigram_frac, top_token_frac, keep). Shared by the
-    standalone gate and curated_corpus_v3."""
-    return f"""
-{out}_w AS (
-  SELECT doc_id, {_WORDS_SQL} AS words,
-         round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-           / CAST(length(text) AS DOUBLE), 4) AS alpha_ratio
-  FROM {src}
-), {out}_g AS (
-  SELECT doc_id, words, alpha_ratio,
-         CASE WHEN len(words) >= 2
-           THEN [words[i] || ' ' || words[i+1] for i in generate_series(1, len(words)-1)]
-           ELSE [] END AS grams
-  FROM {out}_w
-), {out}_dupf AS (
-  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens, alpha_ratio,
-         CASE WHEN len(words) >= 2
-           THEN round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
-                      / len(grams), 4)
-           ELSE 0.0 END AS dup_bigram_frac
-  FROM {out}_g
-), {out}_tok AS (
-  SELECT doc_id, unnest(words) AS tok FROM {out}_w
-), {out}_per_tok AS (
-  SELECT doc_id, tok, count(*) AS c FROM {out}_tok GROUP BY doc_id, tok
-), {out}_per_doc AS (
-  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_token_frac
-  FROM {out}_per_tok GROUP BY doc_id
-), {out} AS (
-  SELECT d.doc_id, d.n_tokens, d.alpha_ratio, d.dup_bigram_frac,
-         coalesce(p.top_token_frac, 0.0) AS top_token_frac,
-         (d.n_tokens >= {min_tokens} AND d.n_tokens <= 100000
-          AND d.alpha_ratio >= 0.55
-          AND d.dup_bigram_frac <= 0.2
-          AND coalesce(p.top_token_frac, 0.0) <= 0.2) AS keep
-  FROM {out}_dupf d LEFT JOIN {out}_per_doc p ON d.doc_id = p.doc_id
-)"""
-
-
-_GOPHER_SQL = f"""
-WITH {_gopher_ctes("documents").lstrip()}
-SELECT doc_id, n_tokens, alpha_ratio, dup_bigram_frac, top_token_frac, keep
-FROM gk
-"""
-
-
-@register("gopher_keep", _GOPHER_SQL)
-def gopher_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logpipe.traindata.textstats import gopher_keep
-
-    return gopher_keep(_docs(spark, sf_dir), min_tokens=50)
-
-
-# Domain blocklist filter (textstats.domain_blocklist_filter): same URL
-# construction as domain_stats; a doc is dropped when ANY of its URLs'
-# domains is blocklisted.
-_BLOCKLIST = ("cdn1.net", "site3.example.com")
-
-_BLOCKLIST_SQL = f"""
-WITH t AS (SELECT doc_id, source, {_DOMAIN_TEXT_SQL} AS txt FROM documents),
-u AS (
-  SELECT doc_id, unnest(regexp_extract_all(txt, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
-  FROM t
-), bad AS (
-  SELECT DISTINCT doc_id FROM u
-  WHERE domain IN ({", ".join(f"'{d}'" for d in _BLOCKLIST)})
-)
-SELECT doc_id, source FROM t
-WHERE doc_id NOT IN (SELECT doc_id FROM bad)
-"""
-
-
-@register("domain_blocklist", _BLOCKLIST_SQL)
-def domain_blocklist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logpipe.traindata.textstats import domain_blocklist_filter
-
-    txt = F.concat(
-        F.substring("text", 1, 30),
-        F.lit(" see https://site"), (F.col("doc_id") % 7).cast("string"),
-        F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
-        F.lit(" and http://cdn"), (F.col("doc_id") % 3).cast("string"),
-        F.lit(".net/x"),
-    )
-    d = _docs(spark, sf_dir).select("doc_id", "source", txt.alias("text"))
-    return domain_blocklist_filter(d, list(_BLOCKLIST)).select("doc_id", "source")
-
-
-# Unicode/control normalization (textstats.normalize_controls): the
-# construction plants a tab run, a BEL control, an NBSP, and a
-# zero-width space; the oracle replays NORMALIZE_RULES verbatim
-# (\x{...} escapes parse identically in Java regex and RE2).
-_NORM_TEXT_SQL = (
-    "substring(text, 1, 60) || chr(9) || chr(9) || 'a' || chr(7) || 'b '"
-    " || chr(160) || ' c ' || chr(8203) || 'd'"
-)
-
-def _normalize_expr_sql(col: str) -> str:
-    """SQL replay of textstats.NORMALIZE_RULES + trim over ``col`` —
-    one definition for the standalone gate and curated_corpus_v3."""
-    return (
-        "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-        + col + ",\n"
-        "  '[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]', '', 'g'),\n"
-        "  '[\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g'),\n"
-        "  '[\\x{00A0}\\x{2007}\\x{202F}]', ' ', 'g'),\n"
-        "  '[ \\t]+', ' ', 'g'))"
-    )
-
-
-_NORM_SQL = f"""
-WITH t AS (SELECT doc_id, {_NORM_TEXT_SQL} AS txt FROM documents)
-SELECT doc_id,
-       {_normalize_expr_sql("txt")} AS normalized,
-       ({_normalize_expr_sql("txt")} <> txt) AS changed
-FROM t
-"""
-
-
-@register("text_normalize", _NORM_SQL)
-def text_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logpipe.traindata.textstats import normalize_controls
-
-    txt = F.concat(
-        F.substring("text", 1, 60),
-        F.lit("\t\ta"), F.expr("chr(7)"), F.lit("b "),
-        F.lit("\u00a0"), F.lit(" c "), F.lit("\u200b"), F.lit("d"),
-    )
-    t = _docs(spark, sf_dir).select("doc_id", txt.alias("txt"))
-    norm = normalize_controls(F.col("txt"))
-    return t.select(
-        "doc_id",
-        norm.alias("normalized"),
-        (norm != F.col("txt")).alias("changed"),
-    )
-
-
-# Benchmark decontamination (dedup.benchmark_contamination): the
-# "bench" set is a deterministic sample of the corpus (doc_id%31==0)
-# reduced to its first 12 tokens — guaranteeing real contamination hits
-# — and the oracle rebuilds both gram sets with DuckDB list
-# comprehensions and replays the overlap join + threshold.
-_TRIGRAM_SQL = (
-    "list_distinct(CASE WHEN len(words) >= 3 THEN "
-    "[words[i] || ' ' || words[i+1] || ' ' || words[i+2] "
-    "for i in generate_series(1, len(words)-2)] ELSE [] END)"
-)
-
-_CONTAM_SQL = f"""
-WITH w AS (SELECT doc_id, {{words}} AS words FROM documents),
-dg AS (SELECT doc_id, {_TRIGRAM_SQL} AS grams FROM w),
-bw AS (SELECT doc_id AS bench_id, array_to_string(words[1:12], ' ') AS text
-       FROM w WHERE doc_id % 31 = 0),
-bwords AS (
-  SELECT bench_id,
-         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS words
-  FROM bw
-),
-bg AS (SELECT bench_id, {_TRIGRAM_SQL} AS grams FROM bwords),
-de AS (SELECT doc_id, len(grams) AS n_doc_grams, unnest(grams) AS gram FROM dg),
-be AS (SELECT DISTINCT bench_id, gram
-       FROM (SELECT bench_id, unnest(grams) AS gram FROM bg))
-SELECT de.doc_id, be.bench_id,
-       CAST(count(*) AS BIGINT) AS n_shared,
-       CAST(count(*) AS DOUBLE) / CAST(max(de.n_doc_grams) AS DOUBLE) AS frac_doc_grams
-FROM de JOIN be USING (gram)
-GROUP BY de.doc_id, be.bench_id
-HAVING count(*) >= 5
-"""
-
-
-@register(
-    "benchmark_contamination",
-    _CONTAM_SQL.format(
-        words="list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
-    ),
-)
-def benchmark_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logpipe.traindata.dedup import benchmark_contamination
-    from logpipe.traindata.textstats import tokens
-
-    d = _docs(spark, sf_dir)
-    bench = d.filter(F.col("doc_id") % 31 == 0).select(
-        F.col("doc_id").alias("bench_id"),
-        F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 12)).alias("text"),
-    )
-    return benchmark_contamination(d, bench, n=3, min_overlap=5)
-
-
-# C4-style line-quality rules (textstats.c4_line_stats/c4_keep): the
-# word-soup docs carry no newlines/punctuation, so the query builds
-# multi-line text by replacing ' the ' with '.\n' and seeds lorem-ipsum
-# / brace markers from doc_id — the oracle replays the construction and
-# the rules with identical single-pass double arithmetic.
-_C4_TEXT_SQL = (
-    "CASE WHEN doc_id % 17 = 0 THEN 'lorem ipsum dolor sit. ' ELSE '' END"
-    " || CASE WHEN doc_id % 13 = 0 THEN '{\"k\": 1} ' ELSE '' END"
-    " || replace(text, ' the ', '.' || chr(10))"
-)
-
-_C4_SQL = f"""
-WITH t AS (SELECT doc_id, {_C4_TEXT_SQL} AS txt FROM documents), s AS (
-  SELECT doc_id, txt,
-         list_filter(list_transform(string_split(txt, chr(10)), x -> trim(x)),
-                     x -> x <> '') AS lines
-  FROM t
-), m AS (
-  SELECT doc_id, txt, len(lines) AS n_lines,
-         len(list_filter(lines, x -> substring(x, -1, 1) IN ('.', '!', '?', '"'))) AS punct,
-         len(list_filter(lines, x -> len(string_split_regex(x, '\\s+')) < 3)) AS short
-  FROM s
-)
-SELECT doc_id,
-       CAST(n_lines AS BIGINT) AS n_lines,
-       CASE WHEN n_lines > 0 THEN CAST(punct AS DOUBLE) / CAST(n_lines AS DOUBLE) END AS frac_lines_punct,
-       CASE WHEN n_lines > 0 THEN CAST(short AS DOUBLE) / CAST(n_lines AS DOUBLE) END AS frac_short_lines,
-       contains(lower(txt), 'lorem ipsum') AS has_lorem_ipsum,
-       contains(txt, '{{') AS has_brace,
-       (n_lines >= 1
-        AND CASE WHEN n_lines > 0 THEN CAST(punct AS DOUBLE) / CAST(n_lines AS DOUBLE) END >= 0.5
-        AND CASE WHEN n_lines > 0 THEN CAST(short AS DOUBLE) / CAST(n_lines AS DOUBLE) END <= 0.5
-        AND NOT contains(lower(txt), 'lorem ipsum')
-        AND NOT contains(txt, '{{')) AS keep
-FROM m
-"""
-
-
-@register("c4_quality_rules", _C4_SQL)
-def c4_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logpipe.traindata import textstats as ts
-
-    txt = F.concat(
-        F.when(F.col("doc_id") % 17 == 0, F.lit("lorem ipsum dolor sit. "))
-        .otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 13 == 0, F.lit('{"k": 1} ')).otherwise(F.lit("")),
-        F.expr("replace(text, ' the ', concat('.', chr(10)))"),
-    )
-    t = _docs(spark, sf_dir).select("doc_id", txt.alias("txt"))
-    s = ts.c4_line_stats(F.col("txt"))
-    return t.select(
-        "doc_id",
-        s["n_lines"].alias("n_lines"),
-        s["frac_lines_punct"].alias("frac_lines_punct"),
-        s["frac_short_lines"].alias("frac_short_lines"),
-        s["has_lorem_ipsum"].alias("has_lorem_ipsum"),
-        s["has_brace"].alias("has_brace"),
-        ts.c4_keep(F.col("txt")).alias("keep"),
-    )
-
-
-def _lang_score_sql(lang_words: list[str]) -> str:
-    arr = "[" + ",".join(f"'{w}'" for w in lang_words) + "]"
-    words = _WORDS_SQL.replace("trim(text)", "trim(lower(text))")
-    return f"CAST(len(list_filter({words}, w -> list_contains({arr}, w))) AS BIGINT)"
-
-
-_LANG_ID_SQL = None  # built below from textstats.STOPWORDS
-
-
-def _lang_id_parts() -> tuple[str, str]:
-    """(scores select-list, CASE expression) — reused by the curated
-    corpus oracle over a filtered CTE."""
-    from logpipe.traindata.textstats import LANG_ORDER, STOPWORDS
-
-    scores = ", ".join(
-        f"{_lang_score_sql(STOPWORDS[lang])} AS s_{lang}" for lang in LANG_ORDER
-    )
-    # same precedence logic as textstats.lang_id: earlier lang wins ties
-    cases = []
-    for lang in LANG_ORDER:
-        conds = [f"s_{lang} > 0"]
-        for other in LANG_ORDER:
-            if other == lang:
-                continue
-            op = ">" if LANG_ORDER.index(other) < LANG_ORDER.index(lang) else ">="
-            # lang beats earlier langs strictly, later langs on ties
-            conds.append(
-                f"s_{lang} {op} s_{other}"
-                if LANG_ORDER.index(other) < LANG_ORDER.index(lang)
-                else f"s_{lang} >= s_{other}"
-            )
-        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
-    # evaluate in reverse so earlier langs override (mirrors the Spark fold)
-    case_sql = "CASE " + " ".join(cases) + " ELSE 'unk' END"
-    return scores, case_sql
-
-
-def _textstats_profile_sql() -> str:
-    """ONE profile query over documents carrying every per-doc textstat
-    signal — token counts, quality, language ID, repetition signals,
-    fingerprint. Folds five former single-column registry slots (the
-    driver's 50-row correctness window); each column reuses the exact
-    SQL fragment its standalone oracle used."""
-    scores, case_sql = _lang_id_parts()
-    words_lower = _WORDS_SQL.replace("trim(text)", "trim(lower(text))")
-    return f"""
-WITH t AS (
-  SELECT doc_id, text, {_WORDS_SQL} AS words, {scores},
-         CAST(len(list_filter({words_lower},
-              w -> list_contains(['the','a','and','of','to','is','in'], w))) AS DOUBLE) AS sw,
-         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-           / CAST(length(text) AS DOUBLE) AS alpha_ratio
-  FROM documents
-), g AS (
-  SELECT doc_id, words,
-         CASE WHEN len(words) >= 2
-           THEN [words[i] || ' ' || words[i+1] for i in generate_series(1, len(words)-1)]
-           ELSE [] END AS grams
-  FROM t
-), dupf AS (
-  SELECT doc_id,
-         CASE WHEN len(words) >= 2
-           THEN round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
-                      / len(grams), 4)
-           ELSE 0.0 END AS dup_bigram_frac
-  FROM g
-), tok AS (
-  SELECT doc_id, unnest(words) AS tok FROM t
-), per_tok AS (
-  SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
-), per_doc AS (
-  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_token_frac
-  FROM per_tok GROUP BY doc_id
-)
-SELECT t.doc_id,
-       CAST(len(t.words) AS BIGINT) AS n_tokens,
-       CAST(len(list_filter(regexp_extract_all(t.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'), x -> x <> '')) AS BIGINT) AS n_bpe_ish,
-       round(0.4 * least(1.0, CAST(len(t.words) AS DOUBLE) / 50.0)
-           + 0.3 * t.alpha_ratio
-           + 0.3 * least(1.0, (t.sw / greatest(CAST(len(t.words) AS DOUBLE), 1.0)) * 5.0), 4) AS quality,
-       ({case_sql}) AS pred_lang,
-       dupf.dup_bigram_frac,
-       coalesce(per_doc.top_token_frac, 0.0) AS top_token_frac,
-       md5(lower(trim(regexp_replace(t.text, '\\s+', ' ', 'g')))) AS fp
-FROM t
-JOIN dupf ON t.doc_id = dupf.doc_id
-LEFT JOIN per_doc ON t.doc_id = per_doc.doc_id
-"""
-
-
-@register("textstats_profile", None)  # SQL attached below (needs builder)
-def textstats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The per-doc text-analysis PROFILE: token counts (whitespace +
-    BPE-ish), quality score, language ID, repetition signals
-    (dup-bigram fraction, Gopher top-token coverage), and content
-    fingerprint in one pass — the projection a real curation job
-    computes once and reuses. Folds five former registry slots
-    (token_count / text_quality / lang_id / repetition_signals /
-    doc_fingerprint) to fit the driver's 50-row window; every column
-    is the SAME gated operator expression."""
-    from logpipe.traindata import textstats as ts
-
-    d = _docs(spark, sf_dir)
-    base = d.select(
-        "doc_id",
-        ts.token_count(F.col("text")).alias("n_tokens"),
-        ts.bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
-        ts.quality_score(F.col("text")).alias("quality"),
-        ts.lang_id(F.col("text")).alias("pred_lang"),
-        ts.dup_ngram_fraction(F.col("text"), n=2).alias("dup_bigram_frac"),
-        ts.fingerprint(F.col("text")).alias("fp"),
-    )
-    return base.join(ts.top_token_stats(d), "doc_id")
-
-
-_REGISTRY["textstats_profile"] = (
-    _REGISTRY["textstats_profile"][0],
-    _textstats_profile_sql(),
-)
-
-
-# --- dataset assembly -------------------------------------------------------
-
-# per-op salted hashes (mirrors sampling._hash_u32: unsalted hashes
-# would correlate split/mixture/pack decisions when ops compose)
-def _hash_frac_sql(salt: str) -> str:
-    return (
-        f"(('0x' || substring(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
-        " / 4294967296.0)"
-    )
-
-_HASH_SPLIT_SQL = f"""
-WITH s AS (
-  SELECT doc_id, {_WORDS_SQL} AS words,
-         CASE WHEN {_hash_frac_sql('split')} < 0.9 THEN 'train'
-              WHEN {_hash_frac_sql('split')} < 0.95 THEN 'val'
-              ELSE 'test' END AS split
-  FROM documents
-)
-SELECT split,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(len(words)) AS BIGINT) AS total_tokens
-FROM s GROUP BY split
-"""
-
-
-@register("dataset_hash_split", _HASH_SPLIT_SQL)
-def dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 90/5/5 train/val/test split by md5-hash fraction of
-    doc_id — reproducible across runs and engines; zero shuffle for the
-    assignment itself."""
-    from logpipe.traindata.sampling import hash_split
-    from logpipe.traindata.textstats import token_count
-
-    d = hash_split(_docs(spark, sf_dir))
-    return d.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(token_count(F.col("text"))).alias("total_tokens"),
-    )
-
-
-# mixture rates chosen so every branch is exercised: downsample (0.5),
-# upsample with repetition (2.25), keep (default 1.0)
-_MIXTURE_SQL = f"""
-WITH t AS (
-  SELECT doc_id, source, {_hash_frac_sql('mix')} AS frac,
-         CASE WHEN source IN ('src0','src1','src2','src3') THEN 0.5
-              WHEN source IN ('src4','src5') THEN 2.25
-              ELSE 1.0 END AS rate
-  FROM documents
-), n AS (
-  SELECT doc_id, source,
-         CAST(floor(rate) AS INT)
-           + CASE WHEN frac < rate - floor(rate) THEN 1 ELSE 0 END AS n_copies
-  FROM t
-)
-SELECT source,
-       CAST(sum(n_copies) AS BIGINT) AS n_rows,
-       CAST(count(*) FILTER (n_copies > 0) AS BIGINT) AS n_unique_docs
-FROM n GROUP BY source
-"""
-
-
-@register("mixture_sample_counts", _MIXTURE_SQL)
-def mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic data-mixing: downsample src0-3 at 0.5x, upsample
-    src4-5 at 2.25x (integer repetition + fractional hash keep), keep
-    the rest — per-source emitted rows + unique docs."""
-    from logpipe.traindata.sampling import mixture_sample
-
-    rates = {f"src{i}": 0.5 for i in range(4)} | {"src4": 2.25, "src5": 2.25}
-    out = mixture_sample(_docs(spark, sf_dir), rates)
-    return out.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("doc_id").alias("n_unique_docs"),
-    )
-
-
-_PACK_SQL = f"""
-WITH t AS (
-  SELECT doc_id,
-         (('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8) AS bucket,
-         CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
-  FROM documents
-), p AS (
-  SELECT bucket, doc_id, n_tokens,
-         CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
-              AS BIGINT) AS chunk
-  FROM t
-)
-SELECT bucket, chunk,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
-       CAST(min(doc_id) AS BIGINT) AS first_doc
-FROM p GROUP BY bucket, chunk
-"""
-
-
-@register("pack_chunks", _PACK_SQL)
-def pack_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk sequence packing (512-token chunks, 8 buckets):
-    per-(bucket, chunk) doc/token counts."""
-    from logpipe.traindata.sampling import pack_chunks
-
-    d = pack_chunks(_docs(spark, sf_dir), budget=512, n_buckets=8)
-    return d.groupBy("bucket", "chunk").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("chunk_tokens"),
-        F.min("doc_id").alias("first_doc"),
-    )
-
-
-# --- dedup ----------------------------------------------------------------
-
-_DEDUP_SURVIVORS_SQL = """
-WITH fp AS (
-  SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
-         min(doc_id) AS keep_id
-  FROM documents GROUP BY 1
-)
-SELECT d.doc_id, d.lang, d.source,
-       CAST(length(d.text) AS BIGINT) AS text_len
-FROM documents d JOIN fp ON d.doc_id = fp.keep_id
-"""
-
-
-@register("dedup_survivors", _DEDUP_SURVIVORS_SQL)
-def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup OUTPUT (not just the fp groups): keep the lowest
-    doc_id per content fingerprint via a LEFT SEMI join of the corpus
-    against the winners — at 100TB the winners set shuffles as ids
-    only, never the document payloads. Also the driver gate for
-    dedup.exact_dedup itself (its fp-groups registry slot was folded —
-    round-3 verdict's 50-row driver window; the oracle recomputes the
-    fingerprint winners from scratch)."""
-    from logpipe.traindata.dedup import exact_dedup
-
-    d = _docs(spark, sf_dir)
-    keep = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
-    return d.join(keep, "doc_id", "left_semi").select(
-        "doc_id", "lang", "source", F.length("text").cast("long").alias("text_len")
-    )
-
-
-_NGRAM_JACCARD_SQL = f"""
-WITH w AS (
-  SELECT doc_id, lang, source, {_WORDS_SQL} AS words FROM documents
-), t AS (
-  SELECT doc_id, lang, source,
-         list_distinct(CASE WHEN len(words) >= 2
-           THEN [words[i] || ' ' || words[i+1] for i in generate_series(1, len(words)-1)]
-           ELSE [] END) AS grams
-  FROM w
-), p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-               / len(list_distinct(a.grams || b.grams)), 4) AS jaccard
-  FROM t a JOIN t b
-    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-  WHERE len(a.grams) > 0 AND len(b.grams) > 0
-)
-SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.1
-"""
-
-
-@register("ngram_jaccard_pairs", _NGRAM_JACCARD_SQL)
-def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logpipe.traindata.dedup import ngram_jaccard_pairs
-
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=2, threshold=0.1)
-
-
-def _minhash_sql(
-    k: int = 32, bands: int = 8, threshold: float = 0.1, src: str = "documents"
-) -> str:
-    """Full MinHash-LSH pipeline in DuckDB: same Carter-Wegman hashes
-    (md5-derived, mod 2^48), same banding, same exact-jaccard verify —
-    the Spark LSH path is checked END-TO-END, not just sampled."""
-    r = k // bands
-    mod = 1 << 48
-    bucket_exprs = ", ".join(
-        "("
-        + " || ',' || ".join(f"CAST(sig[{b * r + j + 1}] AS VARCHAR)" for j in range(r))
-        + f") AS bucket_{b}"
-        for b in range(bands)
-    )
-    bucket_union = " UNION ALL ".join(
-        f"SELECT doc_id, grams, {b} AS band, bucket_{b} AS bucket FROM buckets"
-        for b in range(bands)
-    )
-    return f"""
-WITH w AS (
-  SELECT doc_id, {_WORDS_SQL} AS words FROM {src}
-), g AS (
-  SELECT doc_id,
-         list_distinct(CASE WHEN len(words) >= 2
-           THEN [words[i] || ' ' || words[i+1] for i in generate_series(1, len(words)-1)]
-           ELSE [] END) AS grams
-  FROM w
-), gf AS (
-  SELECT doc_id, grams FROM g WHERE len(grams) > 0
-), h AS (
-  SELECT doc_id, grams,
-         [('0x' || substring(md5(x), 1, 12))::BIGINT for x in grams] AS h1s,
-         [('0x' || substring(md5(x), 13, 12))::BIGINT for x in grams] AS h2s
-  FROM gf
-), sigs AS (
-  SELECT doc_id, grams,
-         [list_min([(h1s[j] + i * h2s[j]) % {mod} for j in generate_series(1, len(h1s))])
-          for i in generate_series(0, {k - 1})] AS sig
-  FROM h
-), buckets AS (
-  SELECT doc_id, grams, {bucket_exprs} FROM sigs
-), banded AS (
-  {bucket_union}
-), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.grams AS ga, b.grams AS gb
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-), verified AS (
-  SELECT doc_a, doc_b,
-         round(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
-               / len(list_distinct(ga || gb)), 4) AS jaccard
-  FROM cand
-)
-SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
-"""
-
-
-@register("minhash_lsh_dups", None)  # SQL attached below (needs builder)
-def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logpipe.traindata.dedup import minhash_lsh_pairs
-
-    return minhash_lsh_pairs(_docs(spark, sf_dir), n=2, k=32, bands=8, threshold=0.1)
-
-
-_REGISTRY["minhash_lsh_dups"] = (_REGISTRY["minhash_lsh_dups"][0], _minhash_sql())
-
-
-def _closure_ctes(pairs_cte: str = "mh", seed_cte: str = "documents") -> str:
-    """The connected-components closure block shared by every clustering
-    oracle (near_dup_clusters / near_dup_survivors / the
-    curated_corpus_v2/_v3 tail — ONE definition so a fix cannot drift
-    between them): symmetrized
-    edges, recursive reachability (UNION, not UNION ALL, dedupes
-    (node, label) pairs so the recursion terminates at the transitive
-    closure), min-label per node."""
-    return f"""
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM {pairs_cte}
-  UNION
-  SELECT doc_b AS src, doc_a AS dst FROM {pairs_cte}
-),
-reach(node, lab) AS (
-  SELECT doc_id, doc_id FROM {seed_cte}
-  UNION
-  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
-),
-cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
-"""
-
-
-def _near_dup_clusters_sql(threshold: float = 0.1) -> str:
-    """Connected components replayed in DuckDB: the full MinHash-LSH
-    pair pipeline as a CTE, then the shared recursive closure —
-    cluster_id = min doc_id reachable through near-dup edges."""
-    mh = _minhash_sql(threshold=threshold).strip()
-    return f"""
-WITH RECURSIVE mh AS ({mh}),
-{_closure_ctes()}
-SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM cl
-"""
-
-
-@register("near_dup_clusters", None)  # SQL attached below (needs builder)
-def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster assignment over the minhash near-dup graph
-    (min-label propagation; the 'keep one per cluster' dedup step)."""
-    from logpipe.traindata.dedup import near_dup_clusters
-
-    return near_dup_clusters(_docs(spark, sf_dir), n=2, k=32, bands=8, threshold=0.1)
-
-
-_REGISTRY["near_dup_clusters"] = (
-    _REGISTRY["near_dup_clusters"][0],
-    _near_dup_clusters_sql(),
-)
-
-
-@register("near_dup_clusters_star", None)  # same closure oracle, attached below
-def near_dup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components via alternating large-star/small-star
-    (Kiveris et al.) — the diameter-independent engine; must produce
-    EXACTLY the same clusters as the propagation variant, so it is
-    gated by the same recursive-CTE oracle."""
-    from logpipe.traindata.dedup import near_dup_clusters_star
-
-    return near_dup_clusters_star(
-        _docs(spark, sf_dir), n=2, k=32, bands=8, threshold=0.1
-    )
-
-
-_REGISTRY["near_dup_clusters_star"] = (
-    _REGISTRY["near_dup_clusters_star"][0],
-    _near_dup_clusters_sql(),
-)
-
-
-def _near_dup_survivors_sql(threshold: float = 0.1) -> str:
-    """Survivors per lang after near-dup clustering: keep one doc (the
-    cluster_id = min id) per connected component."""
-    mh = _minhash_sql(threshold=threshold).strip()
-    return f"""
-WITH RECURSIVE mh AS ({mh}),
-{_closure_ctes()}
-SELECT d.lang, CAST(count(*) AS BIGINT) AS n_survivors
-FROM documents d JOIN cl ON d.doc_id = cl.doc_id AND cl.doc_id = cl.cluster_id
-GROUP BY d.lang
-"""
-
-
-@register("near_dup_survivors", None)  # SQL attached below (needs builder)
-def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The near-dedup OUTPUT: keep one doc per duplicate cluster (the
-    min-id winner), reported per lang. Non-vacuous on this data (the
-    corpus has near-dup pairs but no exact dups)."""
-    from logpipe.traindata.dedup import near_dup_clusters
-
-    d = _docs(spark, sf_dir)
-    cl = near_dup_clusters(d, n=2, k=32, bands=8, threshold=0.1)
-    keep = cl.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
-    return (
-        d.join(keep, "doc_id", "left_semi")
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_survivors"))
-    )
-
-
-_REGISTRY["near_dup_survivors"] = (
-    _REGISTRY["near_dup_survivors"][0],
-    _near_dup_survivors_sql(),
-)
-
-
-# (curated_corpus v1 — lang filter -> quality gate -> dedup winners ->
-# per-source stats — was folded into curated_corpus_v3 below, which
-# runs those stages plus every round-4 curation operator; the 50-row
-# driver window forces one registry slot per composition tier.)
-
-
-# --- curated_corpus_v2: the FULL curation DAG -----------------------------
-# C4 line-quality keep -> PII redaction -> benchmark decontamination drop
-# -> exact dedup -> near-dup cluster winners -> mixture re-weighting ->
-# sequence packing, in ONE gated query (round-3 verdict task #2: "the
-# query a 100 TB pipeline actually ships"). Input text is the same
-# deterministic construction the individual C4/PII gates use (the raw
-# word-soup corpus has no newlines or PII, so both rules would be
-# vacuous on it).
-
-_PII_SUFFIX_SQL = _pii_suffix_sql("' contact user'")
-
-
-def _pii_redact_sql(col: str) -> str:
-    """The redact_pii rule chain over an SQL expression (same order,
-    same RE2-compatible patterns as textstats.PII_RULES)."""
-    return (
-        "regexp_replace(regexp_replace(regexp_replace(" + col + ", "
-        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
-        "'\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'), "
-        "'\\b\\d{9,}\\b', '<NUM>', 'g')"
-    )
-
-
-_C4_KEEP_WHERE_SQL = """
-  len(lines) >= 1
-  AND CAST(len(list_filter(lines, x -> substring(x, -1, 1) IN ('.', '!', '?', '\"'))) AS DOUBLE)
-      / CAST(len(lines) AS DOUBLE) >= 0.5
-  AND CAST(len(list_filter(lines, x -> len(string_split_regex(x, '\\s+')) < 3)) AS DOUBLE)
-      / CAST(len(lines) AS DOUBLE) <= 0.5
-  AND NOT contains(lower(txt), 'lorem ipsum')
-  AND NOT contains(txt, '{')
-"""
-
-
-def _curation_tail_sql(
-    kept_cte: str = "keptc4",
-    near_threshold: float = 0.1,
-    min_overlap: int = 5,
-    budget: int = 512,
-    gopher_min_tokens: int | None = None,
-) -> str:
-    """The shared curation TAIL consumed by curated_corpus_v2 AND _v3
-    (review finding: the two builders had copy-pasted it, the exact
-    drift the shared-CTE helpers exist to prevent): benchmark
-    decontamination -> exact-dedup winners -> minhash near-dup winners
-    -> [optional Gopher keep] -> mixture -> packing -> per-bucket
-    stats. Consumes ``kept_cte`` = (doc_id, source, text); returns the
-    CTE chain plus the final SELECT, to be appended after the caller's
-    WITH RECURSIVE head. Hot multiply-referenced CTEs are MATERIALIZED
-    (DuckDB inlines CTEs per reference; un-hinted, the recursive
-    closure re-ran per consumer)."""
-    mh = _minhash_sql(threshold=near_threshold, src="kept2").strip()
-    if not mh.startswith("WITH "):  # survives python -O, like the gates
-        raise AssertionError("minhash oracle SQL no longer starts with WITH")
-    mh_body = mh[len("WITH "):]
-    mh_ctes, mh_select = mh_body.rsplit("SELECT doc_a, doc_b", 1)
-    if gopher_min_tokens is not None:
-        gopher_block = (
-            f", {_gopher_ctes('final', out='gk', min_tokens=gopher_min_tokens).lstrip()},"
-            " gkept AS MATERIALIZED (\n"
-            "  SELECT f.doc_id, f.source, f.text\n"
-            "  FROM final f JOIN gk ON f.doc_id = gk.doc_id AND gk.keep\n)"
-        )
-        mix_src = "gkept"
-    else:
-        gopher_block = ""
-        mix_src = "final"
-    return f"""kw AS MATERIALIZED (
-  SELECT doc_id, source, text,
-         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS words
-  FROM {kept_cte}
-), dg AS (
-  SELECT doc_id, {_TRIGRAM_SQL} AS grams FROM kw
-), bwords AS (
-  SELECT doc_id AS bench_id,
-         list_filter(regexp_split_to_array(trim(array_to_string(words[1:12], ' ')), '\\s+'),
-                     x -> x <> '') AS words
-  FROM kw WHERE doc_id % 31 = 0
-), bg AS (
-  SELECT bench_id, {_TRIGRAM_SQL} AS grams FROM bwords
-), de AS (
-  SELECT doc_id, unnest(grams) AS gram FROM dg
-), be AS (
-  SELECT DISTINCT bench_id, gram
-  FROM (SELECT bench_id, unnest(grams) AS gram FROM bg)
-), hits AS (
-  SELECT DISTINCT doc_id FROM (
-    SELECT de.doc_id FROM de JOIN be USING (gram)
-    GROUP BY de.doc_id, be.bench_id HAVING count(*) >= {min_overlap}
-  )
-), clean AS MATERIALIZED (
-  SELECT k.doc_id, k.source, k.text FROM kw k
-  WHERE k.doc_id NOT IN (SELECT doc_id FROM hits)
-), fpw AS (
-  SELECT min(doc_id) AS doc_id
-  FROM clean GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
-), kept2 AS MATERIALIZED (
-  SELECT c.doc_id, c.source, c.text FROM clean c JOIN fpw USING (doc_id)
-), {mh_ctes.rstrip()}, mh AS (
-  SELECT doc_a, doc_b{mh_select}
-), {_closure_ctes(seed_cte="kept2")}, final AS MATERIALIZED (
-  SELECT k.doc_id, k.source, k.text
-  FROM kept2 k JOIN cl ON k.doc_id = cl.doc_id AND cl.doc_id = cl.cluster_id
-){gopher_block}, mr AS (
-  SELECT doc_id, source, text,
-         CAST(floor(rate) AS INT)
-           + CASE WHEN {_hash_frac_sql('mix')} < rate - floor(rate) THEN 1 ELSE 0 END AS n_copies
-  FROM (
-    SELECT *, CASE WHEN source IN ('src0','src1','src2','src3') THEN 0.5
-                   WHEN source IN ('src4','src5') THEN 2.25
-                   ELSE 1.0 END AS rate
-    FROM {mix_src}
-  )
-), mexp AS (
-  SELECT doc_id, source, text, unnest(generate_series(0, n_copies - 1)) AS copy
-  FROM mr WHERE n_copies > 0
-), pk AS (
-  SELECT doc_id, copy,
-         (('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8) AS bucket,
-         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
-  FROM mexp
-), pc AS (
-  SELECT bucket, doc_id, n_tokens,
-         CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id, copy
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {budget}.0)
-              AS BIGINT) AS chunk
-  FROM pk
-)
-SELECT bucket,
-       CAST(count(DISTINCT chunk) AS BIGINT) AS n_chunks,
-       CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_unique_docs,
-       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-FROM pc GROUP BY bucket
-"""
-
-
-def _curation_tail(kept: DataFrame, gopher_min_tokens: int | None = None) -> DataFrame:
-    """Spark twin of _curation_tail_sql — the shared post-quality
-    curation stages for v2/v3, composed from the shipped operators.
-    ``kept``: (doc_id, source, text), post-quality, pre-decontamination."""
-    from logpipe.traindata import textstats as ts
-    from logpipe.traindata.dedup import (
-        benchmark_contamination,
-        exact_dedup,
-        near_dup_clusters,
-    )
-    from logpipe.traindata.sampling import mixture_sample, pack_chunks
-
-    bench = kept.filter(F.col("doc_id") % 31 == 0).select(
-        F.col("doc_id").alias("bench_id"),
-        F.concat_ws(" ", F.slice(ts.tokens(F.col("text")), 1, 12)).alias("text"),
-    )
-    hits = (
-        benchmark_contamination(kept, bench, n=3, min_overlap=5)
-        .select("doc_id")
-        .distinct()
-    )
-    clean = kept.join(hits, "doc_id", "left_anti")
-    exact_winners = exact_dedup(clean).select(F.col("keep_id").alias("doc_id"))
-    kept2 = clean.join(exact_winners, "doc_id", "left_semi")
-    cl = near_dup_clusters(kept2, n=2, k=32, bands=8, threshold=0.1)
-    winners = cl.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
-    final = kept2.join(winners, "doc_id", "left_semi")
-    if gopher_min_tokens is not None:
-        g_ids = (
-            ts.gopher_keep(final, min_tokens=gopher_min_tokens)
-            .filter(F.col("keep"))
-            .select("doc_id")
-        )
-        final = final.join(g_ids, "doc_id", "left_semi")
-    rates = {f"src{i}": 0.5 for i in range(4)} | {"src4": 2.25, "src5": 2.25}
-    mixed = mixture_sample(final, rates)
-    packed = pack_chunks(mixed, budget=512, n_buckets=8)
-    # n_chunks WITHOUT a second countDistinct: chunk is non-decreasing
-    # along pack_chunks' own (bucket / doc_id, copy) order, so distinct
-    # chunks == chunk-run starts, countable with a lag over the SAME
-    # window spec pack_chunks sorted by (one Window node, no extra
-    # exchange). Two distincts in one aggregate would compile through
-    # RewriteDistinctAggregates into an Expand that (a) multiplies
-    # every row x3 through the final shuffle and (b) assigns grouping-
-    # set ids in allocation order — nondeterministic plan text, the
-    # PLANS.md churn class. One distinct (doc_id) plans as the
-    # deterministic two-phase aggregate.
-    from pyspark.sql.window import Window
-
-    order_cols = ["doc_id"] + (["copy"] if "copy" in packed.columns else [])
-    w = Window.partitionBy("bucket").orderBy(*order_cols)
-    prev_chunk = F.lag("chunk").over(w)
-    new_chunk = (
-        prev_chunk.isNull() | (F.col("chunk") != prev_chunk)
-    ).cast("long")
-    return packed.withColumn("_new_chunk", new_chunk).groupBy("bucket").agg(
-        F.sum("_new_chunk").alias("n_chunks"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("doc_id").alias("n_unique_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-    )
-
-
-def _curated_corpus_v2_sql(
-    near_threshold: float = 0.1, min_overlap: int = 5, budget: int = 512
-) -> str:
-    return f"""
-WITH RECURSIVE base AS (
-  SELECT doc_id, source, ({_C4_TEXT_SQL}) || {_PII_SUFFIX_SQL} AS txt
-  FROM documents
-), c4 AS (
-  SELECT doc_id, source, txt,
-         list_filter(list_transform(string_split(txt, chr(10)), x -> trim(x)),
-                     x -> x <> '') AS lines
-  FROM base
-), keptc4 AS (
-  SELECT doc_id, source, {_pii_redact_sql("txt")} AS text
-  FROM c4 WHERE {_C4_KEEP_WHERE_SQL}
-), {_curation_tail_sql("keptc4", near_threshold, min_overlap, budget)}"""
-
-
-def curated_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """END-TO-END curation, v2 — every safety/quality stage in one DAG.
-
-    UNREGISTERED since round 5 (the round-4 verdict's portfolio audit:
-    v2 is strictly subsumed by v3/v4 — same tail, fewer stages — and
-    the slot was spent on the previously-ungated multimodal family).
-    Kept as a bench entry for round-over-round comparability; its
-    oracle lives on in _curated_corpus_v2_sql for local crosschecks.
-
-    Stages:
-
-      C4 line-quality keep (textstats.c4_keep)
-      -> PII redaction (textstats.redact_pii)
-      -> benchmark decontamination drop (dedup.benchmark_contamination,
-         bench = first-12-token snippets of doc_id%31==0 docs)
-      -> exact-dedup winners (dedup.exact_dedup)
-      -> near-dup cluster winners (dedup.near_dup_clusters)
-      -> mixture re-weighting (sampling.mixture_sample)
-      -> sequence packing (sampling.pack_chunks)
-      -> per-bucket chunk/row/token stats.
-
-    Scale shape: every filter stage communicates ids only (left_semi /
-    left_anti joins; payloads stay columnar in place); the bench gram
-    set is broadcast; mixture is a projection + generator; packing
-    shuffles once on the 8-way pack bucket. The only payload-bearing
-    exchange end-to-end is the packing bucket shuffle, sized by the
-    CURATED corpus, not the input."""
-    from logpipe.traindata import textstats as ts
-
-    c4_txt = F.concat(
-        F.when(F.col("doc_id") % 17 == 0, F.lit("lorem ipsum dolor sit. "))
-        .otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 13 == 0, F.lit('{"k": 1} ')).otherwise(F.lit("")),
-        F.expr("replace(text, ' the ', concat('.', chr(10)))"),
-        *_pii_suffix_cols(" contact user"),
-    )
-    base = _docs(spark, sf_dir).select("doc_id", "source", c4_txt.alias("text"))
-    kept = base.filter(ts.c4_keep(F.col("text")))
-    red = kept.select(
-        "doc_id", "source", ts.redact_pii(F.col("text")).alias("text")
-    )
-    return _curation_tail(red)
-
-
-# --- curated_corpus_v3/v4: EVERY curation operator in one DAG -------------
-# normalize -> domain blocklist -> global line dedup -> C4 + lang +
-# quality keep -> PII redaction -> benchmark decontamination -> exact
-# dedup -> near-dup winners -> Gopher keep -> mixture -> packing.
-# Subsumes v1 (lang/quality) and adds the round-4 operators to v2's
-# composition; the construction plants newline structure, shared
-# footer/URL lines, PII, lorem/brace markers, AND control/NBSP garbage
-# so no stage is vacuous.
-
-_V3_TEXT_SQL = (
-    f"({_C4_TEXT_SQL})"
-    " || chr(10) || 'visit https://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.net/x now.'"
-    " || chr(10) || 'footer-' || CAST(doc_id % 7 AS VARCHAR) || ' end.'"
-    " || " + _pii_suffix_sql("chr(10) || 'contact user'")
-    + " || chr(9) || chr(9) || 'a' || chr(7) || 'b ok.'"
-)
-
-
-def _curated_corpus_v3_sql(
-    near_threshold: float = 0.1,
-    min_overlap: int = 5,
-    budget: int = 512,
-    quality_min: float = 0.6,
-    gopher_min_tokens: int = 20,
-    span_gate_frac: float | None = None,
-    span_trim_band: tuple[float, float] | None = None,
-) -> str:
-    scores, case_sql = _lang_id_parts()
-    words_lower = _WORDS_SQL.replace("trim(text)", "trim(lower(text))")
-    quality_sql = (
-        "round(0.4 * least(1.0, CAST(len(words) AS DOUBLE) / 50.0)"
-        " + 0.3 * alpha_ratio"
-        " + 0.3 * least(1.0, (sw / greatest(CAST(len(words) AS DOUBLE), 1.0)) * 5.0), 4)"
-    )
-    if span_gate_frac is not None and span_trim_band is not None:
-        raise ValueError("span_gate_frac and span_trim_band are exclusive")
-    if span_trim_band is not None:
-        # v5's trim/drop/keep gate: span-TRIM over the blocklist
-        # survivors; rmf = fraction of tokens the winner rule removes.
-        # rmf is exact int-over-int double division — bit-identical in
-        # Spark (try_divide) and DuckDB (nullif), so the band compares
-        # are engine-stable.
-        lo, hi = span_trim_band
-        rmf = (
-            "coalesce(CAST(n_tokens_removed AS DOUBLE)"
-            " / nullif(CAST(n_tokens_kept + n_tokens_removed AS DOUBLE), 0.0), 0.0)"
-        )
-        span_block = (
-            f", {_dup_span_trim_ctes('nb', out='dt', k=3, min_docs=2).lstrip()},"
-            " dtv AS (\n"
-            f"  SELECT doc_id, text AS trimmed, {rmf} AS rmf FROM dt\n"
-            "), nbs AS MATERIALIZED (\n"
-            "  SELECT nb.doc_id, nb.source,\n"
-            f"         CASE WHEN dtv.rmf > {lo} THEN dtv.trimmed ELSE nb.text END AS text\n"
-            "  FROM nb JOIN dtv ON nb.doc_id = dtv.doc_id\n"
-            f"  WHERE dtv.rmf <= {hi}\n)"
-        )
-        ld_src = "nbs"
-    elif span_gate_frac is not None:
-        # v4's duplicate-span drop gate: ds over the blocklist survivors,
-        # keep docs whose corpus-duplicated window fraction is bounded
-        span_block = (
-            f", {_dup_span_ctes('nb', out='ds', k=3, min_docs=2).lstrip()},"
-            " nbs AS MATERIALIZED (\n"
-            "  SELECT nb.doc_id, nb.source, nb.text FROM nb\n"
-            f"  JOIN ds ON nb.doc_id = ds.doc_id AND ds.dup_span_frac <= {span_gate_frac}\n)"
-        )
-        ld_src = "nbs"
-    else:
-        span_block = ""
-        ld_src = "nb"
-    return f"""
-WITH RECURSIVE base AS (
-  SELECT doc_id, source, {_V3_TEXT_SQL} AS txt0 FROM documents
-), nrm AS (
-  SELECT doc_id, source, {_normalize_expr_sql("txt0")} AS text FROM base
-), bl_u AS (
-  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
-  FROM nrm
-), bl_bad AS (
-  SELECT DISTINCT doc_id FROM bl_u
-  WHERE domain IN ({", ".join(f"'{d}'" for d in _BLOCKLIST)})
-), nb AS MATERIALIZED (
-  SELECT doc_id, source, text FROM nrm
-  WHERE doc_id NOT IN (SELECT doc_id FROM bl_bad)
-){span_block}, {_line_dedup_ctes(ld_src, out="ld").lstrip()}, c4 AS (
-  SELECT ld.doc_id, nb.source, ld.text AS txt,
-         list_filter(list_transform(string_split(ld.text, chr(10)), x -> trim(x)),
-                     x -> x <> '') AS lines,
-         {_WORDS_SQL.replace("trim(text)", "trim(ld.text)")} AS words,
-         {scores.replace("trim(text)", "trim(ld.text)").replace("lower(text)", "lower(ld.text)")},
-         CAST(len(list_filter({words_lower.replace("trim(lower(text))", "trim(lower(ld.text))")},
-              w -> list_contains(['the','a','and','of','to','is','in'], w))) AS DOUBLE) AS sw,
-         CAST(length(regexp_replace(ld.text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-           / CAST(length(ld.text) AS DOUBLE) AS alpha_ratio
-  FROM ld JOIN nb ON ld.doc_id = nb.doc_id
-), keptc4 AS MATERIALIZED (
-  SELECT doc_id, source, {_pii_redact_sql("txt")} AS text
-  FROM c4
-  WHERE {_C4_KEEP_WHERE_SQL}
-    AND ({case_sql}) = 'en'
-    AND {quality_sql} >= {quality_min}
-), {_curation_tail_sql("keptc4", near_threshold, min_overlap, budget,
-                       gopher_min_tokens=gopher_min_tokens)}"""
-
-
-def _curated_corpus_dag(
-    spark: SparkSession,
-    sf_dir: str,
-    span_gate_frac: float | None = None,
-    span_trim_band: tuple[float, float] | None = None,
-) -> DataFrame:
-    """Shared builder for curated_corpus_v3 (no span gate; benched),
-    curated_corpus_v4 (+ duplicate-span DROP gate; benched) and
-    curated_corpus_v5 (the registered gate, + the trim/drop/keep span
-    gate — Lee et al.'s actual remedy wired into the DAG):
-
-      normalize_controls -> domain_blocklist_filter
-      [-> duplicate-span gate: v4 drops on window frac; v5 drops docs
-       with token-removal frac rmf > hi, REWRITES docs with
-       lo < rmf <= hi to their span-trimmed text (duplicate_span_trim),
-       keeps the rest verbatim] -> line_dedup
-      -> C4 keep + lang_id=='en' + quality_score>=0.6 -> redact_pii
-      -> benchmark decontamination drop -> exact-dedup winners
-      -> near-dup cluster winners -> gopher_keep -> mixture_sample
-      -> pack_chunks -> per-bucket chunk/row/token stats.
-
-    Scale shape (same discipline as v2): normalization/quality/PII are
-    projections; blocklist, span-gate, decontamination-hit,
-    dedup-winner, and gopher verdicts travel as ids-only semi/anti
-    joins (v5's trim verdict additionally carries the trimmed text for
-    the mid-band docs — a one-shot equi-join on doc_id, sized by the
-    trim band, not the corpus); line_dedup's winner table shuffles
-    (md5(line), id) scalars; the one payload-bearing exchange is the
-    8-way pack-bucket shuffle over the final curated corpus."""
-    from logpipe.traindata import textstats as ts
-    from logpipe.traindata.dedup import (
-        duplicate_span_stats,
-        duplicate_span_trim,
-        line_dedup,
-    )
-
-    txt0 = F.concat(
-        F.when(F.col("doc_id") % 17 == 0, F.lit("lorem ipsum dolor sit. "))
-        .otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 13 == 0, F.lit('{"k": 1} ')).otherwise(F.lit("")),
-        F.expr("replace(text, ' the ', concat('.', chr(10)))"),
-        F.lit("\nvisit https://cdn"), (F.col("doc_id") % 3).cast("string"),
-        F.lit(".net/x now."),
-        F.lit("\nfooter-"), (F.col("doc_id") % 7).cast("string"), F.lit(" end."),
-        *_pii_suffix_cols("\ncontact user"),
-        F.lit("\t\ta"), F.expr("chr(7)"), F.lit("b ok."),
-    )
-    base = _docs(spark, sf_dir).select("doc_id", "source", txt0.alias("txt0"))
-    nrm = base.select(
-        "doc_id", "source", ts.normalize_controls(F.col("txt0")).alias("text")
-    )
-    nb = ts.domain_blocklist_filter(nrm, list(_BLOCKLIST))
-    if span_gate_frac is not None and span_trim_band is not None:
-        raise ValueError("span_gate_frac and span_trim_band are exclusive")
-    if span_gate_frac is not None or span_trim_band is not None:
-        from logpipe.materialize import materialize_mode
-
-        # measured, not theoretical: persist keeps the gate's full
-        # logical tree inside InMemoryRelation, and merely BUILDING the
-        # cache (CachedRDDBuilder.cachedName stringifies the plan)
-        # OOMs the driver heap on this composed DAG even at sf0.001 —
-        # fail with the reason instead
-        if materialize_mode(spark) == "persist":
-            raise ValueError(
-                "curated corpus span gates need a checkpoint materialize "
-                "mode (local/reliable): persist does not truncate the "
-                "logical plan and the composed DAG OOMs the driver "
-                "stringifying it (set spark.logpipe.materialize.mode)"
-            )
-    if span_trim_band is not None:
-        from logpipe.materialize import materialize, release
-
-        lo, hi = span_trim_band
-        # nb is consumed twice (the span pipeline + the verdict
-        # rejoin): materialize it so the normalize/blocklist head runs
-        # once, then release it as soon as the gated frame lands
-        nb = materialize(nb)
-        span_held: list[DataFrame] = []
-        trimmed = None
-        try:
-            trimmed = materialize(
-                duplicate_span_trim(
-                    nb.select("doc_id", "text"), k=3, min_docs=2,
-                    _materialized=span_held,
-                )
-            )
-            # trim's internal per-(window, doc) checkpoint is dead once
-            # the trimmed table is materialized
-            release(*span_held)
-            span_held = []
-            tot = (F.col("n_tokens_kept") + F.col("n_tokens_removed")).cast(
-                "double"
-            )
-            # try_divide: ANSI mode throws on double x/0.0; NULL -> 0.0
-            # matches the oracle's nullif/coalesce exactly (int-over-int
-            # double division is bit-identical across engines)
-            rmf = F.coalesce(
-                F.try_divide(F.col("n_tokens_removed").cast("double"), tot),
-                F.lit(0.0),
-            )
-            verdicts = trimmed.select(
-                "doc_id", F.col("text").alias("_trimmed"), rmf.alias("_rmf")
-            )
-            # branch non-vacuity IS part of the gate's evidence (round-5
-            # verdict task 7): raise, don't assert (survives python -O).
-            # One cheap aggregate over the materialized scalar table.
-            branch = F.when(F.col("_rmf") > hi, "drop").when(
-                F.col("_rmf") > lo, "trim"
-            ).otherwise("keep")
-            counts = {
-                r["branch"]: r["count"]
-                for r in verdicts.select(branch.alias("branch"))
-                .groupBy("branch")
-                .count()
-                .collect()
-            }
-            if not all(counts.get(b) for b in ("keep", "trim", "drop")):
-                raise AssertionError(
-                    f"v5 span gate vacuous: branch counts {counts}"
-                )
-            gated = (
-                nb.join(verdicts, "doc_id")
-                .filter(F.col("_rmf") <= hi)
-                .select(
-                    "doc_id",
-                    "source",
-                    F.when(F.col("_rmf") > lo, F.col("_trimmed"))
-                    .otherwise(F.col("text"))
-                    .alias("text"),
-                )
-            )
-            # the lineage cut every downstream stage compiles against —
-            # same plan-size control as v4's gate (ExistingRDD leaf,
-            # zero FileScans downstream, pinned in tests)
-            gated = materialize(gated)
-        except BaseException:
-            # error path (round-6 ADVICE): anything raising between the
-            # eager materialize calls — the non-vacuity check included —
-            # must not pin nb/trimmed blocks for the rest of the session
-            # (nor, in reliable mode, leave their checkpoint files
-            # behind). release() ignores frames not yet materialized.
-            held = [nb, *span_held]
-            if trimmed is not None:
-                held.append(trimmed)
-            release(*held)
-            raise
-        release(nb, trimmed)
-        nb = gated
-    if span_gate_frac is not None:
-        from logpipe.materialize import materialize, release
-
-        stats_held: list[DataFrame] = []
-        try:
-            keep_ids = (
-                duplicate_span_stats(
-                    nb.select("doc_id", "text"), k=3, min_docs=2,
-                    _materialized=stats_held,
-                )
-                .filter(F.col("dup_span_frac") <= span_gate_frac)
-                .select("doc_id")
-            )
-            # materialize: cut the lineage at the gate. Without it the
-            # span subtree (which consumes nb twice more) rides INSIDE
-            # nb's lineage, and every downstream consumer of nb
-            # (line-dedup's three readers, c4, the tail) re-expands it
-            # — measured 222s wall / 24s plan-compile at sf0.1 vs v3's
-            # 85s/5.6s; with the cut the downstream plan is v3-shaped.
-            # Same trade the clustering iterations already make; the
-            # cut point is mode-injectable (logpipe.materialize) — a
-            # cluster run sets reliable mode and this dataset-sized
-            # intermediate lands in the checkpoint dir instead of
-            # executor-local blocks.
-            nb = materialize(nb.join(keep_ids, "doc_id", "left_semi"))
-        except BaseException:
-            # error path: stats' eager checkpoint must not stay pinned
-            # (nor leak files in reliable mode) if the gate's own
-            # materialize fails — same discipline as the v5 trim gate
-            release(*stats_held)
-            raise
-        # stats' internal per-(window, doc) checkpoint is dead once the
-        # gated frame lands (same pattern as the v5 trim gate)
-        release(*stats_held)
-    ld = line_dedup(nb.select("doc_id", "text"))
-    ldd = ld.join(nb.select("doc_id", "source"), "doc_id")
-    kept = ldd.filter(
-        ts.c4_keep(F.col("text"))
-        & (ts.lang_id(F.col("text")) == "en")
-        & (ts.quality_score(F.col("text")) >= 0.6)
-    ).select("doc_id", "source", ts.redact_pii(F.col("text")).alias("text"))
-    return _curation_tail(kept, gopher_min_tokens=20)
-
-
-def curated_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The round-4 TOTAL curation DAG. UNREGISTERED since round 5: v4
-    strictly subsumes it (identical stages + the duplicate-span gate),
-    the same subsumption rule that folded v2. Kept as a bench entry for
-    round-over-round comparability; _curated_corpus_v3_sql() remains
-    for local crosschecks."""
-    return _curated_corpus_dag(spark, sf_dir)
-
-
-# v4's span-gate threshold: measured on the sf0.01 construction the
-# dup_span_frac population spans 0.24-0.92 with median ~0.43, so 0.45
-# drops ~40% of blocklist survivors — both branches non-vacuous, and
-# the gate's verdict flows through every downstream stage of the hash-
-# matched per-bucket stats.
-_V4_SPAN_GATE_FRAC = 0.45
-
-
-def curated_corpus_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The TOTAL curation DAG, round-5 edition: v3's eleven stages plus
-    the duplicate-span DROP gate. UNREGISTERED since round 6: v5
-    strictly subsumes it (same stages, and the binary drop gate becomes
-    the trim/drop/keep band with the trim branch actually rewriting
-    text) — the same subsumption rule that retired v2 and v3. Kept as a
-    bench entry for round-over-round comparability;
-    _curated_corpus_v3_sql(span_gate_frac=...) remains for local
-    crosschecks."""
-    return _curated_corpus_dag(spark, sf_dir, span_gate_frac=_V4_SPAN_GATE_FRAC)
-
-
-# v5's band over rmf (= fraction of a doc's tokens removed by the
-# span-dedup winner rule): measured on the construction at sf0.01 AND
-# sf0.001 the rmf population is stable (quantiles 5/25/50/75/90:
-# ~0.15/0.35/0.52/0.65/0.75), so keep <=0.45 retains ~40%, trim
-# (0.45, 0.70] rewrites ~45%, drop >0.70 removes ~15% — all three
-# branches non-vacuous by construction, and enforced in-run by the
-# builder's branch-count check.
-_V5_SPAN_TRIM_BAND = (0.45, 0.70)
-
-
-@register("curated_corpus_v5", None)  # SQL attached below (needs builder)
-def curated_corpus_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The TOTAL curation DAG, round-6 edition: every shipped curation
-    operator in ONE hash-matched query — v4's twelve stages with the
-    span drop gate upgraded to the trim/drop/keep band, so
-    duplicate_span_trim's output (Lee et al. 2021's actual remedy) now
-    flows through line-dedup, quality, dedup, packing and the final
-    per-bucket stats. See _curated_corpus_dag for stages, the 100TB
-    shape, and the in-run branch non-vacuity check."""
-    return _curated_corpus_dag(spark, sf_dir, span_trim_band=_V5_SPAN_TRIM_BAND)
-
-
-_REGISTRY["curated_corpus_v5"] = (
-    _REGISTRY["curated_corpus_v5"][0],
-    _curated_corpus_v3_sql(span_trim_band=_V5_SPAN_TRIM_BAND),
-)
-
-
-@register("streaming_route_counts", _FLAGSHIP_SQL)
-def streaming_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming-vs-batch equivalence as a DRIVER gate (round-3 verdict
-    task #8 — the streaming DAG was pytest-only): materialize the
-    transcripts to a scratch dir, run the foreachBatch Structured
-    Streaming pipeline to completion (availableNow trigger, multiple
-    micro-batches via maxFilesPerTrigger), read every batch's sink
-    output back and aggregate per-sink counts — which must equal the
-    BATCH flagship oracle exactly (per-sink totals are additive across
-    micro-batch commits; the checkpoint dir is fresh per run, so the
-    stream always processes the full input)."""
-    import shutil
-    import tempfile
-
-    from logpipe.streaming.stream_pipeline import start_stream_pipeline
-
-    ev = load_events(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="logpipe_stream_gate_")
-    # the aggregate is 3 rows — materialize it inside the try so the
-    # dataset-sized scratch dir (input copy + per-batch sinks +
-    # checkpoint) is deleted even when the stream or read-back fails,
-    # instead of leaking per grading run
-    try:
-        # 8 input files + maxFilesPerTrigger=4 -> at least two micro-batches
-        events_as_transcripts(ev).repartition(8).write.mode("overwrite").parquet(
-            f"{tmp}/in"
-        )
-        q = start_stream_pipeline(
-            spark,
-            f"{tmp}/in",
-            events_k8s_meta(ev),
-            events_tool_meta(ev),
-            out_base=f"{tmp}/out",
-            checkpoint=f"{tmp}/ckpt",
-            max_files_per_trigger=4,
-        )
-        q.awaitTermination()
-        # pacing audit (F1 retain analog): maxFilesPerTrigger=4 over 8
-        # input files must yield >= 2 triggers, each reading at most
-        # half the input — measured from the query's own progress log,
-        # not inferred from config
-        # unconditional raises (not bare asserts): this audit is the
-        # driver-gated pacing evidence and must survive python -O
-        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
-        total_rows = sum(p["numInputRows"] for p in progress)
-        if len(progress) < 2:
-            raise AssertionError(
-                f"pacing: expected >=2 triggers, got {len(progress)}"
-            )
-        if max(p["numInputRows"] for p in progress) >= total_rows:
-            raise AssertionError(
-                "pacing: one trigger consumed the whole input despite maxFilesPerTrigger"
-            )
-        # rate CONFORMANCE (the throttle-retain analog, quantitative):
-        # maxFilesPerTrigger=4 bounds every trigger at the sum of its 4
-        # largest possible files — check each trigger's numInputRows
-        # against the cap computed from the ACTUAL per-file row counts,
-        # not inferred from config (round-5 verdict task 8)
-        file_counts = sorted(
-            r["c"]
-            for r in spark.read.parquet(f"{tmp}/in")
-            .groupBy(F.input_file_name().alias("f"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
-        per_trigger_cap = sum(file_counts[-4:])
-        worst = max(p["numInputRows"] for p in progress)
-        if worst > per_trigger_cap:
-            raise AssertionError(
-                f"rate conformance: a trigger read {worst} rows > the "
-                f"4-file cap {per_trigger_cap} (file row counts {file_counts})"
-            )
-        back = spark.read.parquet(f"{tmp}/out")
-        rows = (
-            back.groupBy("sink")
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.length("content")).alias("content_bytes"),
-            )
-            .collect()
-        )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "sink string, n_rows bigint, content_bytes bigint"
-    )
-
-
-def _simhash_sql() -> str:
-    from logpipe.traindata.dedup import SIMHASH_BITS
-
-    words = _WORDS_SQL.replace("trim(text)", "trim(lower(text))")
-    votes = ", ".join(
-        f"sum(((h >> {i}) & 1) * 2 - 1) AS v{i}" for i in range(SIMHASH_BITS)
-    )
-    sig = " + ".join(
-        f"CASE WHEN v{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END"
-        for i in range(SIMHASH_BITS)
-    )
-    return f"""
-WITH tok AS (
-  SELECT doc_id, unnest(list_distinct({words})) AS tok FROM documents
-), h AS (
-  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tok
-), votes AS (
-  SELECT doc_id, {votes} FROM h GROUP BY doc_id
-)
-SELECT d.doc_id, CAST(coalesce({sig}, 0) AS BIGINT) AS simhash
-FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
-"""
-
-
-def _simhash_pairs_sql(max_hamming: int = 3, bands: int = 4) -> str:
-    from logpipe.traindata.dedup import SIMHASH_BITS
-
-    width = SIMHASH_BITS // bands
-    mask = (1 << width) - 1
-    sig_sql = _simhash_sql().strip()
-    union = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * width}) & {mask} AS chunk FROM sigs"
-        for b in range(bands)
-    )
-    return f"""
-WITH sigs AS ({sig_sql}), banded AS ({union}), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.simhash AS sa, b.simhash AS sb
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
-"""
-
-
-@register("simhash_near_dups", None)
-def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs; the oracle recomputes the 64-bit
-    signatures from scratch in SQL, so this row also gates
-    dedup.simhash_table end-to-end (its own registry slot was folded —
-    round-3 verdict's 50-row driver window; signature values stay
-    pytest-gated in tests/test_traindata.py)."""
-    from logpipe.traindata.dedup import simhash_near_dups
-
-    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=3, bands=4)
-
-
-_REGISTRY["simhash_near_dups"] = (
-    _REGISTRY["simhash_near_dups"][0],
-    _simhash_pairs_sql(),
-)
-
-
-# --- similarity search ----------------------------------------------------
-
-_COSINE_TOPK_SQL = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
-q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn FROM n WHERE vec_id < 8),
-c AS (
-  SELECT q.query_id, n.vec_id AS neighbor_id,
-         round(list_dot_product(q.qe, n.emb) / (q.qn * n.nrm), 4) AS cosine
-  FROM q, n WHERE n.vec_id <> q.query_id
-)
-SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS "rank"
-FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY cosine DESC, neighbor_id) AS rn
-  FROM c
-) WHERE rn <= 5
-"""
-
-
-@register("embedding_cosine_topk", _COSINE_TOPK_SQL)
-def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logpipe.traindata.ann import cosine_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_topk(emb, query_filter=F.col("vec_id") < 8, k=5)
-
-
-# --- deterministic DuckDB replays of the hyperplane/IVF ANN paths ---------
-# The planes and the centroid rule are pure functions — planes are
-# md5-derived Box-Muller Gaussians of (seed, plane, coord) (see
-# ann._hyperplanes); centroids are the lowest-md5(vec_id) sample — so the
-# "approximate" queries are exactly reproducible: the oracle re-runs the
-# SAME banding /
-# probing pipeline in SQL with the planes inlined as double literals
-# (repr() round-trips IEEE doubles bit-exactly through DuckDB's parser).
-
-_EMB_NORM_CTE = """
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)
-"""
-
-
-def _banded_sql(n_planes: int, n_tables: int, dim: int = 64) -> str:
-    """UNION ALL of per-table sign-bit bucket selects over CTE `n`."""
-    from logpipe.traindata.ann import _hyperplanes
-
-    def plane_lit(p: list[float]) -> str:
-        return "[" + ",".join(repr(x) for x in p) + "]"
-
-    selects = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed=7 + 13 * t)
-        bucket = " + ".join(
-            f"(CASE WHEN list_dot_product(emb, {plane_lit(p)}) > 0 THEN {2**i} ELSE 0 END)"
-            for i, p in enumerate(planes)
-        )
-        selects.append(f"SELECT vec_id, {t} AS tbl, {bucket} AS bucket FROM n")
-    return " UNION ALL ".join(selects)
-
-
-def _cosine_lsh_near_dups_sql(
-    threshold: float = 0.4, n_planes: int = 3, n_tables: int = 12
-) -> str:
-    return f"""
-WITH {_EMB_NORM_CTE},
-banded AS ({_banded_sql(n_planes, n_tables)}),
-cand AS (
-  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM banded a JOIN banded b
-    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-),
-v AS (
-  SELECT c.id_a, c.id_b,
-         round(list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm), 4) AS cosine
-  FROM cand c JOIN n x ON c.id_a = x.vec_id JOIN n y ON c.id_b = y.vec_id
-)
-SELECT id_a, id_b, cosine FROM v WHERE cosine >= {threshold}
-"""
-
-
-@register("cosine_lsh_near_dups", None)  # SQL attached below (needs builder)
-def cosine_lsh_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100TB embedding-dedup path (bucketed). ann.cosine_near_dups
-    is its O(n²) exactness oracle — its own registry slot was folded
-    (round-3 verdict's 50-row driver window): this row's SQL replays
-    the exact all-pairs cosine values over the banded candidates, and
-    tests/test_traindata.py::test_cosine_lsh_near_dups_vs_exact pins
-    the Spark exact path bit-for-bit."""
-    from logpipe.traindata.ann import cosine_lsh_near_dups
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_lsh_near_dups(emb, threshold=0.4, n_planes=3, n_tables=12)
-
-
-_REGISTRY["cosine_lsh_near_dups"] = (
-    _REGISTRY["cosine_lsh_near_dups"][0],
-    _cosine_lsh_near_dups_sql(),
-)
-
-
-def _ann_lsh_topk_sql(k: int = 5, n_planes: int = 4, n_tables: int = 4) -> str:
-    qids = ",".join(str(i) for i in range(8))
-    return f"""
-WITH {_EMB_NORM_CTE},
-banded AS ({_banded_sql(n_planes, n_tables)}),
-qb AS (SELECT vec_id AS query_id, tbl, bucket FROM banded WHERE vec_id IN ({qids})),
-cand AS (
-  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
-  FROM qb q JOIN banded b
-    ON b.tbl = q.tbl AND b.bucket = q.bucket AND b.vec_id <> q.query_id
-),
-c AS (
-  SELECT cand.query_id, cand.neighbor_id,
-         round(list_dot_product(qq.emb, nn.emb) / (qq.nrm * nn.nrm), 4) AS cosine
-  FROM cand JOIN n qq ON qq.vec_id = cand.query_id
-            JOIN n nn ON nn.vec_id = cand.neighbor_id
-)
-SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS "rank"
-FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id) AS rn FROM c)
-WHERE rn <= {k}
-"""
-
-
-@register("ann_lsh_topk", None)  # SQL attached below (needs builder)
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logpipe.traindata.ann import lsh_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_topk(emb, query_ids=list(range(8)), k=5)
-
-
-_REGISTRY["ann_lsh_topk"] = (_REGISTRY["ann_lsh_topk"][0], _ann_lsh_topk_sql())
-
-
-@register("ann_ivf_topk", None)  # SQL attached below (needs builder)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logpipe.traindata.ann import ivf_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(emb, query_ids=list(range(8)), k=5, n_centroids=16, n_probe=4)
-
-
-def _ann_ivf_topk_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 4) -> str:
-    qids = ",".join(str(i) for i in range(8))
-    return f"""
-WITH {_EMB_NORM_CTE},
-cents AS (
-  SELECT cell, emb AS cemb, nrm AS cnrm FROM (
-    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell,
-           emb, nrm
-    FROM n
-  ) WHERE cell <= {n_centroids}
-),
-assigned AS (
-  SELECT vec_id, emb, nrm, cell FROM (
-    SELECT n.vec_id, n.emb, n.nrm, c.cell,
-           row_number() OVER (PARTITION BY n.vec_id
-                              ORDER BY list_dot_product(n.emb, c.cemb) / (n.nrm * c.cnrm) DESC,
-                                       c.cell) AS rn
-    FROM n, cents c
-  ) WHERE rn = 1
-),
-q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn FROM n WHERE vec_id IN ({qids})),
-probes AS (
-  SELECT query_id, qe, qn, cell FROM (
-    SELECT q.query_id, q.qe, q.qn, c.cell,
-           row_number() OVER (PARTITION BY q.query_id
-                              ORDER BY list_dot_product(q.qe, c.cemb) / (q.qn * c.cnrm) DESC,
-                                       c.cell) AS rn
-    FROM q, cents c
-  ) WHERE rn <= {n_probe}
-),
-c AS (
-  SELECT p.query_id, a.vec_id AS neighbor_id,
-         round(list_dot_product(p.qe, a.emb) / (p.qn * a.nrm), 4) AS cosine
-  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
-)
-SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS "rank"
-FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id) AS rn FROM c)
-WHERE rn <= {k}
-"""
-
-
-_REGISTRY["ann_ivf_topk"] = (_REGISTRY["ann_ivf_topk"][0], _ann_ivf_topk_sql())
+del _mod, _name, _val, _prev
