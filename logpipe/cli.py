@@ -106,6 +106,18 @@ def main(argv: list[str] | None = None) -> None:
     args = p.parse_args(argv)
     if args.bucket_out is None and not (args.out and args.manifest):
         p.error("--out and --manifest are required (unless --bucket-out)")
+    # validate the relayout knobs BEFORE a Spark session spins up
+    # (round-8 review: `or`-defaulting silently coerced an explicit
+    # --bucket-n 0, and empty --bucket-cols surfaced as a raw
+    # write_table traceback)
+    bucket_cols = tuple(
+        c.strip() for c in args.bucket_cols.split(",") if c.strip()
+    )
+    if args.bucket_out is not None:
+        if args.bucket_n is not None and args.bucket_n < 1:
+            p.error("--bucket-n must be >= 1")
+        if not bucket_cols:
+            p.error("--bucket-cols must name at least one column")
 
     from logpipe import config as C
     from logpipe.manifest import run_resumable
@@ -206,17 +218,20 @@ def main(argv: list[str] | None = None) -> None:
     if args.bucket_out is not None:
         from logpipe.tableio import write_table
 
-        cols = tuple(c.strip() for c in args.bucket_cols.split(",") if c.strip())
-        n = args.bucket_n or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n = (
+            args.bucket_n
+            if args.bucket_n is not None
+            else int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
         name = write_table(
             transcripts,
             args.bucket_out,
-            bucket_by=(n, *cols),
+            bucket_by=(n, *bucket_cols),
             table_name=args.bucket_table,
         )
         print(json.dumps({
             "bucket_out": args.bucket_out,
-            "bucket_cols": list(cols),
+            "bucket_cols": list(bucket_cols),
             "n_buckets": n,
             # path branch: read back via spark.table(<table>) so the
             # bucket metadata (catalog entry) serves the scan; Iceberg

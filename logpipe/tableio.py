@@ -139,10 +139,20 @@ def _ref_exists(spark: SparkSession | None, ref: str) -> bool:
         if bridge is not None:
             mk_path, fs = bridge
             try:
-                if fs.getScheme() != "file":
-                    return bool(fs.exists(mk_path(ref)))
+                non_local = fs.getScheme() != "file"
             except Exception:
-                pass  # fall back to the local check below
+                non_local = False  # bridge half-broken: sandbox-local rules
+            if non_local:
+                try:
+                    return bool(fs.exists(mk_path(ref)))
+                except Exception:
+                    # the DFS is authoritative but unreachable: driver-local
+                    # state must NOT decide (that is the misclassification
+                    # this function exists to prevent) — report not-a-path,
+                    # so the identifier reading wins and a non-Iceberg
+                    # session fails LOUDLY in _require_iceberg instead of
+                    # silently writing a relative local dir
+                    return False
     return os.path.exists(ref)
 
 
@@ -205,6 +215,31 @@ def derived_table_name(ref: str) -> str:
     return name
 
 
+def _table_location(spark: SparkSession, name: str) -> str | None:
+    """The catalog table's storage location URI, or None if it cannot
+    be determined (then the caller must not guess)."""
+    try:
+        for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect():
+            if r["col_name"] == "Location":
+                return r["data_type"]
+    except Exception:
+        pass
+    return None
+
+
+def _same_location(existing_uri: str, ref: str) -> bool:
+    """Does the catalog location URI point at the path ``ref``? Local
+    ``file:`` URIs compare by absolute path; anything else compares
+    textually (conservative: a mismatch forces the explicit-name
+    error, never a silent repoint)."""
+    if existing_uri.startswith("file:"):
+        path = existing_uri[len("file:"):]
+        while path.startswith("//"):  # file:/p vs file:///p spellings
+            path = path[1:]
+        return os.path.abspath(path) == os.path.abspath(ref)
+    return existing_uri.rstrip("/") == ref.rstrip("/")
+
+
 def write_table(
     df: DataFrame,
     ref: str,
@@ -241,7 +276,8 @@ def write_table(
 
     Contract pinned (no jars in the sandbox) in tests/test_tableio.py;
     the path branch's shuffle-elision is demonstrated end-to-end in
-    tests/test_traindata.py::test_write_table_bucketed_elides_rejoin.
+    tests/test_traindata.py::test_span_trim_bucketed_rejoin and
+    ::test_line_dedup_bucketed_rejoin_compound_key.
     """
     if bucket_by is not None:
         n_buckets, *bucket_cols = bucket_by
@@ -249,6 +285,14 @@ def write_table(
             raise ValueError(
                 f"write_table: bucket_by must be (n_buckets, col, ...), got {bucket_by!r}"
             )
+    elif sort_by is not None or table_name is not None:
+        # validated BEFORE branching so the Iceberg branch cannot
+        # silently drop the knobs the path branch rejects (round-8
+        # review)
+        raise ValueError(
+            "write_table: sort_by/table_name only apply to bucketed path "
+            "writes (pass bucket_by)"
+        )
     if is_table_ref(ref, df.sparkSession):
         _require_iceberg(df.sparkSession, ref)
         from pyspark.sql import functions as F
@@ -275,6 +319,22 @@ def write_table(
         return None
     if bucket_by is not None:
         name = table_name or derived_table_name(ref)
+        spark = df.sparkSession
+        if table_name is None and spark.catalog.tableExists(name):
+            # basename-derived names can collide across different paths:
+            # overwriting would silently REPOINT every reader of the
+            # existing table (spark.table(name) is the only bucketed
+            # read path) at this write's location. Allow the rewrite
+            # only when it targets the same location; otherwise demand
+            # an explicit table_name (round-8 review).
+            existing = _table_location(spark, name)
+            if existing is not None and not _same_location(existing, ref):
+                raise ValueError(
+                    f"write_table: derived table name {name!r} already "
+                    f"exists at {existing!r}; writing {ref!r} under it "
+                    "would repoint existing readers — pass table_name "
+                    "explicitly"
+                )
         writer = (
             df.write.mode(mode)
             .bucketBy(n_buckets, *bucket_cols)
@@ -284,11 +344,6 @@ def write_table(
             writer = writer.partitionBy(*partition_by)
         writer.option("path", ref).format("parquet").saveAsTable(name)
         return name
-    if sort_by is not None or table_name is not None:
-        raise ValueError(
-            "write_table: sort_by/table_name only apply to bucketed path "
-            "writes (pass bucket_by)"
-        )
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

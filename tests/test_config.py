@@ -200,6 +200,13 @@ def test_cli_bucket_out_relayout(spark, tmp_path, monkeypatch):
     # without --bucket-out the original contract stands
     with pytest.raises(SystemExit):
         cli.main(["--synth", "10"])
+    # relayout knob validation fails fast, BEFORE a session spins up
+    # (round-8 review: `or`-defaulting coerced an explicit 0; empty
+    # cols surfaced as a write_table traceback)
+    with pytest.raises(SystemExit):
+        cli.main(["--synth", "10", "--bucket-out", "x", "--bucket-n", "0"])
+    with pytest.raises(SystemExit):
+        cli.main(["--synth", "10", "--bucket-out", "x", "--bucket-cols", " , "])
 
 
 def test_cli_cluster_name_applies_to_dynamic_plan(spark, tmp_path, monkeypatch):

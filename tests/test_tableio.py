@@ -325,6 +325,59 @@ def test_write_table_bucket_spec_validation(spark, tmp_path):
         write_table(spark.range(3), str(tmp_path / "b"), sort_by=("id",))
     with pytest.raises(ValueError, match="bucketed path"):
         write_table(spark.range(3), str(tmp_path / "b"), table_name="x")
+    # same misuse on a TABLE ref must raise identically, not silently
+    # drop the knobs on the Iceberg branch (round-8 review) — validated
+    # before branching, so no Iceberg stubs are needed
+    with pytest.raises(ValueError, match="bucketed path"):
+        write_table(spark.range(3), "cat.db.t", sort_by=("id",))
+    with pytest.raises(ValueError, match="bucketed path"):
+        write_table(spark.range(3), "cat.db.t", table_name="x")
+
+
+def test_bucketed_write_derived_name_collision_guarded(spark, tmp_path):
+    """A basename-derived table name that already exists and points at
+    a DIFFERENT path must raise (overwriting would silently repoint
+    every spark.table() reader of the first corpus); rewriting the
+    SAME location stays allowed, and an explicit table_name opts out
+    (round-8 review)."""
+    df = spark.range(10).selectExpr("id as doc_id")
+    a = str(tmp_path / "a" / "corpus")
+    b = str(tmp_path / "b" / "corpus")
+    try:
+        assert write_table(df, a, bucket_by=(2, "doc_id")) == "corpus"
+        # same path again: a legitimate re-layout, allowed
+        assert write_table(df, a, bucket_by=(2, "doc_id")) == "corpus"
+        with pytest.raises(ValueError, match="repoint"):
+            write_table(df, b, bucket_by=(2, "doc_id"))
+        # explicit name: the caller took responsibility
+        assert write_table(
+            df, b, bucket_by=(2, "doc_id"), table_name="corpus_b"
+        ) == "corpus_b"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS corpus")
+        spark.sql("DROP TABLE IF EXISTS corpus_b")
+
+
+def test_ref_exists_dfs_error_prefers_identifier(spark, tmp_path, monkeypatch):
+    """When the (authoritative, non-local) default FS cannot be probed,
+    driver-local state must NOT decide: the dotted ref classifies as a
+    table, so a non-Iceberg session fails loudly in _require_iceberg
+    instead of silently writing a relative local dir (round-8
+    review)."""
+    import logpipe.tableio as tio
+
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "stray.dir").mkdir()
+
+    class _BrokenFS:
+        def getScheme(self):
+            return "hdfs"
+
+        def exists(self, path):
+            raise RuntimeError("rpc timeout")
+
+    monkeypatch.setattr(tio, "_default_fs", lambda s: (lambda p: p, _BrokenFS()))
+    assert is_table_ref("stray.dir", spark)
 
 
 def test_path_branch_bucketed_write_roundtrip(spark, tmp_path):
