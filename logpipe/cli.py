@@ -73,6 +73,13 @@ def main(argv: list[str] | None = None) -> None:
              "derived from the --bucket-out basename); bucketed reads "
              "go through spark.table(<name>)",
     )
+    p.add_argument(
+        "--spj", action="store_true",
+        help="apply the storage-partitioned-join session confs "
+             "(tableio.SPJ_CONFS) so reads of bucketed/Iceberg-bucket "
+             "tables can satisfy join distributions without shuffling "
+             "the corpus side",
+    )
     p.add_argument("--buckets", type=int, default=8)
     p.add_argument("--synth", type=int, default=0, help="synthesize N input rows")
     p.add_argument("--master", default=None)
@@ -152,6 +159,10 @@ def main(argv: list[str] | None = None) -> None:
         return base_fn(df, k8s, tools, **kw)
 
     spark = get_spark(app_name="logpipe-cli", master=args.master)
+    if args.spj:
+        from logpipe.tableio import enable_spj
+
+        enable_spj(spark)
     if args.synth:
         from logpipe.synth import synth_k8s_meta, synth_tool_meta, synth_transcripts
 

@@ -200,6 +200,24 @@ def test_cli_bucket_out_relayout(spark, tmp_path, monkeypatch):
     # without --bucket-out the original contract stands
     with pytest.raises(SystemExit):
         cli.main(["--synth", "10"])
+    # --spj applies the storage-partitioned-join confs to the session
+    from logpipe.tableio import SPJ_CONFS
+
+    spark.sql("DROP TABLE IF EXISTS cli_bucket_spj_t")
+    try:
+        with redirect_stdout(io.StringIO()):
+            cli.main(
+                ["--synth", "100", "--spj",
+                 "--bucket-out", str(tmp_path / "spj_b"), "--bucket-n", "2",
+                 "--bucket-table", "cli_bucket_spj_t"]
+            )
+        for k, v in SPJ_CONFS.items():
+            assert spark.conf.get(k) == v
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cli_bucket_spj_t")
+        for k in SPJ_CONFS:
+            spark.conf.unset(k)
+
     # relayout knob validation fails fast, BEFORE a session spins up
     # (round-8 review: `or`-defaulting coerced an explicit 0; empty
     # cols surfaced as a write_table traceback)
