@@ -53,6 +53,16 @@ def stitch_multiline(
     ``is_start``: optional boolean Column overriding the group-start
     rule (default: text matches ``firstline_re``) — e.g. the java
     grammar's NOT-a-continuation rule (java_group_start).
+
+    Scale note: the window and the group-by both cluster on conv_id,
+    so the operator's ONE full-payload shuffle is elided entirely by
+    storing the transcripts bucketed on conv_id (tableio.write_table
+    bucket spec / cli --bucket-out's default column) — zero exchanges,
+    no session conf needed, rows identical (pinned:
+    tests/test_stitch.py::test_stitch_bucketed_transcripts_no_exchange;
+    measured 1.36x on 2M rows, BENCH/r8_stitch_bucketed.json). The
+    same elision applies to every conv_id-clustered stage
+    (sessionization windows, throttle frames).
     """
     if is_start is None:
         is_start = F.col(text_col).rlike(firstline_re)

@@ -114,3 +114,50 @@ def test_java_grammar_stitches_datetime_less_trace(spark):
     # the datetime grammar glues the datetime-less trace onto group 1
     d = {r["turn_idx"]: r for r in stitch_multiline(df).collect()}
     assert d[1]["n_lines"] == 6  # boot + the whole trace, mis-attributed
+
+
+def test_stitch_bucketed_transcripts_no_exchange(spark, tmp_path):
+    """The bucketed-layout story applied to the REFERENCE'S OWN domain
+    (north rule: transcripts partitioning handled explicitly): the
+    stitcher's window and group-by both cluster on conv_id, so over a
+    transcripts table bucketed by conv_id (tableio.write_table /
+    cli --bucket-out's DEFAULT bucket column) the whole stitch
+    compiles with ZERO exchanges — the storage partitioning satisfies
+    every required distribution, no conf needed (single-key
+    clustering, unlike line_dedup's compound-key case) — vs exactly
+    ONE full-payload exchange on plain parquet. Rows identical, so
+    the layout is purely a plan property. The same elision applies to
+    every conv_id-clustered stage (session_gap_stats' windows, the
+    throttle frames)."""
+    from logpipe.synth import synth_transcripts
+    from logpipe.tableio import write_table
+
+    t = synth_transcripts(spark, n_rows=4000, n_convs=32)
+    plain_dir = str(tmp_path / "plain")
+    t.write.mode("overwrite").parquet(plain_dir)
+    plain = spark.read.parquet(plain_dir)
+    spark.sql("DROP TABLE IF EXISTS stitch_bucketed_t")
+    try:
+        write_table(
+            plain,
+            str(tmp_path / "bucketed"),
+            bucket_by=(int(spark.conf.get("spark.sql.shuffle.partitions")), "conv_id"),
+            sort_by=("conv_id", "turn_idx"),
+            table_name="stitch_bucketed_t",
+        )
+        b = spark.table("stitch_bucketed_t")
+
+        out_p = stitch_multiline(plain)
+        plan_p = out_p._jdf.queryExecution().executedPlan().toString()
+        assert plan_p.count("Exchange") == 1, plan_p
+
+        out_b = stitch_multiline(b)
+        plan_b = out_b._jdf.queryExecution().executedPlan().toString()
+        assert plan_b.count("Exchange") == 0, plan_b
+        assert "Bucketed: true" in plan_b
+
+        rows_p = sorted(tuple(r) for r in out_p.collect())
+        rows_b = sorted(tuple(r) for r in out_b.collect())
+        assert rows_p == rows_b and rows_p
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stitch_bucketed_t")
