@@ -27,8 +27,12 @@ def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="logpipe")
     p.add_argument(
         "--transcripts",
-        help="input ref: a parquet path, or an Iceberg table identifier "
-             "when the session carries an Iceberg catalog (logpipe.tableio)",
+        help="input ref: a parquet path, an Iceberg table identifier "
+             "when the session carries an Iceberg catalog, or a catalog "
+             "table name — 'table:NAME' forces the catalog reading; a "
+             "bare/dotted name that exists only in the catalog (e.g. a "
+             "--bucket-out relayout's table) resolves there too "
+             "(logpipe.tableio.read_table)",
     )
     p.add_argument("--k8s-meta", help="k8s dim ref (path or Iceberg table)")
     p.add_argument("--tool-meta", help="tool dim ref (path or Iceberg table)")
@@ -72,6 +76,22 @@ def main(argv: list[str] | None = None) -> None:
         help="catalog name for the bucketed path write (default: "
              "derived from the --bucket-out basename); bucketed reads "
              "go through spark.table(<name>)",
+    )
+    p.add_argument(
+        "--sort-cols", default=None,
+        help="comma-separated in-bucket sortBy column(s) for "
+             "--bucket-out (default: the bucket columns). "
+             "'conv_id,turn_idx' lays transcripts out in the stitch "
+             "window's own order, so the one-file-per-bucket scan "
+             "satisfies the window SORT as well as its distribution",
+    )
+    p.add_argument(
+        "--conf", action="append", default=[], metavar="K=V",
+        help="extra Spark session conf, repeatable (mirrors "
+             "spark-submit --conf; e.g. "
+             "--conf spark.sql.catalogImplementation=hive with a shared "
+             "spark.sql.warehouse.dir + Derby metastore makes a "
+             "--bucket-out relayout readable by LATER sessions)",
     )
     p.add_argument(
         "--spj", action="store_true",
@@ -120,11 +140,24 @@ def main(argv: list[str] | None = None) -> None:
     bucket_cols = tuple(
         c.strip() for c in args.bucket_cols.split(",") if c.strip()
     )
+    sort_cols = (
+        None
+        if args.sort_cols is None
+        else tuple(c.strip() for c in args.sort_cols.split(",") if c.strip())
+    )
     if args.bucket_out is not None:
         if args.bucket_n is not None and args.bucket_n < 1:
             p.error("--bucket-n must be >= 1")
         if not bucket_cols:
             p.error("--bucket-cols must name at least one column")
+        if sort_cols is not None and not sort_cols:
+            p.error("--sort-cols must name at least one column when given")
+    elif sort_cols is not None:
+        p.error("--sort-cols only applies to --bucket-out")
+    bad_conf = [c for c in args.conf if "=" not in c]
+    if bad_conf:
+        p.error(f"--conf takes K=V, got {bad_conf[0]!r}")
+    extra_conf = dict(c.split("=", 1) for c in args.conf)
 
     from logpipe import config as C
     from logpipe.manifest import run_resumable
@@ -158,7 +191,9 @@ def main(argv: list[str] | None = None) -> None:
         kw.setdefault("cluster_name", cfg.cluster_name)
         return base_fn(df, k8s, tools, **kw)
 
-    spark = get_spark(app_name="logpipe-cli", master=args.master)
+    spark = get_spark(
+        app_name="logpipe-cli", master=args.master, extra_conf=extra_conf or None
+    )
     if args.spj:
         from logpipe.tableio import enable_spj
 
@@ -238,11 +273,13 @@ def main(argv: list[str] | None = None) -> None:
             transcripts,
             args.bucket_out,
             bucket_by=(n, *bucket_cols),
+            sort_by=sort_cols,
             table_name=args.bucket_table,
         )
         print(json.dumps({
             "bucket_out": args.bucket_out,
             "bucket_cols": list(bucket_cols),
+            "sort_cols": list(sort_cols if sort_cols is not None else bucket_cols),
             "n_buckets": n,
             # path branch: read back via spark.table(<table>) so the
             # bucket metadata (catalog entry) serves the scan; Iceberg

@@ -139,9 +139,18 @@ def _ref_exists(spark: SparkSession | None, ref: str) -> bool:
         if bridge is not None:
             mk_path, fs = bridge
             try:
-                non_local = fs.getScheme() != "file"
+                # getUri().getScheme() rather than getScheme(): some
+                # FileSystem impls (ViewFileSystem) THROW
+                # UnsupportedOperationException from getScheme(), and
+                # treating that as "local rules" would let a stray
+                # driver-local dir flip a table ref on exactly the
+                # DFS-default clusters this check protects (round-8
+                # ADVICE). The URI scheme never throws on a healthy
+                # bridge; the exception fallback now covers only a
+                # truly broken JVM bridge.
+                non_local = fs.getUri().getScheme() != "file"
             except Exception:
-                non_local = False  # bridge half-broken: sandbox-local rules
+                non_local = False  # bridge broken: sandbox-local rules
             if non_local:
                 try:
                     return bool(fs.exists(mk_path(ref)))
@@ -194,12 +203,56 @@ def _require_iceberg(spark: SparkSession, ref: str) -> None:
         )
 
 
+TABLE_PREFIX = "table:"
+
+
+def _builtin_catalog_has(spark: SparkSession, ref: str) -> bool:
+    """Does the session's (non-Iceberg) catalog resolve ``ref`` as a
+    table? Exceptions (unknown catalog part, parse errors) mean no —
+    classification must never die on a ref that is really a path."""
+    try:
+        return bool(spark.catalog.tableExists(ref))
+    except Exception:
+        return False
+
+
 def read_table(spark: SparkSession, ref: str) -> DataFrame:
-    """Read ``ref`` — Iceberg catalog table or parquet directory/file,
-    chosen by ``is_table_ref``. Both branches are plain scans Catalyst
-    prunes and pushes into."""
+    """Read ``ref`` — catalog table or parquet directory/file, chosen
+    by ``is_table_ref``. Both branches are plain scans Catalyst prunes
+    and pushes into.
+
+    A ``table:NAME`` prefix forces the catalog reading regardless of
+    classification — the explicit spelling for a Hive-bucketed layout
+    whose derived name collides with a filesystem path. Without the
+    prefix, a non-path-shaped ref that does NOT exist as a path but
+    DOES resolve in the session catalog is also served from the
+    catalog (round-8 ADVICE: ``cli --bucket-out`` produces a bucketed
+    table whose ONLY bucket-preserving read is ``spark.table(name)``;
+    ``--transcripts corpus_bucketed_t`` must therefore consume it
+    rather than fail as a missing relative dir, and
+    ``default.corpus_t`` must not demand Iceberg when the built-in
+    catalog serves it). An existing path still wins over the implicit
+    catalog reading — ``--transcripts mydata`` keeps reading a
+    directory (round-6 ADVICE)."""
+    if ref.startswith(TABLE_PREFIX):
+        return spark.read.table(ref[len(TABLE_PREFIX):])
     if is_table_ref(ref, spark):
+        if not iceberg_ready(spark) and _builtin_catalog_has(spark, ref):
+            return spark.read.table(ref)  # e.g. default.corpus_t, Hive/built-in
         _require_iceberg(spark, ref)
+        return spark.read.table(ref)
+    if (
+        "/" not in ref
+        and "\\" not in ref
+        and "://" not in ref
+        and not ref.endswith(".parquet")
+        and not _ref_exists(spark, ref)
+        and _builtin_catalog_has(spark, ref)
+    ):
+        # bare catalog name (the --bucket-out derived-name shape): no
+        # such path anywhere Spark would look, but the catalog serves
+        # it — reading the raw parquet dir here would at best drop the
+        # bucket metadata the relayout exists for, at worst fail
         return spark.read.table(ref)
     return spark.read.parquet(ref)
 
@@ -328,10 +381,16 @@ def write_table(
             # only when it targets the same location; otherwise demand
             # an explicit table_name (round-8 review).
             existing = _table_location(spark, name)
-            if existing is not None and not _same_location(existing, ref):
+            if existing is None or not _same_location(existing, ref):
+                # None means the location could not be DETERMINED, not
+                # that it matches: proceeding would overwrite a table
+                # whose readers we cannot prove point here (round-8
+                # ADVICE — "the caller must not guess" applies to this
+                # caller too)
+                where = existing if existing is not None else "an undeterminable location"
                 raise ValueError(
                     f"write_table: derived table name {name!r} already "
-                    f"exists at {existing!r}; writing {ref!r} under it "
+                    f"exists at {where!r}; writing {ref!r} under it "
                     "would repoint existing readers — pass table_name "
                     "explicitly"
                 )

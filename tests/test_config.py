@@ -166,6 +166,7 @@ def test_cli_bucket_out_relayout(spark, tmp_path, monkeypatch):
         assert info == {
             "bucket_out": str(tmp_path / "bucketed"),
             "bucket_cols": ["conv_id"],
+            "sort_cols": ["conv_id"],  # default: the bucket columns
             "n_buckets": 4,
             "table": "cli_bucket_t",
         }
@@ -225,6 +226,59 @@ def test_cli_bucket_out_relayout(spark, tmp_path, monkeypatch):
         cli.main(["--synth", "10", "--bucket-out", "x", "--bucket-n", "0"])
     with pytest.raises(SystemExit):
         cli.main(["--synth", "10", "--bucket-out", "x", "--bucket-cols", " , "])
+    with pytest.raises(SystemExit):
+        cli.main(["--synth", "10", "--bucket-out", "x", "--sort-cols", " , "])
+    with pytest.raises(SystemExit):  # sort knob is relayout-only
+        cli.main(["--synth", "10", "--out", "o", "--manifest", "m",
+                  "--sort-cols", "conv_id"])
+    with pytest.raises(SystemExit):  # --conf takes K=V
+        cli.main(["--synth", "10", "--out", "o", "--manifest", "m",
+                  "--conf", "not-a-pair"])
+
+
+def test_cli_sort_cols_and_conf_passthrough(spark, tmp_path, monkeypatch):
+    """--sort-cols reaches write_table's sortBy (in-bucket order =
+    the stitch window's (conv_id, turn_idx)), and --conf K=V reaches
+    the session builder (the knob a shared-metastore relayout run
+    uses for spark.sql.catalogImplementation/warehouse.dir)."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from logpipe import cli
+
+    seen_conf = {}
+
+    def fake_get_spark(**kw):
+        seen_conf.update(kw.get("extra_conf") or {})
+        return spark
+
+    monkeypatch.setattr("logpipe.session.get_spark", fake_get_spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    spark.sql("DROP TABLE IF EXISTS cli_sorted_t")
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            cli.main(
+                ["--synth", "300",
+                 "--bucket-out", str(tmp_path / "sorted_b"),
+                 "--bucket-n", "4", "--bucket-table", "cli_sorted_t",
+                 "--sort-cols", "conv_id, turn_idx",
+                 "--conf", "spark.logpipe.test.knob=v1"]
+            )
+        info = json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert info["sort_cols"] == ["conv_id", "turn_idx"]
+        assert seen_conf == {"spark.logpipe.test.knob": "v1"}
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql("DESCRIBE FORMATTED cli_sorted_t").collect()
+        }
+        assert desc.get("Num Buckets") == "4"
+        assert "conv_id" in desc.get("Bucket Columns", "")
+        assert "turn_idx" in desc.get("Sort Columns", "")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cli_sorted_t")
 
 
 def test_cli_cluster_name_applies_to_dynamic_plan(spark, tmp_path, monkeypatch):

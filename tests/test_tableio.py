@@ -238,14 +238,18 @@ def test_ref_exists_uses_default_fs_when_not_local(spark, tmp_path, monkeypatch)
     import logpipe.tableio as tio
 
     bridge = tio._default_fs(spark)
-    assert bridge is not None and bridge[1].getScheme() == "file"
+    assert bridge is not None and bridge[1].getUri().getScheme() == "file"
 
     monkeypatch.chdir(tmp_path)
     (tmp_path / "local.only").mkdir()
 
-    class _FakeFS:
+    class _FakeUri:
         def getScheme(self):
             return "hdfs"
+
+    class _FakeFS:
+        def getUri(self):
+            return _FakeUri()
 
         def exists(self, path):
             return path == "dfs.only"
@@ -369,15 +373,49 @@ def test_ref_exists_dfs_error_prefers_identifier(spark, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     (tmp_path / "stray.dir").mkdir()
 
-    class _BrokenFS:
+    class _Uri:
         def getScheme(self):
             return "hdfs"
+
+    class _BrokenFS:
+        def getUri(self):
+            return _Uri()
 
         def exists(self, path):
             raise RuntimeError("rpc timeout")
 
     monkeypatch.setattr(tio, "_default_fs", lambda s: (lambda p: p, _BrokenFS()))
     assert is_table_ref("stray.dir", spark)
+
+
+def test_ref_exists_scheme_from_uri_not_getscheme(spark, tmp_path, monkeypatch):
+    """The default-FS scheme probe must use fs.getUri().getScheme():
+    some FileSystem impls (ViewFileSystem) THROW from getScheme(), and
+    a probe that treated the throw as 'local rules' would let a stray
+    driver-local dir flip a table ref on exactly the DFS-default
+    clusters the check protects (round-8 ADVICE)."""
+    import logpipe.tableio as tio
+
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "viewfs.stray").mkdir()  # driver-local only
+
+    class _Uri:
+        def getScheme(self):
+            return "viewfs"
+
+    class _ViewFS:
+        def getScheme(self):  # ViewFileSystem behavior
+            raise RuntimeError("UnsupportedOperationException")
+
+        def getUri(self):
+            return _Uri()
+
+        def exists(self, path):
+            return False  # the authoritative DFS has no such dir
+
+    monkeypatch.setattr(tio, "_default_fs", lambda s: (lambda p: p, _ViewFS()))
+    # non-local rules apply: the driver-local dir must NOT flip the ref
+    assert is_table_ref("viewfs.stray", spark)
 
 
 def test_path_branch_bucketed_write_roundtrip(spark, tmp_path):
@@ -400,3 +438,83 @@ def test_path_branch_bucketed_write_roundtrip(spark, tmp_path):
         assert read_table(spark, out).count() == 100  # raw path still parquet
     finally:
         spark.sql("DROP TABLE IF EXISTS tableio_bkt_t")
+
+
+def test_read_table_serves_builtin_catalog_table(spark, tmp_path, monkeypatch):
+    """Round-8 ADVICE: the CLI must be able to CONSUME the layout
+    --bucket-out produces. A bare name that exists only in the session
+    catalog reads via the catalog (bucket metadata intact, pinned via
+    the bucketed scan); the dotted default.NAME spelling resolves
+    through the built-in catalog too instead of demanding Iceberg;
+    'table:NAME' forces the catalog reading explicitly; and an
+    existing path still wins over the implicit catalog reading
+    (round-6 contract: --transcripts mydata keeps reading a dir)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(50).selectExpr("id as doc_id")
+    out = str(tmp_path / "advice_corpus")
+    name = write_table(df, out, bucket_by=(2, "doc_id"), table_name="advice_bkt_t")
+    try:
+        assert name == "advice_bkt_t"
+        # bare catalog name, no such path -> catalog read with bucketing
+        got = read_table(spark, "advice_bkt_t")
+        assert got.count() == 50
+        plan = (
+            got.groupBy("doc_id").agg(F.count("*"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Bucketed: true" in plan, plan
+        # dotted spelling: built-in catalog serves it, no Iceberg error
+        assert read_table(spark, "default.advice_bkt_t").count() == 50
+        # explicit spelling
+        assert read_table(spark, "table:advice_bkt_t").count() == 50
+
+        # existing path beats the implicit catalog reading (routing
+        # pinned via a fake reader: the driver's Python CWD and the
+        # JVM's CWD differ under chdir, so a real relative read can't
+        # exercise this leg)
+        monkeypatch.chdir(tmp_path)
+        (tmp_path / "advice_bkt_t").mkdir()
+        import logpipe.tableio as tio
+        from pyspark.sql import SparkSession
+
+        calls = []
+
+        class _FakeReader:
+            def table(self, ref):
+                calls.append(("table", ref))
+                return "catalog-branch"
+
+            def parquet(self, ref):
+                calls.append(("parquet", ref))
+                return "path-branch"
+
+        monkeypatch.setattr(
+            SparkSession, "read", property(lambda self: _FakeReader())
+        )
+        assert read_table(spark, "advice_bkt_t") == "path-branch"
+        # ...and table: is the escape hatch when both exist
+        assert read_table(spark, "table:advice_bkt_t") == "catalog-branch"
+        assert calls == [
+            ("parquet", "advice_bkt_t"), ("table", "advice_bkt_t")
+        ]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS advice_bkt_t")
+
+
+def test_bucketed_write_unknown_location_refuses(spark, tmp_path, monkeypatch):
+    """When the existing same-named table's location cannot be
+    DETERMINED, the derived-name write must refuse rather than guess
+    (round-8 ADVICE: proceeding could silently repoint readers — the
+    exact hole the collision guard exists to close)."""
+    import logpipe.tableio as tio
+
+    df = spark.range(5).selectExpr("id as doc_id")
+    a = str(tmp_path / "loc" / "corpus_u")
+    try:
+        assert write_table(df, a, bucket_by=(2, "doc_id")) == "corpus_u"
+        monkeypatch.setattr(tio, "_table_location", lambda s, n: None)
+        with pytest.raises(ValueError, match="undeterminable"):
+            write_table(df, a, bucket_by=(2, "doc_id"))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS corpus_u")
