@@ -86,6 +86,13 @@ def main(argv: list[str] | None = None) -> None:
              "satisfies the window SORT as well as its distribution",
     )
     p.add_argument(
+        "--single-file-buckets", action="store_true",
+        help="repartition onto the bucket count before the --bucket-out "
+             "write so every bucket is ONE file — the precondition for "
+             "readers to elide sorts the --sort-cols layout provides "
+             "(tableio.SORTED_SCAN_CONFS)",
+    )
+    p.add_argument(
         "--conf", action="append", default=[], metavar="K=V",
         help="extra Spark session conf, repeatable (mirrors "
              "spark-submit --conf; e.g. "
@@ -152,8 +159,8 @@ def main(argv: list[str] | None = None) -> None:
             p.error("--bucket-cols must name at least one column")
         if sort_cols is not None and not sort_cols:
             p.error("--sort-cols must name at least one column when given")
-    elif sort_cols is not None:
-        p.error("--sort-cols only applies to --bucket-out")
+    elif sort_cols is not None or args.single_file_buckets:
+        p.error("--sort-cols/--single-file-buckets only apply to --bucket-out")
     bad_conf = [c for c in args.conf if "=" not in c]
     if bad_conf:
         p.error(f"--conf takes K=V, got {bad_conf[0]!r}")
@@ -275,6 +282,7 @@ def main(argv: list[str] | None = None) -> None:
             bucket_by=(n, *bucket_cols),
             sort_by=sort_cols,
             table_name=args.bucket_table,
+            single_file_buckets=args.single_file_buckets,
         )
         print(json.dumps({
             "bucket_out": args.bucket_out,

@@ -61,8 +61,14 @@ def stitch_multiline(
     no session conf needed, rows identical (pinned:
     tests/test_stitch.py::test_stitch_bucketed_transcripts_no_exchange;
     measured 1.36x on 2M rows, BENCH/r8_stitch_bucketed.json). The
-    same elision applies to every conv_id-clustered stage
-    (sessionization windows, throttle frames).
+    same elision holds for every conv_id-clustered stage — pinned, not
+    just claimed: sessionize_by_gap / session_stats / throttle_drop /
+    throttle_audit each compile zero exchanges over the bucket
+    (test_conv_id_bucket_elides_every_stage_exchange). Laying the
+    buckets out SORTED in this window's own order (sort_by=(conv_id,
+    turn_idx), single_file_buckets=True) additionally elides the
+    window SORT under tableio.SORTED_SCAN_CONFS
+    (test_sorted_bucket_elides_window_sort).
     """
     if is_start is None:
         is_start = F.col(text_col).rlike(firstline_re)

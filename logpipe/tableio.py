@@ -85,6 +85,25 @@ def enable_spj(spark: SparkSession) -> dict[str, str]:
     return prev
 
 
+# Reader-side conf that lets a bucketed scan report its IN-BUCKET sort
+# order (``write_table(..., sort_by=...)``) as the scan's output
+# ordering, eliding the SORT under windows/SMJs whose required order
+# the layout already provides — e.g. a transcripts table laid out
+# ``bucketBy(conv_id).sortBy(conv_id, turn_idx)`` satisfies the stitch
+# window's (conv_id, turn_idx) order, compiling the whole stitch with
+# zero exchanges AND zero sorts (pinned:
+# tests/test_stitch.py::test_sorted_bucket_elides_window_sort). Spark
+# stopped propagating the ordering by default (SPARK-28173): with
+# MULTIPLE files per bucket the scan would need a per-bucket merge-
+# sort, which can lose. The propagation therefore only fires when
+# every bucket is a SINGLE file — the layout
+# ``write_table(single_file_buckets=True)`` produces — so this conf is
+# safe exactly when paired with that writer knob.
+SORTED_SCAN_CONFS = {
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
+}
+
+
 def is_table_ref(ref: str, spark: SparkSession | None = None) -> bool:
     """True for catalog table identifiers (``cat.db.tbl`` / ``db.tbl``),
     False for filesystem paths. Paths carry a separator, a URI scheme,
@@ -301,6 +320,7 @@ def write_table(
     bucket_by: tuple | None = None,
     sort_by: tuple[str, ...] | None = None,
     table_name: str | None = None,
+    single_file_buckets: bool = False,
 ) -> str | None:
     """Write ``df`` to ``ref``. Parquet branch: the directory write
     every committed test exercises. Iceberg branch: ``writeTo`` v2 —
@@ -327,6 +347,19 @@ def write_table(
       layout to elide join shuffles. Returns None (the ref IS the
       table).
 
+    ``single_file_buckets=True`` repartitions ``df`` onto
+    ``n_buckets`` partitions hashed on the bucket columns before the
+    path-branch write — Spark's repartition hash IS the bucket hash,
+    so each write task holds exactly one bucket and each bucket lands
+    in ONE file. That is the precondition for the scan to report the
+    in-bucket ``sort_by`` order (``SORTED_SCAN_CONFS``); without it
+    the file count per bucket depends on however many splits the
+    input arrived in. The trade at scale: the write's parallelism
+    becomes ``n_buckets`` (size n_buckets to the cluster, as the
+    bucket count should be anyway) and each bucket is one large file
+    — fine for bucketed reads, whose split unit is the bucket either
+    way.
+
     Contract pinned (no jars in the sandbox) in tests/test_tableio.py;
     the path branch's shuffle-elision is demonstrated end-to-end in
     tests/test_traindata.py::test_span_trim_bucketed_rejoin and
@@ -338,23 +371,26 @@ def write_table(
             raise ValueError(
                 f"write_table: bucket_by must be (n_buckets, col, ...), got {bucket_by!r}"
             )
-    elif sort_by is not None or table_name is not None:
+    elif sort_by is not None or table_name is not None or single_file_buckets:
         # validated BEFORE branching so the Iceberg branch cannot
         # silently drop the knobs the path branch rejects (round-8
         # review)
         raise ValueError(
-            "write_table: sort_by/table_name only apply to bucketed path "
-            "writes (pass bucket_by)"
+            "write_table: sort_by/table_name/single_file_buckets only "
+            "apply to bucketed path writes (pass bucket_by)"
         )
     if is_table_ref(ref, df.sparkSession):
         _require_iceberg(df.sparkSession, ref)
         from pyspark.sql import functions as F
         from pyspark.sql.functions import partitioning as P
 
-        if bucket_by is not None and (sort_by is not None or table_name is not None):
+        if bucket_by is not None and (
+            sort_by is not None or table_name is not None or single_file_buckets
+        ):
             raise ValueError(
-                "write_table: sort_by/table_name are path-branch knobs; "
-                "Iceberg sort order is a table property (WRITE ORDERED BY) "
+                "write_table: sort_by/table_name/single_file_buckets are "
+                "path-branch knobs; Iceberg sort order and file sizing are "
+                "table properties (WRITE ORDERED BY / write.target-file-size) "
                 "and the ref already names the table"
             )
         w = df.writeTo(ref).using("iceberg")
@@ -394,6 +430,10 @@ def write_table(
                     "would repoint existing readers — pass table_name "
                     "explicitly"
                 )
+        if single_file_buckets:
+            # task hash == bucket hash (both Murmur3 on the columns),
+            # so partition i holds exactly bucket i -> one file each
+            df = df.repartition(n_buckets, *bucket_cols)
         writer = (
             df.write.mode(mode)
             .bucketBy(n_buckets, *bucket_cols)

@@ -161,3 +161,124 @@ def test_stitch_bucketed_transcripts_no_exchange(spark, tmp_path):
         assert rows_p == rows_b and rows_p
     finally:
         spark.sql("DROP TABLE IF EXISTS stitch_bucketed_t")
+
+
+def test_conv_id_bucket_elides_every_stage_exchange(spark, tmp_path):
+    """Round-8 verdict task 2: the stitch docstring claims the SAME
+    layout elision applies to every conv_id-clustered stage — make the
+    generalization a fact. Over one conv_id-bucketed transcripts table
+    (no session conf: subset-key clustering satisfies window/aggregate
+    ClusteredDistribution by default), each of the four other
+    conv_id-keyed stages compiles ZERO exchanges vs exactly ONE on
+    plain parquet, with identical rows:
+    - sessionize_by_gap / session_stats (windows on conv_id),
+    - throttle_drop / throttle_audit (window + aggregate on
+      (conv_id, date_trunc(ts)) — conv_id is a PREFIX of the cluster
+      keys, so the single-key bucket still satisfies it)."""
+    from logpipe.operators.stitch import session_stats, sessionize_by_gap
+    from logpipe.operators.throttle import throttle_audit, throttle_drop
+    from logpipe.synth import synth_transcripts
+    from logpipe.tableio import write_table
+
+    t = synth_transcripts(spark, n_rows=4000, n_convs=32)
+    plain_dir = str(tmp_path / "plain")
+    t.write.mode("overwrite").parquet(plain_dir)
+    plain = spark.read.parquet(plain_dir)
+    spark.sql("DROP TABLE IF EXISTS stages_bucketed_t")
+    try:
+        write_table(
+            plain,
+            str(tmp_path / "bucketed"),
+            bucket_by=(int(spark.conf.get("spark.sql.shuffle.partitions")), "conv_id"),
+            table_name="stages_bucketed_t",
+        )
+        b = spark.table("stages_bucketed_t")
+
+        stages = {
+            "sessionize_by_gap": lambda d: sessionize_by_gap(d, gap_sec=60),
+            "session_stats": lambda d: session_stats(d, gap_sec=60),
+            "throttle_drop": lambda d: throttle_drop(d, rate=2, bucket="day"),
+            "throttle_audit": lambda d: throttle_audit(d, rate=2, bucket="day"),
+        }
+        for name, fn in stages.items():
+            out_p, out_b = fn(plain), fn(b)
+            plan_p = out_p._jdf.queryExecution().executedPlan().toString()
+            plan_b = out_b._jdf.queryExecution().executedPlan().toString()
+            assert plan_p.count("Exchange") == 1, (name, plan_p)
+            assert plan_b.count("Exchange") == 0, (name, plan_b)
+            assert "Bucketed: true" in plan_b, (name, plan_b)
+            rows_p = sorted(tuple(r) for r in out_p.collect())
+            rows_b = sorted(tuple(r) for r in out_b.collect())
+            assert rows_p == rows_b and rows_p, name
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stages_bucketed_t")
+
+
+def test_sorted_bucket_elides_window_sort(spark, tmp_path):
+    """Round-8 verdict task 5: a bucketed layout SORTED in the stitch
+    window's own order — bucketBy(conv_id).sortBy(conv_id, turn_idx),
+    one file per bucket (single_file_buckets) — elides the window SORT
+    as well as its exchange, under tableio.SORTED_SCAN_CONFS (Spark
+    stopped propagating in-bucket order by default, SPARK-28173:
+    multi-file buckets would need a per-bucket merge-sort). Pinned in
+    all three regimes: sorted layout + conf -> 0 Exchange 0 Sort;
+    unsorted layout + conf -> the Sort stays; sorted layout WITHOUT
+    the conf -> the Sort stays (conf, not luck, propagates it). Rows
+    identical everywhere."""
+    import re
+
+    from logpipe.synth import synth_transcripts
+    from logpipe.tableio import SORTED_SCAN_CONFS, write_table
+
+    def n_sorts(plan: str) -> int:
+        return len(re.findall(r"\bSort\b", plan))
+
+    t = synth_transcripts(spark, n_rows=4000, n_convs=32)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.sql("DROP TABLE IF EXISTS sorted_bucket_t")
+    spark.sql("DROP TABLE IF EXISTS unsorted_bucket_t")
+    prev = {k: spark.conf.get(k, None) for k in SORTED_SCAN_CONFS}
+    try:
+        write_table(
+            t, str(tmp_path / "sorted"), bucket_by=(n, "conv_id"),
+            sort_by=("conv_id", "turn_idx"), table_name="sorted_bucket_t",
+            single_file_buckets=True,
+        )
+        write_table(
+            t, str(tmp_path / "unsorted"), bucket_by=(n, "conv_id"),
+            table_name="unsorted_bucket_t", single_file_buckets=True,
+        )
+        # single_file_buckets held: one data file per bucket
+        import os
+
+        files = [
+            f for f in os.listdir(str(tmp_path / "sorted"))
+            if f.startswith("part-")
+        ]
+        assert len(files) == n, files
+
+        sorted_t, unsorted_t = spark.table("sorted_bucket_t"), spark.table("unsorted_bucket_t")
+        baseline = sorted(tuple(r) for r in stitch_multiline(sorted_t).collect())
+
+        # without the conf the order never propagates, sorted or not
+        plan_off = stitch_multiline(sorted_t)._jdf.queryExecution().executedPlan().toString()
+        assert plan_off.count("Exchange") == 0 and n_sorts(plan_off) == 1, plan_off
+
+        for k, v in SORTED_SCAN_CONFS.items():
+            spark.conf.set(k, v)
+        plan_sorted = stitch_multiline(sorted_t)._jdf.queryExecution().executedPlan().toString()
+        assert plan_sorted.count("Exchange") == 0 and n_sorts(plan_sorted) == 0, plan_sorted
+        plan_unsorted = stitch_multiline(unsorted_t)._jdf.queryExecution().executedPlan().toString()
+        assert plan_unsorted.count("Exchange") == 0 and n_sorts(plan_unsorted) == 1, plan_unsorted
+
+        rows_sorted = sorted(tuple(r) for r in stitch_multiline(sorted_t).collect())
+        rows_unsorted = sorted(tuple(r) for r in stitch_multiline(unsorted_t).collect())
+        assert rows_sorted == baseline == rows_unsorted and baseline
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS sorted_bucket_t")
+        spark.sql("DROP TABLE IF EXISTS unsorted_bucket_t")
