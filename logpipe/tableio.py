@@ -39,9 +39,25 @@ writes a Hive-bucketed external table (``bucketBy + sortBy +
 saveAsTable`` — plain ``save()`` cannot carry bucket metadata), the
 Iceberg branch uses the ``bucket(n, col)`` partition transform.
 Reading the layout BACK with its bucketing visible needs the catalog
-entry (``spark.table(name)`` — ``read_table`` on the raw path sees
-only parquet files); on Iceberg the reader side additionally needs
-the storage-partitioned-join session confs (``SPJ_CONFS`` below).
+entry (``spark.table(name)`` / ``read_table`` on the table name —
+the raw path sees only parquet files); on Iceberg the reader side
+additionally needs the storage-partitioned-join session confs
+(``SPJ_CONFS`` below).
+
+CROSS-SESSION requirement (path branch): the bucket spec lives in the
+CATALOG ENTRY, not in the parquet files, so the relayout job and every
+later reader must share a metastore. On a cluster that is the Hive
+Metastore / Glue catalog the sessions already share; locally it means
+``spark.sql.catalogImplementation=hive`` plus a common Derby metastore
+directory (``spark.hadoop.javax.jdo.option.ConnectionURL=jdbc:derby:;
+databaseName=<dir>/metastore_db;create=true``) and
+``spark.sql.warehouse.dir`` — both settable per-run via ``cli --conf``.
+A default in-memory-catalog session writes the files fine but the
+entry dies with the JVM, and later sessions see only plain parquet.
+Pinned end-to-end across two real processes in
+tests/test_cross_session.py. (Iceberg tables carry their partition
+transform in table metadata, so the Iceberg branch has no such
+requirement beyond the catalog itself.)
 """
 
 from __future__ import annotations
