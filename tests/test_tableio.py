@@ -518,3 +518,76 @@ def test_bucketed_write_unknown_location_refuses(spark, tmp_path, monkeypatch):
             write_table(df, a, bucket_by=(2, "doc_id"))
     finally:
         spark.sql("DROP TABLE IF EXISTS corpus_u")
+
+
+def test_iceberg_integration_spj_rejoin(spark, tmp_path):
+    """INTEGRATION test for the Iceberg branch — everything the sandbox
+    can only contract-pin, executed for real wherever the
+    iceberg-spark-runtime jars are on the classpath (round-8 verdict
+    task 3: give jars-present deployments a free validation of the
+    claim). SKIPS here: the readiness probe requires the catalog class
+    to load. On a jars-present machine it runs end-to-end:
+
+    1. configure a hadoop-type Iceberg catalog at runtime,
+    2. write corpus + verdicts through write_table's Iceberg branch
+       with the bucket(n, doc_id) partition transform,
+    3. enable_spj() and join them on doc_id with broadcast disabled,
+    4. assert the storage-partitioned join fired: ZERO exchanges in
+       the executed plan (both sides served grouped by their bucket
+       transform), and the join result matches the input parity.
+
+    Deployers: run `pytest tests/test_tableio.py -k integration` once
+    per environment (README 'Table format' note)."""
+    import logpipe.tableio as tio
+    from pyspark.sql import functions as F
+
+    cat_confs = {
+        "spark.sql.catalog.it_test": "org.apache.iceberg.spark.SparkCatalog",
+        "spark.sql.catalog.it_test.type": "hadoop",
+        "spark.sql.catalog.it_test.warehouse": str(tmp_path / "iceberg_wh"),
+    }
+    for k, v in cat_confs.items():
+        spark.conf.set(k, v)
+    try:
+        if not tio.iceberg_ready(spark):
+            pytest.skip(
+                "Iceberg runtime jars not on the classpath — the branch "
+                "is contract-pinned in this environment; run this test "
+                "on a jars-present deployment to execute it"
+            )
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS it_test.db")
+        corpus = spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            F.md5(F.col("id").cast("string")).alias("text"),
+        )
+        verdicts = spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 3 == 0).alias("keep"),
+        )
+        write_table(corpus, "it_test.db.corpus", bucket_by=(8, "doc_id"))
+        write_table(verdicts, "it_test.db.verdicts", bucket_by=(8, "doc_id"))
+
+        prev = enable_spj(spark)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            c = read_table(spark, "it_test.db.corpus")
+            v = read_table(spark, "it_test.db.verdicts")
+            joined = c.join(v, "doc_id").filter(F.col("keep"))
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # the storage-partitioned join: both sides grouped by the
+            # bucket transform, no exchange anywhere
+            assert "BatchScan" in plan, plan
+            assert plan.count("Exchange") == 0, plan
+            assert joined.count() == 334  # ids 0,3,...,999
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            for k, val in prev.items():
+                if val is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, val)
+            spark.sql("DROP TABLE IF EXISTS it_test.db.verdicts")
+            spark.sql("DROP TABLE IF EXISTS it_test.db.corpus")
+    finally:
+        for k in cat_confs:
+            spark.conf.unset(k)
