@@ -434,9 +434,13 @@ def test_star_hub_derivation_and_plan_shapes(spark):
     materialization was the one perf watch item): hub mode only when
     the edge volume can clear the skew threshold at all.
 
-    - decision rule: total-bytes upper bound vs the session threshold
-      (a single partition can never exceed the whole edge set), off
-      when skew-join rewriting is disabled;
+    - decision rule, two stages since round 9: total-bytes upper bound
+      vs the session threshold (a single partition can never exceed
+      the whole edge set; zero jobs), then — only past that bound and
+      given the checkpointed edge set — the max-symmetric-degree
+      hot-partition bound, so large-but-UNIFORM graphs skip the eager
+      jobs too (BENCH/r9_star_uniform.json); off when skew-join
+      rewriting is disabled;
     - hub=False plan: the min aggregate feeds the join lazily — the
       ``min(v)`` HashAggregate compiles INSIDE the round's plan (the
       shape whose interposed aggregate child suppresses the skew
@@ -457,6 +461,23 @@ def test_star_hub_derivation_and_plan_shapes(spark):
     with skew_probe_confs(spark):  # 16KB threshold: 150k edges qualify
         assert _derive_hub_skew(spark, 150_000)
         assert not _derive_hub_skew(spark, 100)
+        # round-9 stage-2 refinement (BENCH/r9_star_uniform.json: a
+        # uniform graph past the global bound paid 1.27x for nothing):
+        # when the round's checkpointed edge set is handed over, the
+        # max symmetric degree bounds the hottest partition. A chain
+        # (max degree 2) claiming 1,500 edges clears stage 1
+        # (1500 x 64B = 96KB >= 16KB) but its hot-partition bound
+        # ((2 + ceil(1500/8)) x 64B ~= 12KB) stays under -> False;
+        # a 1,500-spoke hub with the same claimed volume -> True.
+        chain = materialize(spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 40)], "u long, v long"))
+        hub_e = materialize(spark.range(1, 1501).select(
+            F.lit(0).cast("long").alias("u"), F.col("id").alias("v")))
+        try:
+            assert not _derive_hub_skew(spark, 1_500, chain)
+            assert _derive_hub_skew(spark, 1_500, hub_e)
+        finally:
+            release(chain, hub_e)
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
     try:
         assert not _derive_hub_skew(spark, 16_000_000)
