@@ -287,7 +287,14 @@ def main(argv: list[str] | None = None) -> None:
         print(json.dumps({
             "bucket_out": args.bucket_out,
             "bucket_cols": list(bucket_cols),
-            "sort_cols": list(sort_cols if sort_cols is not None else bucket_cols),
+            # the Iceberg branch (table is None) carries NO sort order
+            # — reporting the path-branch default there would claim an
+            # ordering the table does not have (round-9 review)
+            "sort_cols": (
+                list(sort_cols if sort_cols is not None else bucket_cols)
+                if name is not None
+                else None
+            ),
             "n_buckets": n,
             # path branch: read back via spark.table(<table>) so the
             # bucket metadata (catalog entry) serves the scan; Iceberg

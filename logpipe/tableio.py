@@ -120,7 +120,20 @@ SORTED_SCAN_CONFS = {
 }
 
 
-def is_table_ref(ref: str, spark: SparkSession | None = None) -> bool:
+def _path_shaped(ref: str) -> bool:
+    """Unambiguously a filesystem path: carries a separator, a URI
+    scheme, or a ``.parquet`` suffix. ONE definition — both
+    ``is_table_ref`` and ``read_table``'s implicit-catalog branch
+    classify with it (round-9 review: the rules were duplicated and
+    could drift)."""
+    return (
+        "/" in ref or "\\" in ref or "://" in ref or ref.endswith(".parquet")
+    )
+
+
+def is_table_ref(
+    ref: str, spark: SparkSession | None = None, ready: bool | None = None
+) -> bool:
     """True for catalog table identifiers (``cat.db.tbl`` / ``db.tbl``),
     False for filesystem paths. Paths carry a separator, a URI scheme,
     or a ``.parquet`` suffix; a bare single-segment name is a relative
@@ -140,12 +153,16 @@ def is_table_ref(ref: str, spark: SparkSession | None = None) -> bool:
     HDFS-default cluster a dotted dir that exists only on HDFS must
     classify as a path, and a stray driver-local dir must not flip a
     table read). In both regimes ``./data.v2`` forces the path
-    reading."""
-    if "/" in ref or "\\" in ref or "://" in ref or ref.endswith(".parquet"):
+    reading. ``ready`` lets a caller that already evaluated
+    ``iceberg_ready`` pass the answer in (the probe collects the
+    session's SQL confs — worth not repeating per call)."""
+    if _path_shaped(ref):
         return False
     if "." not in ref:
         return False  # bare relative names are paths, not identifiers
-    if spark is not None and iceberg_ready(spark):
+    if ready is None:
+        ready = spark is not None and iceberg_ready(spark)
+    if ready:
         return True
     return not _ref_exists(spark, ref)
 
@@ -271,16 +288,15 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
     directory (round-6 ADVICE)."""
     if ref.startswith(TABLE_PREFIX):
         return spark.read.table(ref[len(TABLE_PREFIX):])
-    if is_table_ref(ref, spark):
-        if not iceberg_ready(spark) and _builtin_catalog_has(spark, ref):
+    ready = iceberg_ready(spark)  # evaluated ONCE per read (round-9 review)
+    if is_table_ref(ref, spark, ready=ready):
+        if ready:
+            return spark.read.table(ref)
+        if _builtin_catalog_has(spark, ref):
             return spark.read.table(ref)  # e.g. default.corpus_t, Hive/built-in
-        _require_iceberg(spark, ref)
-        return spark.read.table(ref)
+        _require_iceberg(spark, ref)  # not ready: raises the actionable error
     if (
-        "/" not in ref
-        and "\\" not in ref
-        and "://" not in ref
-        and not ref.endswith(".parquet")
+        not _path_shaped(ref)
         and not _ref_exists(spark, ref)
         and _builtin_catalog_has(spark, ref)
     ):
@@ -447,6 +463,18 @@ def write_table(
                     "explicitly"
                 )
         if single_file_buckets:
+            if partition_by:
+                # each task would write one file per bucket PER
+                # partition-dir value — multiple files per bucket from
+                # the scan's view, so the sort propagation the knob
+                # exists for silently never fires. Refuse instead of
+                # paying the repartition for nothing (round-9 review).
+                raise ValueError(
+                    "write_table: single_file_buckets cannot hold with "
+                    "partition_by (one file per bucket per partition "
+                    "dir defeats the sorted-scan precondition) — drop "
+                    "one of the two"
+                )
             # task hash == bucket hash (both Murmur3 on the columns),
             # so partition i holds exactly bucket i -> one file each
             df = df.repartition(n_buckets, *bucket_cols)

@@ -524,12 +524,16 @@ def _derive_hub_skew(spark, n_edges: int, e: DataFrame | None = None) -> bool:
        ``_derive_spread``.)
     2. HOT-KEY test, only when (1) clears and the caller hands the
        round's CHECKPOINTED edge set: the hottest partition's rows
-       are bounded by the max symmetric degree plus the partition's
-       uniform share (``ceil(n_edges / shuffle_partitions)`` — skew
-       means one KEY dominating; the rest of its partition hashes
-       uniformly), so hub mode is needed only if some key's degree
-       reaches ``threshold/64B - that share``. ``_has_key_with_degree``
-       answers that JVM-side without shuffling the edge set (freqItems
+       are estimated as the max symmetric degree plus the partition's
+       uniform share of the SYMMETRIC view (``ceil(2|E| /
+       shuffle_partitions)`` — the join shuffles both orientations).
+       This is an expectation under uniform hashing, not a worst-case
+       bound (several medium keys can co-hash into one partition);
+       the slack that keeps it safe is the 64B/row margin (~4x raw,
+       compared uncompressed against a compressed-size threshold).
+       Hub mode is needed only if some key's degree reaches
+       ``threshold/64B - that share``; ``_has_key_with_degree``
+       answers JVM-side without shuffling the edge set (freqItems
        summary + exact verification of the few candidates — see its
        docstring for the measured alternatives). Under the bar ->
        False: a large-but-uniform graph skips the per-round eager
@@ -562,8 +566,12 @@ def _derive_hub_skew(spark, n_edges: int, e: DataFrame | None = None) -> bool:
     if e is None:
         return True  # no degree source: the global bound decides
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    min_hot_deg = thresh // _EDGE_ROW_BYTES_UB - (-(-n_edges // max(n_part, 1)))
-    return _has_key_with_degree(e, 2 * n_edges, max(min_hot_deg, 1))
+    # the join side shuffles the SYMMETRIC view — 2x|E| rows — so the
+    # hot partition's uniform share is 2E/P (round-9 review: E/P
+    # overstated the degree bar by a whole share)
+    n_sym = 2 * n_edges
+    min_hot_deg = thresh // _EDGE_ROW_BYTES_UB - (-(-n_sym // max(n_part, 1)))
+    return _has_key_with_degree(e, n_sym, max(min_hot_deg, 1))
 
 
 def _has_key_with_degree(e: DataFrame, n_sym: int, min_rows: int) -> bool:
@@ -593,12 +601,27 @@ def _has_key_with_degree(e: DataFrame, n_sym: int, min_rows: int) -> bool:
     sym = e.select("u").unionAll(e.select(F.col("v").alias("u")))
     if min_rows > n_sym:
         return False  # no key can reach the bar
-    support = max(min_rows / n_sym, 1e-4)
+    # freqItems' contract is STRICT: it guarantees keys with count >
+    # support * n_sym, so the support must sit below min_rows/n_sym
+    # for a key at exactly min_rows to be guaranteed in the summary
+    # (round-9 review). Spark floors support at 1e-4; below that the
+    # summary can MISS a qualifying key, so fall back to the exact
+    # degree aggregate — only huge-P/huge-E regimes land here, where
+    # one 2|E|-id shuffle is a trivial fraction of the round.
+    support = (min_rows - 1) / n_sym
+    if support < 1e-4:
+        max_deg = (
+            sym.groupBy("u").count().agg(F.max("count")).first()[0]
+        ) or 0
+        return max_deg >= min_rows
     cands = sym.stat.freqItems(["u"], support).first()[0]
     if not cands:
         return False
+    # candidates keep the column's own type — node ids are opaque to
+    # star_components (strings work), so no numeric cast (round-9
+    # review)
     max_deg = (
-        sym.filter(F.col("u").isin([int(c) for c in cands]))
+        sym.filter(F.col("u").isin(list(cands)))
         .groupBy("u")
         .count()
         .agg(F.max("count"))

@@ -502,6 +502,24 @@ def test_read_table_serves_builtin_catalog_table(spark, tmp_path, monkeypatch):
         spark.sql("DROP TABLE IF EXISTS advice_bkt_t")
 
 
+def test_single_file_buckets_rejects_partition_by(spark, tmp_path):
+    """partition_by splits every bucket across partition dirs — the
+    scan sees multiple files per bucket and the sorted-scan
+    propagation the knob exists for silently never fires; refuse the
+    combination instead of paying the repartition for nothing
+    (round-9 review)."""
+    df = spark.range(10).selectExpr(
+        "id as doc_id", "cast(id % 2 as string) as day"
+    )
+    with pytest.raises(ValueError, match="single_file_buckets"):
+        write_table(
+            df, str(tmp_path / "sfb"), bucket_by=(2, "doc_id"),
+            partition_by=("day",), single_file_buckets=True,
+            table_name="sfb_reject_t",
+        )
+    assert not spark.catalog.tableExists("sfb_reject_t")
+
+
 def test_bucketed_write_unknown_location_refuses(spark, tmp_path, monkeypatch):
     """When the existing same-named table's location cannot be
     DETERMINED, the derived-name write must refuse rather than guess

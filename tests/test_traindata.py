@@ -463,21 +463,35 @@ def test_star_hub_derivation_and_plan_shapes(spark):
         assert not _derive_hub_skew(spark, 100)
         # round-9 stage-2 refinement (BENCH/r9_star_uniform.json: a
         # uniform graph past the global bound paid 1.27x for nothing):
-        # when the round's checkpointed edge set is handed over, the
-        # max symmetric degree bounds the hottest partition. A chain
-        # (max degree 2) claiming 1,500 edges clears stage 1
-        # (1500 x 64B = 96KB >= 16KB) but its hot-partition bound
-        # ((2 + ceil(1500/8)) x 64B ~= 12KB) stays under -> False;
-        # a 1,500-spoke hub with the same claimed volume -> True.
+        # when the round's checkpointed edge set is handed over, hub
+        # mode needs a key whose degree reaches threshold/64B minus
+        # the symmetric view's uniform share. Claimed volume 800
+        # edges: stage 1 clears (800 x 64B = 51KB >= 16KB), the bar is
+        # 16KB/64B - ceil(1600/8) = 56 — a chain (max degree 2) stays
+        # under -> False; an 800-spoke hub -> True.
         chain = materialize(spark.createDataFrame(
             [(i, i + 1) for i in range(1, 40)], "u long, v long"))
-        hub_e = materialize(spark.range(1, 1501).select(
+        hub_e = materialize(spark.range(1, 801).select(
             F.lit(0).cast("long").alias("u"), F.col("id").alias("v")))
         try:
-            assert not _derive_hub_skew(spark, 1_500, chain)
-            assert _derive_hub_skew(spark, 1_500, hub_e)
+            assert not _derive_hub_skew(spark, 800, chain)
+            assert _derive_hub_skew(spark, 800, hub_e)
         finally:
             release(chain, hub_e)
+        # node ids are opaque to star_components — string ids must
+        # survive the hot-key test (round-9 review caught an int()
+        # cast), and min_rows=1 exercises the exact-fallback path
+        # (support would sit below freqItems' 1e-4 floor)
+        from logpipe.traindata.dedup import _has_key_with_degree
+
+        se = materialize(spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "y")], "u string, v string"))
+        try:
+            assert _has_key_with_degree(se, 6, 2)      # "b": degree 2
+            assert not _has_key_with_degree(se, 6, 3)  # nothing reaches 3
+            assert _has_key_with_degree(se, 6, 1)      # exact fallback
+        finally:
+            release(se)
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
     try:
         assert not _derive_hub_skew(spark, 16_000_000)
