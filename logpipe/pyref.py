@@ -17,11 +17,17 @@ _LEVEL = (
     "[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|DEBU|[Ii]nfo|INFO"
     "|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)"
 )
+# re.ASCII pins \w to [0-9A-Za-z_]: the engines this oracle checks against —
+# Java regexp_extract (no UNICODE_CHARACTER_CLASS) and the reference's Go RE2
+# (helps.go) — are both ASCII-classed, while Python's default \w is Unicode.
+# Without the flag the oracle alone matches e.g. "INFO [é,]" (hypothesis
+# counterexample, round 9) and the parity test fails on the oracle's side.
 ERDA_INFO = re.compile(
     f"({_LEVEL})" + r"(.*?)\[([\w|\-|_]*?)\,"
-    r"(\{?\w{8}-?\w{4}-?\w{4}-?\w{4}-?\w{12}\}?)?([\,|\w|\-|_|=]*?)\]"
+    r"(\{?\w{8}-?\w{4}-?\w{4}-?\w{4}-?\w{12}\}?)?([\,|\w|\-|_|=]*?)\]",
+    re.ASCII,
 )
-CPUSET = re.compile(r"^/(.*?)/(\w+$)")
+CPUSET = re.compile(r"^/(.*?)/(\w+$)", re.ASCII)
 
 DICE_KEYS = [
     "runtime_id", "runtime_name", "application_id", "application_name",
