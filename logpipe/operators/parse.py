@@ -67,6 +67,22 @@ LOG_ID_RE = r"^/stdlog/([\w|\-]+)/(\d+\.log$)"
 CPUSET_RE = r"^/(.*?)/(\w+$)"
 
 
+def _java(pattern: str) -> str:
+    """Prefix UNIX_LINES ("(?d)") for java.util.regex consumption.
+
+    Without it Java's ``.`` excludes \\r/\\u0085/\\u2028/\\u2029 while
+    the reference's Go RE2 (helps.go), Python ``re`` and the DuckDB
+    oracle's RE2 exclude only \\n — so "INFO\\r[svc,]" would grok in
+    the reference but not in Spark (hypothesis counterexample class,
+    round 9). (?d) pins Java's ``.`` to exactly the RE2/Python
+    semantics. Residual divergence: under (?d) Java's ``$`` still
+    matches before a FINAL \\n where RE2's matches end-of-text only —
+    unreachable for line-split input, which cannot carry a trailing
+    bare \\n. The pattern CONSTANTS stay flag-free: they are shared
+    with engines that reject inline (?d) (Python re, RE2)."""
+    return "(?d)" + pattern
+
+
 def truncate_log(text: Column, max_chars: int = MAX_CONTENT_CHARS) -> Column:
     """P2 truncate-log: cap content at 50KB (conf/ds/parsers.conf:6-10).
 
@@ -78,12 +94,12 @@ def truncate_log(text: Column, max_chars: int = MAX_CONTENT_CHARS) -> Column:
 
 def erda_level(text: Column) -> Column:
     """P1: extract log level ('' when absent)."""
-    return F.regexp_extract(text, ERDA_INFO_RE, 1)
+    return F.regexp_extract(text, _java(ERDA_INFO_RE), 1)
 
 
 def erda_request_id(text: Column) -> Column:
     """P1: extract request id UUID ('' when absent)."""
-    return F.regexp_extract(text, ERDA_INFO_RE, 4)
+    return F.regexp_extract(text, _java(ERDA_INFO_RE), 4)
 
 
 def erda_info_struct(text: Column) -> Column:
@@ -93,10 +109,10 @@ def erda_info_struct(text: Column) -> Column:
     the group extracts then run on the short matched substring only —
     measured ~1.9x faster than two full-text regexp_extract passes,
     bit-identical output (tested)."""
-    m = F.regexp_substr(text, F.lit(ERDA_INFO_RE))
+    m = F.regexp_substr(text, F.lit(_java(ERDA_INFO_RE)))
     return F.struct(
-        F.coalesce(F.regexp_extract(m, ERDA_INFO_RE, 1), F.lit("")).alias("level"),
-        F.coalesce(F.regexp_extract(m, ERDA_INFO_RE, 4), F.lit("")).alias("request_id"),
+        F.coalesce(F.regexp_extract(m, _java(ERDA_INFO_RE), 1), F.lit("")).alias("level"),
+        F.coalesce(F.regexp_extract(m, _java(ERDA_INFO_RE), 4), F.lit("")).alias("request_id"),
     )
 
 
@@ -119,10 +135,10 @@ def is_firstline(text: Column) -> Column:
 def parse_cri(line: Column) -> Column:
     """P5: CRI line -> struct(time, stream, logtag, log)."""
     return F.struct(
-        F.regexp_extract(line, CRI_RE, 1).alias("time"),
-        F.regexp_extract(line, CRI_RE, 2).alias("stream"),
-        F.regexp_extract(line, CRI_RE, 3).alias("logtag"),
-        F.regexp_extract(line, CRI_RE, 4).alias("log"),
+        F.regexp_extract(line, _java(CRI_RE), 1).alias("time"),
+        F.regexp_extract(line, _java(CRI_RE), 2).alias("stream"),
+        F.regexp_extract(line, _java(CRI_RE), 3).alias("logtag"),
+        F.regexp_extract(line, _java(CRI_RE), 4).alias("log"),
     )
 
 
@@ -141,9 +157,9 @@ def docker_time(time_str: Column) -> Column:
 
 def log_id_from_path(path: Column) -> Column:
     """P7: /stdlog/<name>/<n>.log -> container name ('' when absent)."""
-    return F.regexp_extract(path, LOG_ID_RE, 1)
+    return F.regexp_extract(path, _java(LOG_ID_RE), 1)
 
 
 def container_id_from_cpuset(cpuset: Column) -> Column:
     """P8: cgroup path -> trailing container id ('' when absent)."""
-    return F.regexp_extract(cpuset, CPUSET_RE, 2)
+    return F.regexp_extract(cpuset, _java(CPUSET_RE), 2)

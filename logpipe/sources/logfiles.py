@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from logpipe.operators.parse import CRI_RE
+from logpipe.operators.parse import CRI_RE, _java
 
 KUBE_FILENAME_RE = r"([a-z0-9\-.]+)_([a-z0-9\-.]+)_(.+)-([a-f0-9]{64})\.log$"
 
@@ -231,7 +231,7 @@ def read_cri_logs(
     (Exclude_Path / Skip_Long_Lines as in read_docker_logs;
     cri-runtime.conf:4,9)."""
     lines = _lines(spark, path, exclude_path, skip_long_lines)
-    t = F.regexp_extract("line", CRI_RE, 1)
+    t = F.regexp_extract("line", _java(CRI_RE), 1)
     return lines.select(
         (
             F.element_at(F.split("file", "/"), -1)
@@ -239,15 +239,15 @@ def read_cri_logs(
             else F.lit("cri")
         ).alias("conv_id"),
         F.col("line_no").cast("int").alias("turn_idx"),
-        F.regexp_extract("line", CRI_RE, 2).alias("role"),
-        F.regexp_extract("line", CRI_RE, 4).alias("text"),
+        F.regexp_extract("line", _java(CRI_RE), 2).alias("role"),
+        F.regexp_extract("line", _java(CRI_RE), 4).alias("text"),
         F.lit(None).cast("string").alias("tool"),
         F.to_timestamp(
             F.regexp_replace(t, r"(\.\d{6})\d*", "$1"),
             "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
         ).alias("ts"),
         F.col("file"),
-        F.regexp_extract("line", CRI_RE, 3).alias("logtag"),
+        F.regexp_extract("line", _java(CRI_RE), 3).alias("logtag"),
     )
 
 

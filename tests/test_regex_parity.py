@@ -24,14 +24,24 @@ piece = st.one_of(
             "[svc,]", "[s,k=v]", "INFO [a,b]",
         ]
     ),
-    st.text(alphabet="aZ0 .:[]{},-_=|é世", min_size=0, max_size=12),
+    # \r, NEL and LINE SEPARATOR exercise the dot-semantics seam: Java's
+    # default `.` excludes them while Go RE2 / Python exclude only \n —
+    # the engine pins UNIX_LINES via parse._java (round 9). é/世
+    # exercise the \w seam (ASCII classes on both engines).
+    st.text(alphabet="aZ0 .:[]{},-_=|é世\r\x85\u2028", min_size=0, max_size=12),
 )
 line = st.builds(lambda xs: "".join(xs), st.lists(piece, min_size=0, max_size=8))
 
 
 def test_erda_regex_java_python_parity(spark):
     # materialize one corpus of hypothesis-generated lines
-    cases: list[str] = ["INFO [svc,]", "ERROR [a,{deadbeefdeadbeefdeadbeefdeadbeef}]"]
+    cases: list[str] = [
+        "INFO [svc,]",
+        "ERROR [a,{deadbeefdeadbeefdeadbeefdeadbeef}]",
+        "INFO\r[svc,]",   # dot-vs-\r seam (matches in RE2/Python, and in Java only under (?d))
+        "INFO [é,]",      # \w seam (round-9 hypothesis counterexample)
+        "INFO\u2028[svc,]",
+    ]
 
     @settings(max_examples=40, deadline=None)
     @given(st.lists(line, min_size=1, max_size=30))
