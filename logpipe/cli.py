@@ -107,6 +107,14 @@ def main(argv: list[str] | None = None) -> None:
              "tables can satisfy join distributions without shuffling "
              "the corpus side",
     )
+    p.add_argument(
+        "--sorted-scan", action="store_true",
+        help="apply the sorted-bucketed-scan confs "
+             "(tableio.SORTED_SCAN_CONFS) so reads of a --sort-cols "
+             "--single-file-buckets layout also elide window/SMJ "
+             "sorts; refuses loudly if this Spark runtime no longer "
+             "registers the conf (it is a legacy-namespace knob)",
+    )
     p.add_argument("--buckets", type=int, default=8)
     p.add_argument("--synth", type=int, default=0, help="synthesize N input rows")
     p.add_argument("--master", default=None)
@@ -205,6 +213,10 @@ def main(argv: list[str] | None = None) -> None:
         from logpipe.tableio import enable_spj
 
         enable_spj(spark)
+    if args.sorted_scan:
+        from logpipe.tableio import apply_sorted_scan_confs
+
+        apply_sorted_scan_confs(spark)
     if args.synth:
         from logpipe.synth import synth_k8s_meta, synth_tool_meta, synth_transcripts
 

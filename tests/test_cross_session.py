@@ -5,7 +5,10 @@ bucketed-layout test writes and reads in one session — this one pins
 the actual workflow: session A (a real ``logpipe.cli`` subprocess)
 relays out, exits; session B (a fresh interpreter, fresh JVM) opens the
 table by bare name through ``tableio.read_table`` and compiles the
-stitch with ZERO exchanges over ``Bucketed: true`` scans.
+stitch with ZERO exchanges AND zero sorts over ``Bucketed: true``
+scans — both the bucket spec and the in-bucket sortBy order live in
+the catalog entry, and both must survive the metastore round-trip for
+the layout story to hold in production.
 
 What makes it work across processes is a SHARED METASTORE: the bucket
 spec lives in the catalog entry, not in the parquet files, so both
@@ -35,11 +38,15 @@ import sys
 
 from logpipe.operators.stitch import stitch_multiline
 from logpipe.session import get_spark
-from logpipe.tableio import read_table
+from logpipe.tableio import apply_sorted_scan_confs, read_table
 
 confs = json.loads(sys.argv[1])
 spark = get_spark(app_name="xsess-b", master="local[4]",
                   shuffle_partitions=8, extra_conf=confs)
+# the reader side of the sorted layout: the guarded applier (raises if
+# this runtime dropped the legacy conf, so the sorts==0 assert below
+# can never silently test a session the conf no-opped in)
+apply_sorted_scan_confs(spark)
 # bare catalog name through the production read seam (round-8 ADVICE:
 # read_table serves catalog tables in non-Iceberg sessions)
 t = read_table(spark, "xs_transcripts_t")
@@ -59,8 +66,9 @@ spark.stop()
 
 def test_bucketed_layout_survives_process_boundary(tmp_path):
     """cli --bucket-out in process A; fresh process B reads the table
-    by name and the whole stitch compiles shuffle-free. The one link
-    of the layout story no same-session test can exercise."""
+    by name and the whole stitch compiles shuffle-free AND sort-free.
+    The one link of the layout story no same-session test can
+    exercise."""
     wh = str(tmp_path / "warehouse")
     ms = str(tmp_path / "metastore")
     shared_confs = {
@@ -101,5 +109,12 @@ def test_bucketed_layout_survives_process_boundary(tmp_path):
     res = json.loads(line[-1][len("XSESS_RESULT "):])
     assert res["bucketed"] is True
     assert res["exchanges"] == 0
+    # the sortBy metadata also survives the metastore round-trip:
+    # session A wrote --sort-cols conv_id,turn_idx --single-file-buckets
+    # and session B applied SORTED_SCAN_CONFS, so the stitch window's
+    # SORT is elided too — the cross-process counterpart of
+    # test_stitch.py::test_sorted_bucket_elides_window_sort (round-9
+    # verdict task 2: this field was computed but never asserted)
+    assert res["sorts"] == 0, res
     assert res["n_lines_total"] == 4000  # every synthesized line stitched
     assert res["groups"] > 0

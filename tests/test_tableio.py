@@ -292,6 +292,50 @@ def test_spj_confs_roundtrip(spark):
     assert spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition", "true") == "true"
 
 
+def test_sorted_scan_confs_apply_and_restore(spark):
+    """The guarded applier sets the sorted-scan conf on a runtime that
+    still registers it (this one) and returns restorable previous
+    values."""
+    from logpipe.tableio import SORTED_SCAN_CONFS, apply_sorted_scan_confs
+
+    prev = apply_sorted_scan_confs(spark)
+    try:
+        for k, v in SORTED_SCAN_CONFS.items():
+            assert spark.conf.get(k) == v
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_sorted_scan_confs_guard_refuses_unregistered_conf():
+    """Round-9 verdict task 3: the sorted-scan conf lives in the
+    deprecated spark.sql.legacy namespace, and spark.conf.set on a key
+    a future Spark dropped SUCCEEDS silently — the applier must detect
+    the drop (isModifiable=False is how this runtime reports unknown
+    keys, probed in apply_sorted_scan_confs' docstring) and refuse
+    loudly instead of letting every sort-elision claim degrade to
+    sorted-writes-unsorted-scans. Simulated with a conf facade whose
+    isModifiable answers False, as a conf-dropping runtime's would."""
+    from logpipe.tableio import apply_sorted_scan_confs
+
+    class _DroppedConf:
+        def isModifiable(self, key):
+            return False
+
+        def set(self, key, value):  # must never be reached
+            raise AssertionError("guard must refuse before setting")
+
+    class _FutureSpark:
+        conf = _DroppedConf()
+        version = "99.0.0"
+
+    with pytest.raises(RuntimeError, match="bucketedTableScan.outputOrdering"):
+        apply_sorted_scan_confs(_FutureSpark())
+
+
 def test_iceberg_write_contract_bucket_transform(spark, iceberg_contract):
     """bucket_by on the Iceberg branch -> the bucket(n, col) PARTITION
     TRANSFORM (the Iceberg carrier of the Hive-bucketBy layout), after
