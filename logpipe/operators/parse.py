@@ -71,15 +71,20 @@ def _java(pattern: str) -> str:
     """Prefix UNIX_LINES ("(?d)") for java.util.regex consumption.
 
     Without it Java's ``.`` excludes \\r/\\u0085/\\u2028/\\u2029 while
-    the reference's Go RE2 (helps.go), Python ``re`` and the DuckDB
-    oracle's RE2 exclude only \\n — so "INFO\\r[svc,]" would grok in
-    the reference but not in Spark (hypothesis counterexample class,
-    round 9). (?d) pins Java's ``.`` to exactly the RE2/Python
+    the reference's regex engine — fluent-bit's Oniguruma
+    (Ruby-flavored; the patterns live in conf/ds/parsers.conf and run
+    under flb's Onig build), Python ``re`` and the DuckDB oracle's RE2
+    all exclude only \\n — so "INFO\\r[svc,]" would grok in the
+    reference but not in Spark (hypothesis counterexample class,
+    round 9). (?d) pins Java's ``.`` to exactly the Onig/RE2/Python
     semantics. Residual divergence: under (?d) Java's ``$`` still
     matches before a FINAL \\n where RE2's matches end-of-text only —
     unreachable for line-split input, which cannot carry a trailing
-    bare \\n. The pattern CONSTANTS stay flag-free: they are shared
-    with engines that reject inline (?d) (Python re, RE2)."""
+    bare \\n (enforced, not assumed: tests/test_logfiles.py::
+    test_line_splitters_never_emit_trailing_newline pins every reader's
+    emitted values \\n-free). The pattern CONSTANTS stay flag-free:
+    they are shared with engines that reject inline (?d) (Python re,
+    RE2)."""
     return "(?d)" + pattern
 
 

@@ -18,8 +18,10 @@ _LEVEL = (
     "|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)"
 )
 # re.ASCII pins \w to [0-9A-Za-z_]: the engines this oracle checks against —
-# Java regexp_extract (no UNICODE_CHARACTER_CLASS) and the reference's Go RE2
-# (helps.go) — are both ASCII-classed, while Python's default \w is Unicode.
+# Java regexp_extract (no UNICODE_CHARACTER_CLASS) and the reference's regex
+# engine, fluent-bit's Oniguruma running the conf/ds/parsers.conf patterns
+# (Ruby flavor: \w is ASCII unless the pattern opts into Unicode props) —
+# are both ASCII-classed, while Python's default \w is Unicode.
 # Without the flag the oracle alone matches e.g. "INFO [é,]" (hypothesis
 # counterexample, round 9) and the parity test fails on the oracle's side.
 ERDA_INFO = re.compile(

@@ -108,11 +108,17 @@ def _lines(
 def parse_kube_filename(file_col) -> dict:
     """pod/namespace/container identity from the tag-encoded path."""
     name = F.element_at(F.split(file_col, "/"), -1)
+    # _java for uniformity with every other Java consumption site
+    # (round-9 ADVICE): the `.+` in group 3 would otherwise keep
+    # Java's default-dot semantics (excluding \r/NEL/LS) while CRI_RE
+    # in this same module is (?d)-aligned. Filenames realistically
+    # never carry those chars, but one rule for all sites beats a
+    # documented scope carve-out.
     return {
-        "pod_name": F.regexp_extract(name, KUBE_FILENAME_RE, 1),
-        "namespace_name": F.regexp_extract(name, KUBE_FILENAME_RE, 2),
-        "container_name": F.regexp_extract(name, KUBE_FILENAME_RE, 3),
-        "docker_id": F.regexp_extract(name, KUBE_FILENAME_RE, 4),
+        "pod_name": F.regexp_extract(name, _java(KUBE_FILENAME_RE), 1),
+        "namespace_name": F.regexp_extract(name, _java(KUBE_FILENAME_RE), 2),
+        "container_name": F.regexp_extract(name, _java(KUBE_FILENAME_RE), 3),
+        "docker_id": F.regexp_extract(name, _java(KUBE_FILENAME_RE), 4),
     }
 
 

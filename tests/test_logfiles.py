@@ -104,6 +104,51 @@ def test_exclude_path_prunes_at_listing(spark, tmp_path):
     assert len(dfiles) == 1 and "fluent-bit" not in dfiles[0]
 
 
+def test_line_splitters_never_emit_trailing_newline(spark, tmp_path):
+    """The Java-regex alignment's one residual divergence — under
+    (?d) Java's ``$`` matches before a FINAL \\n where RE2/Python
+    match end-of-text only (parse._java docstring) — is documented as
+    unreachable because line-split input cannot carry a trailing bare
+    \\n. This pins that invariant on the splitters themselves
+    (round-9 verdict task 5: enforce the unreachability, don't assume
+    it): for files WITH and WITHOUT a final newline, and with blank
+    and \\r-carrying lines in between, no value any reader emits
+    contains a \\n — not _lines' ``line``, not docker's
+    newline-stripped ``text`` (whose raw JSON payloads all END in
+    \\n), not cri's ``text``."""
+    from logpipe.sources.logfiles import _lines
+
+    # raw text file: blank line (dropped), \r payload (kept verbatim —
+    # \r is exactly the char class the (?d) alignment is about),
+    # trailing final newline
+    (tmp_path / "raw_nl.log").write_text("a\n\nb\rc\nlast\n")
+    # same content, NO final newline
+    (tmp_path / "raw_bare.log").write_text("a\n\nb\rc\nlast")
+    for f in ("raw_nl.log", "raw_bare.log"):
+        lines = [r["line"] for r in _lines(spark, str(tmp_path / f)).collect()]
+        assert sorted(lines) == ["a", "b\rc", "last"], (f, lines)
+        assert all("\n" not in l for l in lines)
+
+    # docker: every JSON `log` payload carries its trailing \n; the
+    # emitted text must not (stripped, not just split)
+    d = tmp_path / "docker.log"
+    d.write_text(_DOCKER_LINE % "hello" + "\n" + _DOCKER_LINE % "with\\rcr" + "\n")
+    texts = [r["text"] for r in read_docker_logs(spark, str(d)).collect()]
+    assert sorted(texts) == ["hello", "with\rcr"] and all(
+        "\n" not in t for t in texts
+    )
+
+    # cri: the log field is the line remainder — split already removed
+    # every \n, including the file-final one
+    c = tmp_path / "cri.log"
+    c.write_text(
+        "2024-01-01T00:00:00.000000001Z stdout F one\n"
+        "2024-01-01T00:00:00.000000002Z stdout F two\n"
+    )
+    texts = [r["text"] for r in read_cri_logs(spark, str(c)).collect()]
+    assert sorted(texts) == ["one", "two"] and all("\n" not in t for t in texts)
+
+
 def test_skip_long_lines_drops_not_truncates(spark, tmp_path):
     """Skip_Long_Lines On (docker-runtime.conf:8-9): a line over the
     buffer cap is DROPPED entirely — distinct from P2 truncation."""
