@@ -437,10 +437,11 @@ def test_star_hub_derivation_and_plan_shapes(spark):
     - decision rule, two stages since round 9: total-bytes upper bound
       vs the session threshold (a single partition can never exceed
       the whole edge set; zero jobs), then — only past that bound and
-      given the checkpointed edge set — the max-symmetric-degree
-      hot-partition bound, so large-but-UNIFORM graphs skip the eager
-      jobs too (BENCH/r9_star_uniform.json); off when skew-join
-      rewriting is disabled;
+      given the checkpointed edge set — the heavy-key hot-partition
+      bound (round 10: sum of the top-k candidate degrees, so several
+      medium keys co-hashing count too), so large-but-UNIFORM graphs
+      skip the eager jobs (BENCH/r9_star_uniform.json); off when
+      skew-join rewriting is disabled;
     - hub=False plan: the min aggregate feeds the join lazily — the
       ``min(v)`` HashAggregate compiles INSIDE the round's plan (the
       shape whose interposed aggregate child suppresses the skew
@@ -473,11 +474,18 @@ def test_star_hub_derivation_and_plan_shapes(spark):
             [(i, i + 1) for i in range(1, 40)], "u long, v long"))
         hub_e = materialize(spark.range(1, 801).select(
             F.lit(0).cast("long").alias("u"), F.col("id").alias("v")))
+        # round-10 (round-9 ADVICE): several MEDIUM keys can co-hash
+        # into one partition — 4 hubs of degree 20 each stay under the
+        # 56 bar individually (the old max-degree test derived False)
+        # but their top-k co-hash sum (80) clears it -> True
+        multi = materialize(spark.range(0, 80).select(
+            (F.col("id") % 4).alias("u"), (100 + F.col("id")).alias("v")))
         try:
             assert not _derive_hub_skew(spark, 800, chain)
             assert _derive_hub_skew(spark, 800, hub_e)
+            assert _derive_hub_skew(spark, 800, multi)
         finally:
-            release(chain, hub_e)
+            release(chain, hub_e, multi)
         # node ids are opaque to star_components — string ids must
         # survive the hot-key test (round-9 review caught an int()
         # cast), and min_rows=1 exercises the exact-fallback path
