@@ -121,6 +121,75 @@ def test_fresh_probes_budget_counts_spawns_only(monkeypatch):
     assert len(exhausted) == 1
 
 
+def _pair_report(monkeypatch, pass_times, exchanges, probe_result=None):
+    calls = []
+    monkeypatch.setattr(bench, "_layout_bucketed_exchanges", lambda s: exchanges)
+
+    class FakeOut:
+        stdout = json.dumps(probe_result or {"ratio": 1.7})
+
+    import subprocess
+
+    monkeypatch.setattr(
+        subprocess, "run", lambda cmd, **kw: calls.append(cmd) or FakeOut()
+    )
+    rep = bench._layout_pair_report(pass_times, spark=None)
+    return rep, calls
+
+
+def test_layout_pair_healthy_no_probe(monkeypatch):
+    """Round-9 verdict task 1 — the pair's regression signal must be
+    position-independent. Healthy shape: the plan check passes and at
+    least one pass shows the elision's advantage (drift inflates
+    individual passes, it cannot suppress all of them), so no probe
+    spawns even though one pass's ratio sits under the bar (the exact
+    late-sweep drift pattern that wandered the old min-over-passes
+    ratio 1.36/1.91/1.78)."""
+    rep, calls = _pair_report(
+        monkeypatch,
+        {"stitch_layout_plain": [8.2, 5.4, 7.6],
+         "stitch_layout_bucketed": [4.4, 4.7, 4.5]},
+        exchanges=0,
+    )
+    assert calls == []
+    assert rep["bucketed_exchanges"] == 0
+    assert rep["per_pass_ratio"] == [1.864, 1.149, 1.689]
+    assert rep["best_pass_ratio"] == 1.864
+    assert rep["stitch_plain_sec"] == 5.4 and rep["stitch_bucketed_sec"] == 4.4
+    assert "pair_probe" not in rep
+
+
+def test_layout_pair_collapsed_ratio_fires_probe(monkeypatch):
+    """A REAL elision regression collapses EVERY pass's ratio to ~1
+    (same rows, same plan on both sides) — the fresh-JVM pair probe
+    fires and its JSON lands in the report."""
+    rep, calls = _pair_report(
+        monkeypatch,
+        {"stitch_layout_plain": [4.5, 4.6, 4.4],
+         "stitch_layout_bucketed": [4.4, 4.5, 4.3]},
+        exchanges=0,
+        probe_result={"ratio": 1.02, "bucketed_exchanges": 0},
+    )
+    assert len(calls) == 1 and "--probe-pair" in calls[0]
+    assert rep["best_pass_ratio"] < bench.PAIR_RATIO_BAR
+    assert rep["pair_probe"]["ratio"] == 1.02
+
+
+def test_layout_pair_plan_regression_fires_probe(monkeypatch):
+    """The plan check is the timing-independent signal: exchanges in
+    the bucketed stitch plan mean the elision stopped compiling, and
+    the probe fires even when the timing ratio still looks healthy
+    (e.g. a cache masking the regression in-sweep)."""
+    rep, calls = _pair_report(
+        monkeypatch,
+        {"stitch_layout_plain": [8.0, 8.1, 8.2],
+         "stitch_layout_bucketed": [4.4, 4.5, 4.3]},
+        exchanges=1,
+    )
+    assert len(calls) == 1 and "--probe-pair" in calls[0]
+    assert rep["bucketed_exchanges"] == 1
+
+
 def test_span_spread_decision_metadata(spark):
     """bench.py surfaces the derived-spread plan choice in its JSON
     (round-6 verdict task 8): the fields must carry exactly the inputs
