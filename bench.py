@@ -54,7 +54,6 @@ HEAVY_PASS_CAP = {
     # signal comes from v5 (round-5 verdict task 5: >half the r5 sweep
     # wall measured superseded DAGs)
     "curated_corpus_v5": 2,
-    "curated_corpus_v5_sf0_01": 2,
     "simhash_near_dups_10x": 2,
     "dup_span_trim_10x": 2,
 }
@@ -400,7 +399,7 @@ def _ensure_stitch_layout(spark) -> tuple[str, str]:
     conv_id-bucketed sorted table the relayout CLI writes. Called from
     main()/_probe_main OUTSIDE the timers — the entries only read.
     Returns (plain_path, table_name)."""
-    if _LAYOUT_STATE:
+    if "table" in _LAYOUT_STATE:
         return _LAYOUT_STATE["plain"], _LAYOUT_STATE["table"]
     import atexit
     import tempfile
@@ -411,9 +410,12 @@ def _ensure_stitch_layout(spark) -> tuple[str, str]:
     tmp = tempfile.mkdtemp(prefix="logpipe_bench_layout_")
     # a crashed or interrupted sweep must not leak two copies of a
     # 2M-row dataset in /tmp nor the catalog entry (round-9 ADVICE):
-    # cleanup is registered the moment the temp dir exists, is
-    # idempotent (happy-path callers clear the state first), and
-    # tolerates an already-dead JVM at interpreter exit
+    # the temp path goes into the state BEFORE the long writes below
+    # (round-10 review: registering cleanup against an empty state
+    # made it a no-op for a crash during the writes — the longest
+    # window), cleanup is idempotent (happy-path callers clear the
+    # state first) and tolerates an already-dead JVM at exit
+    _LAYOUT_STATE["tmp"] = tmp
     atexit.register(_layout_cleanup, spark)
     n_rows = int(os.environ.get("SPARK_GRAFT_STITCH_ROWS", "2000000"))
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -429,9 +431,7 @@ def _ensure_stitch_layout(spark) -> tuple[str, str]:
         sort_by=("conv_id", "turn_idx"),
         table_name="bench_stitch_bucketed_t",
     )
-    _LAYOUT_STATE.update(
-        plain=plain_path, table="bench_stitch_bucketed_t", tmp=tmp
-    )
+    _LAYOUT_STATE.update(plain=plain_path, table="bench_stitch_bucketed_t")
     return plain_path, "bench_stitch_bucketed_t"
 
 
@@ -486,8 +486,6 @@ def _probe_pair_main() -> None:
     plus the plan check; prints one JSON line. The adjudication the
     sweep fires when the in-sweep pair signal degrades (and runnable
     by hand when reading a committed sweep's pair with suspicion)."""
-    import shutil
-
     from logpipe.plans import driver_queries
     from logpipe.session import get_spark
 

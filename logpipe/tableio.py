@@ -92,13 +92,21 @@ SPJ_CONFS = {
 }
 
 
+def _apply_confs(spark: SparkSession, confs: dict[str, str]) -> dict[str, str]:
+    """Set ``confs`` on the session and return the previous values
+    (None-valued keys were unset) so a caller can restore — the one
+    capture-then-set loop both conf appliers share (round-10 review:
+    the prev-capture convention must not drift between them)."""
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    return prev
+
+
 def enable_spj(spark: SparkSession) -> dict[str, str]:
     """Apply ``SPJ_CONFS`` to the session and return the previous
     values (None-valued keys were unset) so a caller can restore."""
-    prev = {k: spark.conf.get(k, None) for k in SPJ_CONFS}
-    for k, v in SPJ_CONFS.items():
-        spark.conf.set(k, v)
-    return prev
+    return _apply_confs(spark, SPJ_CONFS)
 
 
 # Reader-side conf that lets a bucketed scan report its IN-BUCKET sort
@@ -145,10 +153,7 @@ def apply_sorted_scan_confs(spark: SparkSession) -> dict[str, str]:
             "sorted-scan path or pin a Spark version that still "
             "carries the conf (SPARK-28173)"
         )
-    prev = {k: spark.conf.get(k, None) for k in SORTED_SCAN_CONFS}
-    for k, v in SORTED_SCAN_CONFS.items():
-        spark.conf.set(k, v)
-    return prev
+    return _apply_confs(spark, SORTED_SCAN_CONFS)
 
 
 def _path_shaped(ref: str) -> bool:

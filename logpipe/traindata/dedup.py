@@ -592,18 +592,21 @@ _COHASH_FACTOR = 8
 def _has_key_with_degree(e: DataFrame, n_sym: int, min_rows: int) -> bool:
     """Can any ONE partition's worth of endpoint keys of the edge set
     ``e(u, v)`` carry >= ``min_rows`` symmetric-degree rows (out of
-    ``n_sym`` = 2x|E|)? Answered via the heavy keys: candidacy at
-    degree >= ~min_rows/_COHASH_FACTOR (floored at 2 — a degree-1 leaf
-    is exactly the uniform mass the share term already counted), then
-    the worst case that the TOP-_COHASH_FACTOR candidates co-hash into
-    the same partition — so the test is sum(top-k candidate degrees)
-    >= min_rows, which dominates the max-degree test and additionally
-    covers several medium-degree keys sharing a partition (round-9
-    ADVICE; keys below the candidacy bar remain covered only in
-    expectation by the uniform share + 4x byte margin). The screening
-    is sound within that k-key model: a k-key co-hash reaching
-    min_rows needs its largest key at >= min_rows/k, which the
-    freqItems support below is sized to capture.
+    ``n_sym`` = 2x|E|)? ``min_rows <= 1`` short-circuits True (any row
+    tips a share-saturated partition). Otherwise answered via the
+    heavy keys: candidacy at degree >= ceil(min_rows/_COHASH_FACTOR)
+    (floored at 2 — a degree-1 leaf is exactly the uniform mass the
+    share term already counted), then the worst case that the
+    TOP-_COHASH_FACTOR candidates co-hash into the same partition —
+    so the test is sum(top-k candidate degrees) >= min_rows, which
+    dominates the max-degree test and additionally covers several
+    medium-degree keys sharing a partition (round-9 ADVICE; keys
+    below the candidacy bar remain covered only in expectation by the
+    uniform share + 4x byte margin). The screening is sound within
+    that k-key model: a k-key co-hash reaching min_rows needs its
+    largest key at >= min_rows/k, hence at >= the ceil'd integer bar,
+    which the freqItems support below is sized to guarantee in the
+    summary (support * n_sym sits strictly below the bar).
 
     Shuffle-free and JVM-side both ways it can answer False — the
     path the refinement exists for:
@@ -629,16 +632,33 @@ def _has_key_with_degree(e: DataFrame, n_sym: int, min_rows: int) -> bool:
     sym = e.select("u").unionAll(e.select(F.col("v").alias("u")))
     if min_rows > n_sym:
         return False  # no key set can reach the bar
+    if min_rows <= 1:
+        # the uniform share alone saturates the threshold: ANY row
+        # tips a partition, no degree evidence needed (round-10
+        # review: the candidacy floor of 2 below would exclude
+        # degree-1 keys and flip this regime to False — LESS
+        # conservative than round-9's max-degree test, the wrong
+        # direction)
+        return n_sym >= 1
     # freqItems' contract is STRICT: it guarantees keys with count >
-    # support * n_sym, so the support must sit below the CANDIDACY bar
-    # (min_rows/_COHASH_FACTOR) for a key at exactly that degree to be
-    # guaranteed in the summary (round-9 review). Spark floors support
-    # at 1e-4; below that the summary can MISS a qualifying key, so
-    # fall back to the exact degree aggregate — only huge-P/huge-E
-    # regimes land here, where one 2|E|-id shuffle is a trivial
-    # fraction of the round.
+    # support * n_sym = (min_rows-1)/_COHASH_FACTOR, so the candidacy
+    # bar must sit at ceil(min_rows/_COHASH_FACTOR) — the smallest
+    # integer ABOVE that guarantee — for every key the exact filter
+    # counts to be provably present in the summary (round-10 review:
+    # flooring the bar at (min_rows-1)//_COHASH_FACTOR let keys at
+    # exactly the bar pass the filter while Misra-Gries was free to
+    # evict them, silently under-summing the co-hash mass). Spark
+    # floors support at 1e-4; below that the summary can MISS a
+    # qualifying key, so fall back to the exact degree aggregate.
+    # The /_COHASH_FACTOR support widens that fallback window 8x
+    # relative to round 9 (n_sym > 1250x(min_rows-1) instead of
+    # 10000x) and gives the summary ~8x the driver-merged counters —
+    # the acknowledged price of multi-key coverage, bounded because
+    # stage 2 only runs on graphs already past the global volume
+    # bound, where the measured ~1s/round exact aggregate (docstring
+    # above) is a small fraction of the round's join work.
     support = (min_rows - 1) / n_sym / _COHASH_FACTOR
-    cand_bar = max((min_rows - 1) // _COHASH_FACTOR, 2)
+    cand_bar = max((min_rows - 1) // _COHASH_FACTOR + 1, 2)
 
     def _top_k_heavy_sum(deg: DataFrame) -> int:
         rows = (

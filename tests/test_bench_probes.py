@@ -190,6 +190,46 @@ def test_layout_pair_plan_regression_fires_probe(monkeypatch):
     assert rep["bucketed_exchanges"] == 1
 
 
+def test_layout_cleanup_covers_crash_during_writes(monkeypatch):
+    """The atexit cleanup must act on a crash DURING the layout writes
+    (the longest window — round-10 review: registering it against a
+    state that was only populated after the writes made it a no-op for
+    exactly the failure it exists for): the temp path enters
+    _LAYOUT_STATE before any write, so _layout_cleanup removes the
+    dir even when synth/write_table raised and no table was stored."""
+    import os
+
+    import logpipe.synth as synth
+
+    monkeypatch.setattr(bench, "_LAYOUT_STATE", {})
+
+    def boom(*a, **kw):
+        raise RuntimeError("synthetic OOM during the 2M-row write")
+
+    monkeypatch.setattr(synth, "synth_transcripts", boom)
+
+    class FakeConf:
+        @staticmethod
+        def get(k, default=None):
+            return "8"
+
+    class FakeSpark:
+        conf = FakeConf()
+        # no .sql — _layout_cleanup's DROP TABLE must tolerate that
+        # (the atexit path can run with the JVM already gone)
+
+    try:
+        bench._ensure_stitch_layout(FakeSpark())
+        raise AssertionError("synthetic crash did not propagate")
+    except RuntimeError:
+        pass
+    assert "tmp" in bench._LAYOUT_STATE and "table" not in bench._LAYOUT_STATE
+    leaked = bench._LAYOUT_STATE["tmp"]
+    assert os.path.isdir(leaked)
+    bench._layout_cleanup(FakeSpark())  # what atexit runs at exit
+    assert not os.path.isdir(leaked) and not bench._LAYOUT_STATE
+
+
 def test_span_spread_decision_metadata(spark):
     """bench.py surfaces the derived-spread plan choice in its JSON
     (round-6 verdict task 8): the fields must carry exactly the inputs

@@ -488,18 +488,25 @@ def test_star_hub_derivation_and_plan_shapes(spark):
             release(chain, hub_e, multi)
         # node ids are opaque to star_components — string ids must
         # survive the hot-key test (round-9 review caught an int()
-        # cast), and min_rows=1 exercises the exact-fallback path
-        # (support would sit below freqItems' 1e-4 floor)
+        # cast); min_rows=1 hits the any-row-tips short-circuit
+        # (round-10 review: the candidacy floor must not flip a
+        # share-saturated regime to False); the 700-spoke string hub
+        # exercises the exact-fallback path (support 1/1400/8 =
+        # 8.9e-5 sits below freqItems' 1e-4 floor at min_rows=2)
         from logpipe.traindata.dedup import _has_key_with_degree
 
         se = materialize(spark.createDataFrame(
             [("a", "b"), ("b", "c"), ("x", "y")], "u string, v string"))
+        fb = materialize(spark.range(1, 701).select(
+            F.lit("h").alias("u"), F.col("id").cast("string").alias("v")))
         try:
             assert _has_key_with_degree(se, 6, 2)      # "b": degree 2
             assert not _has_key_with_degree(se, 6, 3)  # nothing reaches 3
-            assert _has_key_with_degree(se, 6, 1)      # exact fallback
+            assert _has_key_with_degree(se, 6, 1)      # short-circuit
+            assert _has_key_with_degree(fb, 1400, 2)   # exact fallback
+            assert not _has_key_with_degree(fb, 1400, 1401)  # > n_sym
         finally:
-            release(se)
+            release(se, fb)
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
     try:
         assert not _derive_hub_skew(spark, 16_000_000)
