@@ -93,6 +93,22 @@ def truncate_log(text: Column, max_chars: int = MAX_CONTENT_CHARS) -> Column:
 
     The reference does this with regex ``[\\s\\S]{0,51200}``; substring
     is semantically identical and cheaper (no regex engine).
+
+    Counting-unit residual (round-10 audit, same class as the round-9
+    dot/word seams): the reference's quantifier counts whatever unit
+    its Onig build's encoding defines — CODEPOINTS under a UTF-8
+    pattern encoding, BYTES under an ASCII/binary one — and the conf's
+    own comment ("truncate log >= 50KB") names a byte budget. This
+    implementation counts CODEPOINTS, uniformly with every oracle
+    engine (Spark substring, Python slicing, pandas str.slice, DuckDB
+    substring all index codepoints — including supplementary-plane
+    characters, where a UTF-16-unit implementation would differ;
+    pinned four-engine in tests/test_regex_parity.py::
+    test_truncate_codepoint_parity_four_engines). For the container-
+    log domain the two units coincide (ASCII); a deployment feeding
+    heavily multi-byte logs that needs the byte-budget reading should
+    cap on octet length upstream — a codepoint cap only ever KEEPS
+    MORE bytes than a byte cap, never corrupts a character.
     """
     return F.substring(text, 1, max_chars)
 

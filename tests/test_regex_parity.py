@@ -64,3 +64,56 @@ def test_erda_regex_java_python_parity(spark):
         m = pyref.ERDA_INFO.search(c)
         exp = (m.group(1) or "", m.group(4) or "") if m else ("", "")
         assert got[i] == exp, f"regex divergence on {c!r}: java={got[i]} py={exp}"
+
+
+def test_truncate_codepoint_parity_four_engines(spark):
+    """truncate_log counts CODEPOINTS identically in all four engines
+    (round-10 audit of the reference's `[\\s\\S]{0,51200}` truncation —
+    see the operator docstring for the Onig encoding-unit residual):
+    Spark substring, the pyref Python slice, the pandas str.slice the
+    Arrow UDF side would use, and the DuckDB oracle's substring. The
+    adversarial rows mix 1/2/3/4-byte UTF-8 — the 4-byte emoji are two
+    UTF-16 units, so a Java-String-indexed implementation would cut
+    inside a surrogate pair where every codepoint engine keeps the
+    whole character."""
+    import duckdb
+    import pandas as pd
+
+    from logpipe.operators.parse import truncate_log
+    from logpipe.pyref import MAX_CONTENT
+
+    assert MAX_CONTENT == 51200  # pyref slices text[:MAX_CONTENT]
+    k = 7
+    cases = [
+        "",                      # empty survives
+        "abcdef",                # under the cap
+        "abcdefg",               # exactly at it
+        "abcdefgh",              # one over (ASCII)
+        "é世😀é世😀é世😀",          # multi-byte, cap mid-string
+        "😀😀😀😀😀😀😀😀",        # cap between 4-byte chars: UTF-16
+                                  # index 7 would split a surrogate pair
+        "aé世😀aé世😀",            # mixed widths straddling the cap
+        "日本語のログ行です",       # 3-byte chars only
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, s string"
+    )
+    got_spark = {
+        r["i"]: r["t"]
+        for r in df.select("i", truncate_log(df.s, k).alias("t")).collect()
+    }
+    got_python = {i: c[:k] for i, c in enumerate(cases)}
+    got_pandas = dict(enumerate(pd.Series(cases).str.slice(0, k)))
+    con = duckdb.connect()
+    got_duck = dict(
+        con.execute(
+            "SELECT i, substring(s, 1, ?) FROM (SELECT UNNEST(range(?)) i, "
+            "UNNEST(?::VARCHAR[]) s)",
+            [k, len(cases), cases],
+        ).fetchall()
+    )
+    assert got_spark == got_python == got_pandas == got_duck
+    # and the cap never splits a character: every truncation re-encodes
+    # to valid UTF-8 that is a byte-prefix of the original
+    for i, c in enumerate(cases):
+        assert c.encode("utf-8").startswith(got_spark[i].encode("utf-8"))
