@@ -162,12 +162,16 @@ STITCH_STATE_SCHEMA = "turn_idx int, lines array<string>"
 
 
 def streaming_stitch(
-    stream: DataFrame, firstline_re: str, continuation_re: str | None = None
+    stream: DataFrame,
+    firstline_re: str,
+    continuation_re: str | None = None,
+    flush_ms: int = 3000,
 ):
     """Stateful multiline stitch: per conv_id, buffer lines until the
     next firstline arrives, then emit the closed group. A processing-
-    time timeout (3s, mirroring Multiline_Flush) flushes a group that
-    never sees a successor — fluent-bit's emitter timer.
+    time timeout (``flush_ms``, default 3s mirroring the reference's
+    Multiline_Flush — itself a conf knob, cri-runtime.conf:18) flushes
+    a group that never sees a successor — fluent-bit's emitter timer.
 
     ``continuation_re``: alternative grammar — a line STARTS a group
     iff it does NOT match this regex (fluent-bit's built-in `java`
@@ -213,7 +217,7 @@ def streaming_stitch(
             # group is open, dropping the timer would leave that group
             # un-flushed forever
             if state.exists:
-                state.setTimeoutDuration(3000)
+                state.setTimeoutDuration(flush_ms)
             return
         # vectorized segmentation, same shape as the batch stitcher
         # (operators/stitch.py): a group starts at each firstline, so
@@ -246,7 +250,7 @@ def streaming_stitch(
                 groups.insert(0, (int(open_turn), list(open_lines)))
         closed, (open_turn, open_lines) = groups[:-1], groups[-1]
         state.update((int(open_turn), [str(x) for x in open_lines]))
-        state.setTimeoutDuration(3000)  # Multiline_Flush 3s
+        state.setTimeoutDuration(flush_ms)  # Multiline_Flush
         if closed:
             yield pd.DataFrame(
                 {

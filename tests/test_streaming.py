@@ -400,3 +400,79 @@ def test_streaming_stitch_java_grammar(spark, tmp_path):
         'Exception in thread "main" boom\n\tat Frame.one\nCaused by: java.io.IOException',
         3,
     )
+
+
+def test_streaming_stitch_state_survives_query_restart(spark, tmp_path):
+    """The north rule's resumability clause, streaming side: a query
+    stopped BETWEEN micro-batches leaves an OPEN stitch group in the
+    state store; a NEW query on the same checkpoint must recover it —
+    the group closes with lines from BOTH sides of the restart and
+    nothing is reprocessed. ``flush_ms`` is raised far above the
+    stop/restart wall so recovered state is the ONLY way the group can
+    close correctly: a timeout flush (or lost state) would emit
+    fragments and fail the text assert below."""
+    import time
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "stitched")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_until(n_rows):
+        q = (
+            streaming_stitch(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(inp),
+                FIRSTLINE_RE,
+                flush_ms=600_000,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= n_rows:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+        q.stop()
+        q.awaitTermination(60)
+
+    # file 1: group A (turns 0-1) closed by B's firstline; B left OPEN
+    f1 = [
+        ("c1", 0, "user", "2024-01-01 00:00:00 ERROR boom", None, None),
+        ("c1", 1, "user", "\tat Frame.one", None, None),
+        ("c1", 2, "user", "2024-01-01 00:00:05 WARN open-group", None, None),
+    ]
+    spark.createDataFrame(f1, schema).coalesce(1).write.mode("append").parquet(inp)
+    run_until(1)  # A emitted; B open in the checkpointed state
+
+    # across the restart boundary: B's continuation, then C closing B
+    f2 = [
+        ("c1", 3, "user", "\tat Frame.resumed", None, None),
+        ("c1", 4, "user", "2024-01-01 00:00:09 INFO closer", None, None),
+    ]
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode("append").parquet(inp)
+    run_until(2)  # a FRESH query on the same checkpoint closes B
+
+    got = {
+        r["turn_idx"]: (r["text"], r["n_lines"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[0] == ("2024-01-01 00:00:00 ERROR boom\n\tat Frame.one", 2)
+    # the group that was open across the restart: one group, both sides
+    assert got[2] == (
+        "2024-01-01 00:00:05 WARN open-group\n\tat Frame.resumed", 2
+    )
+    # exactly-once: A not re-emitted, no orphan fragment from turn 3
+    assert set(got) == {0, 2}
