@@ -13,6 +13,25 @@ from logpipe.streaming.stream_pipeline import (
 )
 
 
+def drain_stitch_query(spark, q, out, n_rows, timeout_s=120):
+    """Drive a started stateful query until the parquet sink at ``out``
+    holds >= ``n_rows`` rows, then stop it. A stateful query with
+    pending processing-time timeouts stays active after an availableNow
+    trigger exhausts the source, so termination must be explicit."""
+    import time
+
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= n_rows:
+                break
+        except Exception:
+            pass
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(60)
+
+
 def test_stream_matches_batch(spark, transcripts, k8s_meta, tool_meta, tmp_path):
     inp = str(tmp_path / "in")
     out = str(tmp_path / "out")
@@ -76,21 +95,7 @@ def test_streaming_stitch_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    # a stateful query with pending processing-time timeouts stays
-    # active after the data is exhausted — poll for the closed group,
-    # then stop explicitly
-    import time
-
-    deadline = time.time() + 120
-    while time.time() < deadline:
-        try:
-            if spark.read.parquet(out).count() >= 1:
-                break
-        except Exception:
-            pass
-        time.sleep(2)
-    q.stop()
-    q.awaitTermination(60)
+    drain_stitch_query(spark, q, out, 1)
 
     got = {
         r["turn_idx"]: (r["text"], r["n_lines"])
@@ -131,18 +136,7 @@ def test_streaming_stitch_multi_chunk_batch(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        import time
-
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            try:
-                if spark.read.parquet(out).count() >= 2:
-                    break
-            except Exception:
-                pass
-            time.sleep(2)
-        q.stop()
-        q.awaitTermination(60)
+        drain_stitch_query(spark, q, out, 2)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
 
@@ -379,18 +373,7 @@ def test_streaming_stitch_java_grammar(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    import time
-
-    deadline = time.time() + 120
-    while time.time() < deadline:
-        try:
-            if spark.read.parquet(out).count() >= 1:
-                break
-        except Exception:
-            pass
-        time.sleep(2)
-    q.stop()
-    q.awaitTermination(60)
+    drain_stitch_query(spark, q, out, 1)
 
     got = {
         r["turn_idx"]: (r["text"], r["n_lines"])
@@ -411,8 +394,6 @@ def test_streaming_stitch_state_survives_query_restart(spark, tmp_path):
     stop/restart wall so recovered state is the ONLY way the group can
     close correctly: a timeout flush (or lost state) would emit
     fragments and fail the text assert below."""
-    import time
-
     schema = (
         "conv_id string, turn_idx int, role string, text string, "
         "tool string, ts timestamp"
@@ -437,16 +418,7 @@ def test_streaming_stitch_state_survives_query_restart(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            try:
-                if spark.read.parquet(out).count() >= n_rows:
-                    break
-            except Exception:
-                pass
-            time.sleep(1)
-        q.stop()
-        q.awaitTermination(60)
+        drain_stitch_query(spark, q, out, n_rows)
 
     # file 1: group A (turns 0-1) closed by B's firstline; B left OPEN
     f1 = [
@@ -465,14 +437,14 @@ def test_streaming_stitch_state_survives_query_restart(spark, tmp_path):
     spark.createDataFrame(f2, schema).coalesce(1).write.mode("append").parquet(inp)
     run_until(2)  # a FRESH query on the same checkpoint closes B
 
-    got = {
-        r["turn_idx"]: (r["text"], r["n_lines"])
-        for r in spark.read.parquet(out).collect()
-    }
+    rows = spark.read.parquet(out).collect()
+    got = {r["turn_idx"]: (r["text"], r["n_lines"]) for r in rows}
     assert got[0] == ("2024-01-01 00:00:00 ERROR boom\n\tat Frame.one", 2)
     # the group that was open across the restart: one group, both sides
     assert got[2] == (
         "2024-01-01 00:00:05 WARN open-group\n\tat Frame.resumed", 2
     )
-    # exactly-once: A not re-emitted, no orphan fragment from turn 3
-    assert set(got) == {0, 2}
+    # exactly-once, on the RAW row count (the dict above would collapse
+    # a re-emitted duplicate onto its key): A not re-emitted, no orphan
+    # fragment from turn 3, nothing else
+    assert len(rows) == 2 and set(got) == {0, 2}
