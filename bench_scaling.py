@@ -13,12 +13,20 @@ Methodology (single-machine sandbox):
 Reports turns/sec at both levels + scaling efficiency (= speedup / 4,
 target >= 0.8) and (re)writes BENCH/BASELINE.md.
 
-Re-run protocol (adopted round 10): this shared VM's host steal puts a
-documented ±0.1 spread on the efficiency of identical code (0.79-0.99
-across rounds, per-sink counts always identical). A sub-0.8 reading on
-unchanged pipeline code therefore triggers ONE idle-VM re-run, and BOTH
-raw RESULT lines are committed under BENCH/ (e.g. r10_scaling_run1.json
-0.789 + r10_scaling.json 0.882) — the dip is recorded, never discarded.
+Draw protocol (adopted round 10, made symmetric the same round): this
+shared VM's host steal puts a documented ±0.1 spread on the efficiency
+of identical code (0.79-0.99 across rounds, per-sink counts always
+identical). The first version of the protocol re-ran only sub-0.8
+readings, which makes the headline a max-of-draws statistic exactly
+when the bar is in question. Instead, every invocation now takes TWO
+independent draws (each level in a fresh JVM, interleaved
+low/high/low/high so neither draw owns a host window) and the headline
+is their MEAN — a fixed-N estimator with no outcome-conditioned
+resampling. Both draws' walls and efficiencies are carried in the
+result JSON / committed BENCH/ artifact, and the >=0.8 bar is judged
+against the mean. The round-10 motivating pair (0.789 + 0.882, both
+committed as r10_scaling_run1.json / r10_scaling.json) reads 0.836
+under this rule.
 
 Usage: python bench_scaling.py [n_rows] (default 64_000_000)
 """
@@ -116,20 +124,38 @@ def main() -> None:
     if not os.path.exists(f"{DATA_DIR}/transcripts/_SUCCESS"):
         build_input(n_rows)
 
-    t_low, n, c_low = run_level(LOW)
-    t_high, _, c_high = run_level(HIGH)
-    assert c_low == c_high, "per-sink counts must be identical across parallelism"
+    # two independent draws, interleaved low/high/low/high: the headline
+    # is the MEAN of the per-draw efficiencies (see module docstring —
+    # fixed-N, no outcome-conditioned resampling)
+    draws, n, counts = [], None, None
+    for _ in range(2):
+        t_low, n, c_low = run_level(LOW)
+        t_high, _, c_high = run_level(HIGH)
+        assert c_low == c_high, "per-sink counts must be identical across parallelism"
+        assert counts is None or counts == c_low, "counts must be identical across draws"
+        counts = c_low
+        draws.append(
+            {
+                f"local[{LOW}]_sec": round(t_low, 2),
+                f"local[{HIGH}]_sec": round(t_high, 2),
+                "efficiency": round((t_low / t_high) / (HIGH / LOW), 3),
+            }
+        )
 
+    eff = sum(d["efficiency"] for d in draws) / len(draws)
+    # headline throughputs from the mean wall across draws
+    t_low = sum(d[f"local[{LOW}]_sec"] for d in draws) / len(draws)
+    t_high = sum(d[f"local[{HIGH}]_sec"] for d in draws) / len(draws)
     r_low, r_high = n / t_low, n / t_high
-    eff = (t_low / t_high) / (HIGH / LOW)
     result = {
         "n_turns": n,
+        "draws": draws,
         f"local[{LOW}]_sec": round(t_low, 2),
         f"local[{HIGH}]_sec": round(t_high, 2),
         f"turns_per_sec_local[{LOW}]": round(r_low, 1),
         f"turns_per_sec_local[{HIGH}]": round(r_high, 1),
         "scaling_efficiency": round(eff, 3),
-        "per_sink_counts": [list(c) for c in c_low],
+        "per_sink_counts": [list(c) for c in counts],
     }
     print(json.dumps(result))
 
@@ -153,15 +179,20 @@ def main() -> None:
             f"at local[{LOW}] and local[{HIGH}] (N vs 4N cores standing in for N vs 4N\n"
             "executors; single-machine sandbox — see BASELINE.md). Each level runs\n"
             "in a fresh JVM with identical heap and prewarmed page cache; timing is\n"
-            "the min of 3 warm passes (robust to transient host steal in this VM).\n\n"
+            "the min of 3 warm passes (robust to transient host steal in this VM),\n"
+            "taken as TWO independent interleaved draws whose MEAN is the headline\n"
+            "(fixed-N — no outcome-conditioned resampling; see bench_scaling.py).\n\n"
             f"| metric | value |\n|---|---|\n"
             f"| input turns | {n:,} |\n"
-            f"| local[{LOW}] wall time | {t_low:.2f} s |\n"
-            f"| local[{HIGH}] wall time | {t_high:.2f} s |\n"
+            f"| local[{LOW}] wall time (mean of 2 draws) | {t_low:.2f} s |\n"
+            f"| local[{HIGH}] wall time (mean of 2 draws) | {t_high:.2f} s |\n"
             f"| turns/sec @ local[{LOW}] | {r_low:,.0f} |\n"
             f"| turns/sec @ local[{HIGH}] | {r_high:,.0f} |\n"
-            f"| scaling efficiency (speedup/4) | {eff:.3f} |\n"
-            f"| per-sink counts identical across runs | yes |\n\n"
+            f"| per-draw efficiency | "
+            + " / ".join(f"{d['efficiency']:.3f}" for d in draws)
+            + " |\n"
+            f"| scaling efficiency (mean of draws, speedup/4) | {eff:.3f} |\n"
+            f"| per-sink counts identical across runs and draws | yes |\n\n"
             f"Why {LOW}/{HIGH} and not 8/32: this VM's 32 vCPUs cannot deliver 4x\n"
             "over 8 cores even for embarrassingly parallel JVM work — a pure-CPU\n"
             "probe (sum of xxhash64 over range, zero I/O/strings) scales 8->32 at\n"
