@@ -448,3 +448,113 @@ def test_streaming_stitch_state_survives_query_restart(spark, tmp_path):
     # a re-emitted duplicate onto its key): A not re-emitted, no orphan
     # fragment from turn 3, nothing else
     assert len(rows) == 2 and set(got) == {0, 2}
+
+
+_XPROC_STREAM_SCRIPT = """
+import sys
+import time
+
+from logpipe.operators.parse import FIRSTLINE_RE
+from logpipe.session import get_spark
+from logpipe.streaming.stream_pipeline import streaming_stitch
+
+inp, out, ckpt, target = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+spark = get_spark(app_name="xproc-stream", master="local[4]",
+                  shuffle_partitions=8)
+schema = ("conv_id string, turn_idx int, role string, text string, "
+          "tool string, ts timestamp")
+q = (
+    streaming_stitch(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inp),
+        FIRSTLINE_RE,
+        flush_ms=600_000,
+    )
+    .writeStream.format("parquet")
+    .option("path", out)
+    .option("checkpointLocation", ckpt)
+    .outputMode("append")
+    .trigger(availableNow=True)
+    .start()
+)
+deadline = time.time() + 120
+while time.time() < deadline:
+    try:
+        if spark.read.parquet(out).count() >= target:
+            break
+    except Exception:
+        pass
+    time.sleep(1)
+q.stop()
+q.awaitTermination(60)
+print("XPROC_DONE " + str(spark.read.parquet(out).count()))
+spark.stop()
+"""
+
+
+def test_streaming_stitch_state_survives_process_boundary(spark, tmp_path):
+    """The in-JVM restart test above has a loophole this one closes:
+    Spark caches loaded StateStoreProviders per (checkpoint, operator,
+    partition) WITHIN a JVM, so a same-session restart could in
+    principle serve the open group from that cache without ever
+    re-reading the checkpoint files. Here each query runs in its OWN
+    interpreter+JVM (the boundary a production restart actually
+    crosses — the streaming analog of the reference's SQLite position
+    DB surviving a tail restart, docker-runtime.conf:5,13-14): process
+    A checkpoints with group B open and EXITS; process B can only
+    recover that group from the on-disk state store. Same oracle as
+    the in-process test: B closes with lines from both sides, exactly
+    once on the raw row count."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo)
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "stitched")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_process(target, log_name):
+        # subprocess output goes to a FILE, not a pipe: JVM log volume
+        # against a full pipe buffer can deadlock the poll loop (same
+        # rule as test_manifest_crash's writer)
+        log = tmp_path / log_name
+        with open(log, "w") as fh:
+            p = subprocess.run(
+                [sys.executable, "-c", _XPROC_STREAM_SCRIPT,
+                 inp, out, ckpt, str(target)],
+                stdout=fh, stderr=subprocess.STDOUT,
+                timeout=600, env=env, cwd=repo,
+            )
+        text = log.read_text()
+        assert p.returncode == 0, text[-3000:]
+        assert f"XPROC_DONE {target}" in text, text[-2000:]
+
+    f1 = [
+        ("c1", 0, "user", "2024-01-01 00:00:00 ERROR boom", None, None),
+        ("c1", 1, "user", "\tat Frame.one", None, None),
+        ("c1", 2, "user", "2024-01-01 00:00:05 WARN open-group", None, None),
+    ]
+    spark.createDataFrame(f1, schema).coalesce(1).write.mode("append").parquet(inp)
+    run_process(1, "proc_a.log")  # A emitted; B open, JVM GONE
+
+    f2 = [
+        ("c1", 3, "user", "\tat Frame.resumed", None, None),
+        ("c1", 4, "user", "2024-01-01 00:00:09 INFO closer", None, None),
+    ]
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode("append").parquet(inp)
+    run_process(2, "proc_b.log")  # fresh JVM recovers B from disk
+
+    rows = spark.read.parquet(out).collect()
+    got = {r["turn_idx"]: (r["text"], r["n_lines"]) for r in rows}
+    assert got[0] == ("2024-01-01 00:00:00 ERROR boom\n\tat Frame.one", 2)
+    assert got[2] == (
+        "2024-01-01 00:00:05 WARN open-group\n\tat Frame.resumed", 2
+    )
+    assert len(rows) == 2 and set(got) == {0, 2}
