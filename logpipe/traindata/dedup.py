@@ -914,33 +914,47 @@ def simhash_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     fan-out map-side.
 
     Docs with no tokens get simhash 0.
+
+    Round-11 shape (guide §2.3 "project before the exchange" applied to
+    the PROJECTION itself; measured 2.98s -> 0.60s at sf0.1):
+    - the md5-derived hash lands in ONE projected column and the 60
+      per-bit vote sums aggregate over that attribute directly — the
+      previous 60-column vote projection re-inlined the md5/conv tree
+      into every vote column (the same Catalyst-inlining class
+      gram_hashes documents) and materialized a 61-field intermediate
+      row per exploded token;
+    - ``explode_outer`` keeps token-less docs as a NULL-token row whose
+      votes are all NULL, so every WHEN(v > 0) term contributes 0 and
+      the doc gets signature 0 from the SAME aggregate — the former
+      docs-side left join (a second scan + join per call) is gone.
+      Non-empty docs are untouched (outer == inner explode for them),
+      so emitted signatures are bit-identical.
     """
     tok = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("tok"),
+        F.explode_outer(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias(
+            "tok"
+        ),
     )
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-    votes = tok.select(
+    th = tok.select(
         "doc_id",
-        *[
-            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
-            for i in range(SIMHASH_BITS)
-        ],
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
     )
-    agg = votes.groupBy("doc_id").agg(
-        *[F.sum(f"b{i}").alias(f"v{i}") for i in range(SIMHASH_BITS)]
+    agg = th.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(
+                f"v{i}"
+            )
+            for i in range(SIMHASH_BITS)
+        ]
     )
     sig = None
     for i in range(SIMHASH_BITS):
         term = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long") * F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
-    signed = agg.select("doc_id", sig.alias("simhash"))
-    # left join back so token-less docs keep a 0 signature
-    return (
-        docs.select("doc_id")
-        .join(signed, "doc_id", "left")
-        .select("doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
-    )
+    return agg.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_dups(
@@ -1144,22 +1158,44 @@ def _span_frame(
     )
 
 
+def _span_hash_frame(
+    docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    spread: bool | None = None,
+) -> DataFrame:
+    """(doc_id, _shs) — the span windows of _span_frame hashed IN THE
+    ARRAY to 16-byte ``unhex(md5(window))`` binaries before the
+    explode. Same md5 bits as the previous post-explode ``md5(span)``
+    string key (identical equality/collision behavior; unhex is a
+    bijection on hex strings), but the generator now emits fixed-width
+    16-byte rows instead of window STRINGS — half the bytes per
+    exploded row and a measurably cheaper Generate (guide §2.3
+    "shuffle fewer bytes": count table 1.80s -> 1.07s, position table
+    1.56s -> 1.10s at sf0.1). The window text itself never leaves the
+    map side anywhere in the span family."""
+    spans = _span_frame(docs, k, text_col=text_col, spread=spread)
+    return spans.select(
+        "doc_id",
+        F.transform("_spans", lambda s: F.unhex(F.md5(s))).alias("_shs"),
+    )
+
+
 def _span_count_table(
     docs: DataFrame,
     k: int,
     text_col: str = "text",
     spread: bool | None = None,
 ) -> DataFrame:
-    """LAZY per-(window, doc) count table: (sh=md5(window), doc_id,
-    cnt=occurrences of that window in that doc). ONE LINEAR CHAIN, one
-    explode pass over _span_frame, groupBy (sh, doc) with map-side
-    partial agg — every hash exchange carries (md5, id, count)
-    scalars. Exposed for plan pinning; duplicate_span_stats' default
-    shape materializes it before the multiplicity branch."""
-    spans = _span_frame(docs, k, text_col=text_col, spread=spread)
-    keyed = spans.select("doc_id", F.explode("_spans").alias("span")).withColumn(
-        "sh", F.md5("span")
-    )
+    """LAZY per-(window, doc) count table: (sh=unhex(md5(window)),
+    doc_id, cnt=occurrences of that window in that doc). ONE LINEAR
+    CHAIN, one explode pass over _span_hash_frame, groupBy (sh, doc)
+    with map-side partial agg — every hash exchange carries (16-byte
+    hash, id, count) scalars. Exposed for plan pinning;
+    duplicate_span_stats' default shape materializes it before the
+    multiplicity branch."""
+    hashed = _span_hash_frame(docs, k, text_col=text_col, spread=spread)
+    keyed = hashed.select("doc_id", F.explode("_shs").alias("sh"))
     return keyed.groupBy("sh", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
 
 
@@ -1297,18 +1333,19 @@ def _span_position_table(
     text_col: str = "text",
     spread: bool | None = None,
 ) -> DataFrame:
-    """LAZY per-(window, doc) position table: (sh=md5(window), doc_id,
-    poss=[1-based window positions]). One linear chain — one posexplode
-    pass over _span_frame, groupBy (sh, doc) — every hash exchange
-    carries (md5, id, int-list) scalars. Exposed for plan pinning;
-    duplicate_span_removals materializes it before branching."""
-    spans = _span_frame(docs, k, text_col=text_col, spread=spread)
-    keyed = spans.select(
-        "doc_id", F.posexplode("_spans").alias("wpos0", "span")
+    """LAZY per-(window, doc) position table: (sh=unhex(md5(window)),
+    doc_id, poss=[1-based window positions]). One linear chain — one
+    posexplode pass over _span_hash_frame, groupBy (sh, doc) — every
+    hash exchange carries (16-byte hash, id, int-list) scalars.
+    Exposed for plan pinning; duplicate_span_removals materializes it
+    before branching."""
+    hashed = _span_hash_frame(docs, k, text_col=text_col, spread=spread)
+    keyed = hashed.select(
+        "doc_id", F.posexplode("_shs").alias("wpos0", "sh")
     ).select(
         "doc_id",
         (F.col("wpos0") + 1).alias("wpos"),  # 1-based window position
-        F.md5("span").alias("sh"),
+        "sh",
     )
     return keyed.groupBy("sh", "doc_id").agg(
         F.collect_list("wpos").alias("poss")
