@@ -147,7 +147,22 @@ FROM pc GROUP BY bucket
 def _curation_tail(kept: DataFrame, gopher_min_tokens: int | None = None) -> DataFrame:
     """Spark twin of _curation_tail_sql — the shared post-quality
     curation stages for v2/v3, composed from the shipped operators.
-    ``kept``: (doc_id, source, text), post-quality, pre-decontamination."""
+    ``kept``: (doc_id, source, text), post-quality, pre-decontamination.
+
+    Round-11 shape: the tail's multiply-consumed frames are
+    materialize()d at their branch points (mode-injectable,
+    logpipe.materialize — the same corpus-sized-checkpoint class as the
+    span gate's cut). Un-cut, every consumer of ``kept`` (the bench
+    snippet build, the contamination corpus side, the decontaminated
+    anti-join), of ``clean`` (exact-dedup winners + the semi-join), of
+    ``kept2`` (the whole near-dup pipeline + the winner semi-join) and
+    of ``final`` (both gopher passes + the mixture) re-expanded the
+    ENTIRE upstream chain back to the previous cut — measured 12.05s
+    for the tail-after-clustering at sf0.1, dominated by those repeated
+    subtree expansions, vs ~4s with the cuts (the round-5 duplicated-
+    subtree class, applied to the tail's own frames). The checkpoints
+    attach to the returned frame: ``release(result)`` frees them."""
+    from logpipe.materialize import attach_release, materialize
     from logpipe.traindata import textstats as ts
     from logpipe.traindata.dedup import (
         benchmark_contamination,
@@ -156,6 +171,14 @@ def _curation_tail(kept: DataFrame, gopher_min_tokens: int | None = None) -> Dat
     )
     from logpipe.traindata.sampling import mixture_sample, pack_chunks
 
+    held: list[DataFrame] = []
+
+    def cut(df: DataFrame) -> DataFrame:
+        out = materialize(df)
+        held.append(out)
+        return out
+
+    kept = cut(kept)
     bench = kept.filter(F.col("doc_id") % 31 == 0).select(
         F.col("doc_id").alias("bench_id"),
         F.concat_ws(" ", F.slice(ts.tokens(F.col("text")), 1, 12)).alias("text"),
@@ -165,13 +188,15 @@ def _curation_tail(kept: DataFrame, gopher_min_tokens: int | None = None) -> Dat
         .select("doc_id")
         .distinct()
     )
-    clean = kept.join(hits, "doc_id", "left_anti")
+    clean = cut(kept.join(hits, "doc_id", "left_anti"))
     exact_winners = exact_dedup(clean).select(F.col("keep_id").alias("doc_id"))
-    kept2 = clean.join(exact_winners, "doc_id", "left_semi")
+    kept2 = cut(clean.join(exact_winners, "doc_id", "left_semi"))
     cl = near_dup_clusters(kept2, n=2, k=32, bands=8, threshold=0.1)
+    held.append(cl)  # lazy over its labels checkpoint — released with the result
     winners = cl.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
     final = kept2.join(winners, "doc_id", "left_semi")
     if gopher_min_tokens is not None:
+        final = cut(final)
         g_ids = (
             ts.gopher_keep(final, min_tokens=gopher_min_tokens)
             .filter(F.col("keep"))
@@ -199,11 +224,14 @@ def _curation_tail(kept: DataFrame, gopher_min_tokens: int | None = None) -> Dat
     new_chunk = (
         prev_chunk.isNull() | (F.col("chunk") != prev_chunk)
     ).cast("long")
-    return packed.withColumn("_new_chunk", new_chunk).groupBy("bucket").agg(
-        F.sum("_new_chunk").alias("n_chunks"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("doc_id").alias("n_unique_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
+    return attach_release(
+        packed.withColumn("_new_chunk", new_chunk).groupBy("bucket").agg(
+            F.sum("_new_chunk").alias("n_chunks"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_unique_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        ),
+        *held,
     )
 
 

