@@ -50,6 +50,7 @@ def run_pipeline(
     honor_k8s_exclude: bool = False,
     broadcast_dims: bool = True,
     router_fn=None,
+    spread: bool | None = None,
 ) -> DataFrame:
     """transcripts + dims -> routed LogEvent rows (schema.LOG_EVENT).
 
@@ -67,8 +68,18 @@ def run_pipeline(
     (df in, df + `sink` out) — e.g. the config-driven
     operators.rewrite.route_with_rules engine. Default: the typed
     two-rule route().
+    ``spread``: derived round-robin parallelism spread (logpipe.spread,
+    round 11): the whole pre-route chain is narrow by design, so over a
+    few-split input (the single-row-group bench parquet) every parse
+    regex, enrich projection and map build otherwise executes in ONE
+    task. Naturally-split production scans derive False and the chain
+    stays exchange-free, preserving the 100TB shape the plan pins
+    assert (the only exchange a spread ever adds is
+    RoundRobinPartitioning — parallelism, not a keyed shuffle).
     """
-    df = transcripts
+    from logpipe.spread import spread_for_compute
+
+    df = spread_for_compute(transcripts, spread)
 
     # S1 Skip_Empty_Lines (conf/ds/docker-runtime.conf:10)
     df = df.filter(F.col("text").isNotNull() & (F.length("text") > 0))

@@ -501,8 +501,12 @@ def erda_info_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions.basic_auth_header / host_join_path, pytest-gated in
     tests/test_reshape.py as well."""
     from logpipe.functions import basic_auth_header, host_join_path
+    from logpipe.spread import spread_for_compute
 
-    ev = load_events(spark, sf_dir)
+    # derived spread (round 11): the grok regexes + scalar-layer md5s
+    # below otherwise run in ONE task over the single-row-group bench
+    # parquet; naturally-split scans derive False (logpipe.spread)
+    ev = spread_for_compute(load_events(spark, sf_dir))
     lines = ev.select(
         "event_id", "user_id", "event_type", "props",
         _erda_line_expr().alias("line"),

@@ -766,9 +766,16 @@ def textstats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (token_count / text_quality / lang_id / repetition_signals /
     doc_fingerprint) to fit the driver's 50-row window; every column
     is the SAME gated operator expression."""
+    from logpipe.spread import spread_for_compute
     from logpipe.traindata import textstats as ts
 
-    d = _docs(spark, sf_dir)
+    # derived spread (round 11): the profile is a pure scan-stage
+    # projection (4-language stopword filters, tokenize passes, regex
+    # counts) — over the single-row-group bench parquet it otherwise
+    # executes in ONE task; both the signal select and the top-token
+    # side read the same parallelism exchange (naturally-split scans
+    # derive False — logpipe.spread)
+    d = spread_for_compute(_docs(spark, sf_dir))
     base = d.select(
         "doc_id",
         ts.token_count(F.col("text")).alias("n_tokens"),

@@ -482,10 +482,25 @@ def benchmark_contamination(
     doc payloads — the only exchange is the partial-agg groupBy on
     (doc_id, bench_id), sized by the number of HITS, not the corpus.
     """
+    # (doc_id, n_doc_grams, gram) in ONE shingle construction: naming
+    # `grams` in BOTH size() and explode() lets CollapseProject inline
+    # the whole zip_with shingle tree into each consumer (measured: 6
+    # zip_with nodes in the plan, 1.85s for the corpus side at sf0.1).
+    # Exploding a single-element struct(n, grams) array first forces
+    # the array to materialize ONCE per doc behind a Generate barrier;
+    # the inner explode then reads the materialized field (0.60s, same
+    # rows/values — round 11, the gram_hashes inlining class again).
     d = with_ngrams(docs, n, text_col=text_col).select(
         "doc_id",
-        F.size("grams").alias("n_doc_grams"),
-        F.explode("grams").alias("gram"),
+        F.explode(
+            F.array(
+                F.struct(F.size("grams").alias("n"), F.col("grams").alias("g"))
+            )
+        ).alias("_w"),
+    ).select(
+        "doc_id",
+        F.col("_w.n").alias("n_doc_grams"),
+        F.explode("_w.g").alias("gram"),
     )
     b = (
         with_ngrams(
@@ -1124,7 +1139,9 @@ def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _shuffle_partitions(df: DataFrame) -> int:
-    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    from logpipe.spread import shuffle_partitions
+
+    return shuffle_partitions(df)
 
 
 def _derive_spread(df: DataFrame, n_part: int) -> bool:
@@ -1134,9 +1151,12 @@ def _derive_spread(df: DataFrame, n_part: int) -> bool:
     scan is naturally split, this derives False, and the operator moves
     zero payload bytes with no caller flag (round-5 verdict: the manual
     spread=True default was a scale knob a cluster caller had to
-    remember to turn OFF). ``df.rdd.getNumPartitions()`` compiles the
-    physical plan but runs no job."""
-    return df.rdd.getNumPartitions() < n_part
+    remember to turn OFF). Since round 11 the rule lives in
+    logpipe.spread (shared with the flagship/textstats chains); this
+    wrapper keeps the span family's pinned entry points stable."""
+    from logpipe.spread import derive_spread
+
+    return derive_spread(df, n_part)
 
 
 def spread_decision(docs: DataFrame) -> dict:
