@@ -1528,6 +1528,17 @@ def duplicate_span_trim(
         docs, k=k, min_docs=min_docs, text_col=text_col, spread=spread,
         _materialized=_materialized,
     )
+    # Round-11 measurement, deliberately left as-is: spreading the
+    # rejoin's base side (it re-tokenizes the corpus and runs the trim
+    # mask) reads 9.0s -> 7.8s on the 10x slope — but the base side
+    # lives in the FINAL plan, and the derived-spread rule misfires on
+    # a doc_id-bucketed corpus (the standalone .rdd compile disables
+    # the unnecessary bucketed scan and under-reports splits), so the
+    # spread's round-robin exchange would destroy exactly the
+    # storage-partitioned zero-payload rejoin the layout
+    # demonstration pins (test_span_trim_bucketed_rejoin). The span
+    # subtree's own spread is safe because it sits behind the
+    # materialized position-table checkpoint.
     base = docs.select("doc_id", tokens(F.col(text_col)).alias("_toks"))
     # kept 1-based positions in original order: sequence(1, n) minus rm.
     # array_except builds rm's hash set ONCE per row; rm non-null implies
