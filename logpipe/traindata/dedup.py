@@ -869,7 +869,11 @@ def star_components(
         finally:
             release(*held)
         n_new = new.count()
-        converged = n_new == n_e and new.exceptAll(e).isEmpty()
+        # both edge sets are distinct, so set equality == multiset
+        # equality and a left-anti isEmpty answers it with an early-out
+        # (exceptAll built full per-row counts before answering —
+        # round 11); only evaluated when the cheap count check ties
+        converged = n_new == n_e and new.join(e, ["u", "v"], "left_anti").isEmpty()
         release(e)  # previous round's edge set is dead either way
         e, n_e = new, n_new
         if converged:
