@@ -292,13 +292,15 @@ def minhash_lsh_pairs(
     # array-lambda formulation compiles a huge nested expression tree —
     # ~10s of Catalyst/codegen per query — and re-inlines the md5 into
     # every lambda; this shape is both fast to plan and scalable.)
-    tok = grams.select("doc_id", F.explode("grams").alias("g"))
-    m = F.md5(F.col("g"))
-    hashed = tok.select(
-        "doc_id",
-        F.conv(F.substring(m, 1, 12), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(m, 13, 12), 16, 10).cast("long").alias("h2"),
-    )
+    # Round 11: the md5 halves are computed IN the gram array
+    # (gram_hashes' two-step transforms) so the Generate emits
+    # fixed-width (h1, h2) structs instead of shingle STRINGS — the
+    # same explode-narrowing that took the span count table 1.80s ->
+    # 1.07s; here the signature table reads 0.97s -> 0.28s at sf0.1
+    # with bit-identical output (same md5 bits, same arithmetic).
+    hashed = grams.select(
+        "doc_id", F.explode(gram_hashes(F.col("grams"))).alias("_h")
+    ).select("doc_id", F.col("_h.h1").alias("h1"), F.col("_h.h2").alias("h2"))
     sig_cols = [
         F.min(F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), F.lit(MINHASH_MOD))).alias(f"m{i}")
         for i in range(k)
