@@ -57,8 +57,15 @@ FROM s GROUP BY sink
 @register("flagship_route_counts", _FLAGSHIP_SQL)
 def flagship_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
+    # spread=False: this gate consumes the chain into a 3-row
+    # aggregate, and the derived parallelism exchange cannot pay for
+    # itself (interleaved A/B at sf0.1: 0.89s off vs 1.05s on). The
+    # sink/export consumers — whose per-row downstream work is heavy —
+    # keep the derived default and measured 4.66s -> 2.8-3.4s with it
+    # (round 11; logpipe.spread).
     out = run_pipeline(
-        events_as_transcripts(ev), events_k8s_meta(ev), events_tool_meta(ev)
+        events_as_transcripts(ev), events_k8s_meta(ev), events_tool_meta(ev),
+        spread=False,
     )
     return out.groupBy("sink").agg(
         F.count(F.lit(1)).alias("n_rows"),
